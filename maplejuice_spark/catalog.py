@@ -1,0 +1,91 @@
+"""Name -> path catalog: the Spark-side replacement for the reference's
+distributed file catalog (``file_list.cpp:10-94``) and SDFS namespace
+(``SDFS.cpp:129-373``).
+
+The reference maps a flat SDFS filename to a 3-node replica set and
+repairs replication in a background loop. On Spark, durability and
+replication belong to the storage layer (HDFS/S3/local FS); what remains
+engine-side is a simple name -> path mapping plus the standard table
+catalog. This module provides both:
+
+- ``Catalog``: a tiny dict-backed name->path registry with put/get/
+  delete/ls/store semantics mirroring the SDFS CLI verbs
+  (``MapleJuice.cpp:497-520``).
+- ``register_testdata``: loads the driver parquet tables for one scale
+  factor and registers them as temp views, the standard entry point for
+  every query in the engine.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class Catalog:
+    """Flat name->path namespace (SDFS.cpp put/get/delete/ls analog).
+
+    Unlike the reference there is no 30-char name cap and no replica
+    bookkeeping: ``put`` of an existing name overwrites (same
+    last-writer-wins semantics as ``SDFS.cpp:133-135``).
+    """
+
+    entries: dict[str, str] = field(default_factory=dict)
+
+    def put(self, name: str, path: str) -> None:
+        self.entries[name] = path  # overwrite == broadcast-delete-then-put
+
+    def get(self, name: str) -> str:
+        if name not in self.entries:
+            raise KeyError(f"file not available: {name}")  # SDFS.cpp:216 analog
+        return self.entries[name]
+
+    def delete(self, name: str) -> None:
+        self.entries.pop(name, None)
+
+    def ls(self) -> list[str]:
+        return sorted(self.entries)
+
+    def store(self) -> dict[str, str]:
+        return dict(self.entries)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for name in TESTDATA_TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            out[name] = spark.read.parquet(p)
+    return out
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every driver table at ``sf_dir`` as a temp view."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

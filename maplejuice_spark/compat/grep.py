@@ -1,0 +1,95 @@
+"""Distributed grep (reference: the log querier, logger.cpp:193-224).
+
+The reference fans a raw ``grep`` command out to 10 nodes over TCP
+(logger.cpp:34-77), streams matches back with per-node line counts and
+prints a global total (logger.cpp:216-223). The Spark expression of the
+same query: read all nodes' logs as one text DataFrame (one file per
+node), regex-filter, count per source file and globally — the fan-out,
+streaming merge, and counting are the scan + filter + agg plan.
+
+``grep_files`` is the file-level twin (per input file via
+input_file_name()); the registered queries run the same shape over the
+``documents`` table so the DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.registry import register
+
+GREP_PATTERN = "spark .*join|vector"  # registered demo pattern
+
+
+def grep_files(spark: SparkSession, path: str, pattern: str) -> DataFrame:
+    """grep over a directory of text files: per-file match counts.
+
+    Equivalent of logger.cpp's per-node output: one row per source file
+    with its matched-line count (logger.cpp:73-74).
+    Scale: filter is evaluated in the scan stage; per-file counts are a
+    partial-agg'd groupBy on input_file_name().
+    """
+    lines = spark.read.text(path)
+    return (
+        lines.filter(F.col("value").rlike(pattern))
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+def grep_total(spark: SparkSession, path: str, pattern: str) -> int:
+    """Global matched-line count (logger.cpp:216-223 total)."""
+    return spark.read.text(path).filter(F.col("value").rlike(pattern)).count()
+
+
+@register(
+    "grep_count_by_source",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_matches
+    FROM documents WHERE regexp_matches(text, '{GREP_PATTERN}')
+    GROUP BY source
+    """,
+    tags=("reference-parity", "grep"),
+)
+def grep_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep, per-source counts (logger.cpp per-node view)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(GREP_PATTERN))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@register(
+    "grep_matches",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE regexp_matches(text, '{GREP_PATTERN}')
+    """,
+    tags=("reference-parity", "grep"),
+)
+def grep_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep, matching rows (the match stream itself)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike(GREP_PATTERN)).select("doc_id", "source")
+
+
+@register(
+    "grep_global_count",
+    oracle=f"""
+    SELECT COUNT(*) AS n_matches,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents WHERE regexp_matches(text, '{GREP_PATTERN}')
+    """,
+    tags=("reference-parity", "grep"),
+)
+def grep_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep, global total (logger.cpp:216-223)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike(GREP_PATTERN)).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -1,0 +1,223 @@
+"""MapleJuice-compat API: the reference's pluggable map/reduce surface,
+re-expressed on DataFrames.
+
+Reference contract (SURVEY.md §2.1 E3/E6):
+- a *maple* exe consumes input lines and emits ``key value`` lines
+  (argv ``(input_path, prefix)`` -> ``tmp_output/__<prefix>_keyset``,
+  MapleJuice.cpp:54-80, word_count_map.cpp:9-48);
+- the master groups them into ``key v1 .. vN`` lines
+  (MapleJuice.cpp:260-282);
+- a *juice* exe consumes one grouped line per key and emits final
+  ``key result`` lines (MapleJuice.cpp:83-108, word_count_reduce.cpp:10-37);
+- the master merges + sorts by key (std::map => lexicographic,
+  MapleJuice.cpp:351-378) and stores the result.
+
+Spark mapping: user functions are plain Python callables; ``maple`` runs
+them per-partition over Arrow batches (mapInPandas), ``juice`` runs them
+per-key-group (the grouping itself is a distributed shuffle — the fix for
+the reference's single-master merge). Keys/values are strings, outputs
+are key-string-sorted, matching the reference's observable semantics
+(SURVEY.md §1.2).
+
+The FIFO maple-before-juice scheduler (scheduler.cpp:92-118) maps to
+``JobQueue``: jobs are queued and ``start()`` drains all maple jobs
+before any juice job — same observable ordering, ordinary sequential
+driver actions underneath (Spark's own FIFO scheduler handles tasks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MapleFn = Callable[[Iterator[str]], Iterable[tuple[str, str]]]
+JuiceFn = Callable[[str, list[str]], Iterable[tuple[str, str]]]
+
+KV_SCHEMA = "key string, value string"
+GROUPED_SCHEMA = "key string, values array<string>"
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """E1 text scan: file or directory of line-delimited text
+    (MapleJuice.cpp:203-224; directories are native to spark.read.text —
+    no driver-side `cat dir/*` merge)."""
+    return spark.read.text(path)
+
+
+def maple(lines: DataFrame, fn: MapleFn, num_tasks: int | None = None) -> DataFrame:
+    """Maple phase: run a user line->KV generator over every partition.
+
+    ``fn`` sees an iterator of input lines (the reference exe's stdin
+    view) and yields (key, value) string pairs — the exe contract of
+    MapleJuice.cpp:63-67 with the scp/ack plumbing deleted.
+
+    ``num_tasks`` mirrors the CLI's <num_maples> (round-robin split,
+    MapleJuice.cpp:16-51): expressed as a repartition; by default Spark's
+    existing partitioning (file splits) is kept, which is the scalable
+    choice — repartition only to widen parallelism.
+    """
+    if num_tasks is not None:
+        lines = lines.repartition(num_tasks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def line_iter() -> Iterator[str]:
+            for pdf in batches:
+                yield from pdf["value"].astype(str)
+
+        out = pd.DataFrame(list(fn(line_iter())), columns=["key", "value"])
+        yield out.astype(str) if len(out) else pd.DataFrame(
+            {"key": pd.Series(dtype=str), "value": pd.Series(dtype=str)}
+        )
+
+    return lines.mapInPandas(run, schema=KV_SCHEMA)
+
+
+def group_keys(kv: DataFrame) -> DataFrame:
+    """E4 shuffle+group: key -> all values (MapleJuice.cpp:260-282).
+
+    The reference materializes this on one master node (its scalability
+    ceiling); here it is a hash-partitioned shuffle with map-side
+    partials where Catalyst can inject them.
+    """
+    return kv.groupBy("key").agg(F.collect_list("value").alias("values"))
+
+
+def juice(grouped: DataFrame, fn: JuiceFn) -> DataFrame:
+    """Juice phase: run a user (key, values)->KV reducer per key group
+    (MapleJuice.cpp:83-108; juice splits BY LINE of the grouped file =
+    by key, MapleJuice.cpp:325 — i.e. every key's full group reaches
+    exactly one reducer, which is what applyInPandas guarantees)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple[str, str]] = []
+        for key, values in zip(pdf["key"], pdf["values"]):
+            rows.extend(fn(str(key), [str(v) for v in values]))
+        return pd.DataFrame(rows, columns=["key", "value"]).astype(str)
+
+    return grouped.groupBy("key").applyInPandas(run, schema=KV_SCHEMA)
+
+
+def run_mapreduce(
+    spark: SparkSession,
+    input_path: str,
+    maple_fn: MapleFn,
+    juice_fn: JuiceFn,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Full maple->group->juice pipeline, output key-sorted (E7)."""
+    kv = maple(read_lines(spark, input_path), maple_fn, num_tasks)
+    out = juice(group_keys(kv), juice_fn)
+    return out.orderBy("key")  # string sort == std::map order (E7)
+
+
+def write_sorted(df: DataFrame, dest: str, single_file: bool = False) -> None:
+    """E7 key-sorted text sink: ``key value`` lines sorted by key.
+
+    ``single_file=True`` gives byte-parity with the reference's single
+    output file (fine for small results; at scale leave it False and
+    write range-partitioned sorted parts).
+    """
+    out = df.orderBy("key").select(
+        F.concat_ws(" ", F.col("key"), F.col("value")).alias("value")
+    )
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(dest)
+
+
+def write_per_key(df: DataFrame, dest: str) -> None:
+    """E5 per-key export (maple option 1/3, MapleJuice.cpp:285-298):
+    one directory per key via partitionBy.
+
+    100 TB guard: partitionBy on a high-cardinality key produces one
+    file per key per task — cap cardinality upstream (the reference has
+    the same failure mode, one FILE per key on the master's disk).
+    """
+    writer = df.write.mode("overwrite").partitionBy("key")
+    if set(df.columns) == {"key", "value"}:
+        writer.text(dest)  # one text dir per key, value lines inside
+    else:
+        writer.parquet(dest)
+
+
+# ---------------------------------------------------------------------------
+# FIFO scheduler (scheduler.cpp:9-120)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Job:
+    kind: str  # "maple" | "juice"
+    run: Callable[[], DataFrame]
+    name: str = ""
+
+
+@dataclass
+class JobQueue:
+    """Two FIFO queues, maple always drains before juice
+    (scheduler.cpp:92-107). ``start()`` gates execution exactly like the
+    CLI's `start` command (MapleJuice.cpp:482-484,398-401)."""
+
+    maple_q: list[Job] = field(default_factory=list)
+    juice_q: list[Job] = field(default_factory=list)
+    results: list[tuple[str, DataFrame]] = field(default_factory=list)
+
+    def add_maple_job(self, run: Callable[[], DataFrame], name: str = "") -> None:
+        self.maple_q.append(Job("maple", run, name))
+
+    def add_juice_job(self, run: Callable[[], DataFrame], name: str = "") -> None:
+        self.juice_q.append(Job("juice", run, name))
+
+    def get_job(self) -> Job | None:
+        if self.maple_q:
+            return self.maple_q.pop(0)
+        if self.juice_q:
+            return self.juice_q.pop(0)
+        return None
+
+    def start(self) -> list[tuple[str, DataFrame]]:
+        while (job := self.get_job()) is not None:
+            self.results.append((job.name or job.kind, job.run()))
+        return self.results
+
+
+# ---------------------------------------------------------------------------
+# The reference's own two jobs as compat-API functions
+# ---------------------------------------------------------------------------
+
+
+def wordcount_maple(lines: Iterator[str]) -> Iterator[tuple[str, str]]:
+    """word_count_map.cpp:16-46: tokenize on [alnum or '-'] runs, with a
+    map-side combine (partial counts per split)."""
+    import re
+
+    counts: dict[str, int] = {}
+    tok = re.compile(r"[A-Za-z0-9-]+")
+    for line in lines:
+        for word in tok.findall(line):
+            counts[word] = counts.get(word, 0) + 1
+    for word, n in counts.items():
+        yield word, str(n)
+
+
+def wordcount_juice(key: str, values: list[str]) -> Iterator[tuple[str, str]]:
+    """word_count_reduce.cpp:19-27: per-key sum of string-int partials."""
+    yield key, str(sum(int(v) for v in values))
+
+
+def graph_invert_maple(lines: Iterator[str]) -> Iterator[tuple[str, str]]:
+    """linked_graph_map.cpp:14-17: emit (to, from) for each 'from to'."""
+    for line in lines:
+        parts = line.split()
+        if len(parts) >= 2:
+            yield parts[1], parts[0]
+
+
+def graph_invert_juice(key: str, values: list[str]) -> Iterator[tuple[str, str]]:
+    """linked_graph_reduce.cpp:10-13: identity — grouping already done."""
+    yield key, " ".join(values)

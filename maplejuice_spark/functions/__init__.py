@@ -1,0 +1,99 @@
+"""Shared column-expression helpers.
+
+Everything here is built from ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs in the hot path. Several helpers
+exist specifically so that the Spark plan and the DuckDB oracle compute
+*bit-identical* values:
+
+- Money/double aggregation goes through DECIMAL (exact, order-independent)
+  and is cast back to DOUBLE only at the end. Summing raw doubles is
+  accumulation-order-dependent and can never hash-match across engines.
+- ``events.ts`` is a nanosecond BIGINT (see session.py); DuckDB truncates
+  the same parquet column to microseconds, so all time logic uses
+  ``ts div 1000`` (µs) as the common currency.
+- Tokenization is pinned to the reference's ASCII token class
+  ``[A-Za-z0-9-]+`` (word_count_map.cpp:20: ``isalnum(c) or c=='-'``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference tokenizer: maximal runs of [alnum or '-'], everything else
+# is a delimiter (word_count_map.cpp:16-38, WordCount.java:45-72).
+TOKEN_CLASS = "[A-Za-z0-9-]+"
+TOKEN_DELIM = "[^A-Za-z0-9-]+"
+
+# Exact-arithmetic decimal used for cross-engine deterministic aggregation.
+MONEY_DEC = "decimal(18,6)"
+
+NS_PER_US = 1_000
+US_PER_DAY = 86_400_000_000
+
+
+def dec(c: Column | str) -> Column:
+    """Cast a double column to exact decimal for order-independent sums."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(MONEY_DEC)
+
+
+def dsum(c: Column | str) -> Column:
+    """Deterministic sum of a double column: exact decimal sum -> double."""
+    return F.sum(dec(c)).cast("double")
+
+
+def tokens(c: Column | str) -> Column:
+    """Array of reference-tokenizer tokens for a text column.
+
+    ``split`` on the delimiter class can yield leading/trailing empty
+    strings; filter them exactly like the reference drops empty tokens.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(c, TOKEN_DELIM), lambda t: t != F.lit(""))
+
+
+def ts_us_div(c: Column | str = "ts") -> Column:
+    """events.ts (ns BIGINT) -> µs BIGINT, DuckDB-comparable (epoch_us).
+
+    Integer division must stay exact: ns values (~1.7e18) exceed 2^53,
+    so double division would round — go through decimal, not `/`.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c.cast("decimal(38,0)") / F.lit(NS_PER_US)).cast("long")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product of two array<double> columns.
+
+    ``F.aggregate`` folds left-to-right, which matches DuckDB's
+    ``list_dot_product`` accumulation order — required for bit-identical
+    doubles in oracle comparison.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<double> columns (sequential fold)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def to_double_vec(c: Column | str) -> Column:
+    """array<float> -> array<double> so all vector math runs in f64."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))

@@ -1,0 +1,430 @@
+"""Deduplication operators over the ``documents`` table (north-star set,
+BASELINE.json — absent in the reference, whose only dedup-adjacent
+behavior is distinct-key grouping, MapleJuice.cpp:260-281).
+
+Cross-engine determinism: every hash in this module is md5-derived
+(identical hex in Spark and DuckDB) — never xxhash64/hash(), which are
+engine-specific. MinHash uses the *string-min* trick: the j-th signature
+is ``min(md5(j || ':' || shingle))`` — min over uniformly-distributed hex
+strings is a valid minwise hash and is SQL-expressible in both engines.
+
+Scale design (100 TB):
+- Exact dedup: hash-groupBy on a 128-bit content digest — one shuffle on
+  the digest, never on the full text.
+- MinHash/LSH: per-doc signatures (narrow, fixed width) -> band buckets ->
+  equi-join *within buckets only*; candidate verification touches only
+  bucket-colliding pairs. No all-pairs stage anywhere in the Spark path.
+- SimHash: banded (4 bands × 4 bits) equi-join guarantees recall for
+  hamming <= 3 by pigeonhole, again avoiding the O(n²) cross join the
+  DuckDB oracle (which only sees 500-5000 docs) states declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import TOKEN_CLASS, tokens
+from maplejuice_spark.registry import register
+
+_SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
+
+N_MINHASH = 8  # signature width; banded 4 x 2 below (candidate P = J^2)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: groupBy(md5(text)) -> keeper =
+    min(doc_id). Shuffles 16-byte digests, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(col_tokens):
+    """Word-trigram shingles from a token array (deterministic order).
+
+    Trigrams (not bigrams): the testdata vocabulary is tiny, so bigram
+    Jaccard between unrelated documents is high — trigrams keep the
+    candidate space selective, which is what makes LSH sub-quadratic.
+    """
+    n = F.size(col_tokens)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(col_tokens, i),
+            F.element_at(col_tokens, i + 1),
+            F.element_at(col_tokens, i + 2),
+        ),
+    )
+
+
+_SQL_SHINGLES = f"""
+    list_transform(
+      CASE WHEN len({_SQL_TOKENS}) >= 3
+           THEN generate_series(1, len({_SQL_TOKENS}) - 2)
+           ELSE [] END,
+      i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i + 1] || ' ' || {_SQL_TOKENS}[i + 2])
+"""
+
+_SIG_COLS = ", ".join(
+    f"MIN(md5('{j}:' || shingle)) AS sig{j}" for j in range(N_MINHASH)
+)
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows, CPU-parallel.
+
+    Two crucial plan details:
+    - the token array is materialized in its own projection first —
+      referencing the split() *expression* from inside the transform
+      lambda would re-evaluate the regex split per element access;
+    - documents.parquet is a single small file (one input partition), so
+      the expression-heavy explode is repartitioned across all cores
+      first. At 100 TB inputs arrive pre-partitioned and this becomes a
+      no-op to remove.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    )
+    SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 string-min hashes over word-
+    trigram shingles). One explode + one hash-agg; signature is O(1) per
+    doc regardless of document size."""
+    sh = _shingle_rows(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(
+                f"sig{j}"
+            )
+            for j in range(N_MINHASH)
+        ]
+    )
+
+
+N_BANDS = N_MINHASH // 2  # 4 bands x 2 rows: P(candidate) = jaccard^2
+
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, sig{2 * b} || sig{2 * b + 1} AS h FROM sigs"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "minhash_candidates",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_BAND_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+                   AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_common
+      FROM cand c JOIN dsh x ON x.doc_id = c.d1
+                  JOIN dsh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+      GROUP BY c.d1, c.d2
+    )
+    SELECT i.d1, i.d2, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) AS jaccard
+    FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+                 JOIN sizes s2 ON s2.doc_id = i.d2
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    bucket-equi-join candidates -> exact Jaccard verification.
+
+    Scale: the join key is (band, hash); only documents colliding in a
+    band are ever paired. Verification joins per-doc *distinct shingle*
+    sets only for candidate pairs.
+    """
+    sh = _shingle_rows(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(
+                f"sig{j}"
+            )
+            for j in range(N_MINHASH)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")
+                        ).alias("h"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    dsh = sh.distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh.alias("x")
+    y = dsh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("d1"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("d2"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        inter.join(s1, F.col("s1.doc_id") == F.col("d1"))
+        .join(s2, F.col("s2.doc_id") == F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "ngram_jaccard_topk",
+    oracle=f"""
+    WITH dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
+      FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.d1, i.d2,
+           CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) AS jaccard
+    FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+                 JOIN sizes s2 ON s2.doc_id = i.d2
+    ORDER BY jaccard DESC, i.d1, i.d2 LIMIT 20
+    """,
+    tags=("dedup", "ngram-jaccard"),
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by exact trigram-shingle
+    Jaccard, generated via the shared-shingle inverted-index join (a pair
+    is only materialized if it shares >= 1 shingle).
+
+    Scale: this is the exact-verification half of MinHash-LSH without
+    the banding prefilter — correct for moderate collision rates; at
+    100 TB the minhash_candidates path bounds the pair space first.
+    """
+    dsh = _shingle_rows(spark, sf_dir).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh.alias("x")
+    y = dsh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        inter.join(s1, F.col("s1.doc_id") == F.col("d1"))
+        .join(s2, F.col("s2.doc_id") == F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(20)
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SQL_BITSUMS = ", ".join(
+    f"SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SQL_SIMHASH = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    bitsums AS (
+      SELECT doc_id, {_SQL_BITSUMS} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash FROM bitsums
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document.
+
+    Bit i of a token's hash = high bit of hex digit i of md5(token)
+    (hex digit >= '8'), identical in both engines; per-doc bit i is the
+    sign of the +-1 vote sum. Explode + single hash-agg — linear, no
+    pairwise work.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = toks.withColumn("h", F.md5(F.col("tok").cast("binary")))
+    bitsums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        [
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(_SIMHASH_BITS)
+        ],
+        start=F.lit(0),
+    )
+    return bitsums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    bitsums AS (
+      SELECT doc_id, {_SQL_BITSUMS} FROM toks GROUP BY doc_id
+    ),
+    s AS (
+      SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash FROM bitsums
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= 3, found via
+    banded equi-join: 16 bits -> 4 bands of 4 bits; any pair within
+    hamming 3 shares at least one identical band (pigeonhole), so the
+    band join has full recall with no O(n²) stage. The DuckDB oracle
+    states the same result as a plain pairwise comparison.
+    """
+    sim = simhash_docs(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("v"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.v")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,144 @@
+"""Multimodal column support (north-star set).
+
+Model: media payloads are opaque ``binary`` columns plus a typed metadata
+struct, exactly how a 100 TB training-data lake stores them (parquet
+binary + sidecar metadata; `spark.read.format("binaryFile")` for raw
+ingest). The decode/feature-extract steps run as Arrow-batched
+``mapInPandas`` operators so the heavy per-item work stays columnar and
+partition-parallel.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic STUB (seeded by content digest); the Spark
+plumbing — schema, batching, partition parallelism, UDF signature — is
+real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.registry import register
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           256 + CAST(ascii(substr(md5(text), 1, 1)) AS BIGINT) % 16 * 64 AS fake_width,
+           256 + CAST(ascii(substr(md5(text), 2, 1)) AS BIGINT) % 16 * 64 AS fake_height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: payload size, content digest,
+    and (stubbed) decoded dimensions derived deterministically from the
+    digest. Pure column expressions — the binary payload never leaves
+    the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    h = F.md5(payload)
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        h.alias("content_md5"),
+        (F.lit(256) + F.ascii(F.substring(h, 1, 1)).cast("bigint") % 16 * 64).alias(
+            "fake_width"
+        ),
+        (F.lit(256) + F.ascii(F.substring(h, 2, 1)).cast("bigint") % 16 * 64).alias(
+            "fake_height"
+        ),
+    )
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def as_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> opaque media table (binary payload + typed metadata).
+
+    In production this is ``spark.read.format("binaryFile").load(dir)``
+    (path/length/content columns) or a parquet lake with binary columns;
+    here the payload is the utf-8 text bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int]:
+    """STUB decode kernel: real image decode (PIL/ffmpeg) is unavailable
+    in this container. Deterministic fake dimensions from content bytes.
+    Raise NotImplementedError for a real codec path."""
+    if not payload:
+        raise NotImplementedError("real media decode requires codec libraries")
+    w = 256 + (payload[0] % 16) * 64
+    h = 256 + (payload[1 % len(payload)] % 16) * 64
+    return w, h
+
+
+def decode_frames(media: DataFrame, frames_per_item: int = 2) -> DataFrame:
+    """Frame-sample + feature-extract over binary payloads via
+    Arrow-batched ``mapInPandas`` (the real multimodal plumbing: batch
+    in, batch out, schema fixed, per-partition parallelism).
+
+    Scale: pure map — no shuffle; batch size is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; heavy decode work
+    parallelizes with input partitions.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h = _stub_decode(b)
+                for i in range(frames_per_item):
+                    # Deterministic fake per-frame feature vector.
+                    feat = [float((b[j % len(b)] + i) % 251) / 251.0 for j in range(8)]
+                    rows.append((int(doc_id), i, w, h, feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "feature"]
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -1,0 +1,823 @@
+"""Relational operator surface (SURVEY.md §2.4 checklist).
+
+The reference has no joins, windows, set-ops, or typed functions — its
+only relational machinery is flatMap + groupByKey + key-sorted sink
+(MapleJuice.cpp:260-282,351-377); anything else had to be hand-written
+inside a maple/juice executable. Here the whole §2.4 table is expressed
+declaratively so Catalyst plans it (pushdown, pruning, broadcast
+selection, AQE skew handling all come free).
+
+Cross-engine determinism rules (see functions/__init__.py):
+- double aggregation through DECIMAL, cast back to double at the end;
+- events.ts handled in microseconds (``ts div 1000``);
+- every top-k has a total tie-break order;
+- no ``round()`` on data-dependent doubles (engine rounding modes differ).
+
+Scale notes are in each docstring: what the plan does at 100 TB and why
+the shape survives (broadcast dims, partial aggs, bucketized range join,
+window instead of per-key collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import dec, dsum, ts_us_div
+from maplejuice_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Aggregation (partial+final hash agg — reference Q2/Q3/E4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter -> 8-agg hash aggregate.
+
+    Scale: partial (map-side) aggregation collapses each input partition
+    to ≤ |flag×status| = 6 rows before the shuffle, so the exchange moves
+    O(partitions), not O(rows) — the distributed fix for the reference's
+    master-side merge bottleneck (MapleJuice.cpp:260-281).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge)).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / cnt).alias("avg_qty"),
+            (dsum("l_extendedprice") / cnt).alias("avg_price"),
+            (dsum("l_discount") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "count_distinct_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def count_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expand + two-phase agg in Spark).
+
+    Scale: two exact distincts in one agg triggers Spark's Expand
+    operator (input ×2); for very wide fan-in switch to
+    approx_count_distinct (HLL, mergeable sketch) — kept exact here
+    because the oracle must match bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent in reference; §2.4 'grouping sets')."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "pivot_order_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide agg). Explicit value list keeps it one pass, no
+    value-discovery pre-query — mandatory at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    # pivot yields NULL for empty cells; FILTER-count yields 0 — align.
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (absent in reference — §2.4 'Joins': all types built-in)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-k.
+
+    Scale: the filtered customer side is small → Catalyst broadcasts it
+    (no shuffle of orders on custkey); lineitem↔orders is the one real
+    shuffle, on the join key both sides already need. Top-k is
+    TakeOrdered (per-partition heap + driver merge of k), not a global
+    sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"), "o_orderpriority")
+        .agg(F.sum(dec(revenue)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "tpch"),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a region filter.
+
+    Scale: region/nation/supplier/customer are all broadcast-size next to
+    lineitem; only orders↔lineitem shuffles. The c_nationkey=s_nationkey
+    theta-condition rides on the supplier join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec(revenue)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "join_broadcast_region",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim join with explicit broadcast of the dims."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey))
+    return (
+        c.join(dim, c.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Scale: semi-join only ships the key
+    column of the probe side; no row multiplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_outer_order_sizes",
+    oracle="""
+    SELECT o_orderkey, COALESCE(n, 0) AS n_items
+    FROM orders LEFT JOIN (
+        SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+    ) li ON o_orderkey = li.l_orderkey
+    """,
+    tags=("join", "outer"),
+)
+def join_outer_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join against a pre-aggregated child (aggregate-below-
+    join keeps the shuffled payload at one row per key)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey", F.coalesce(F.col("n"), F.lit(0)).alias("n_items")
+    )
+
+
+@register(
+    "join_range_acctbal",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_matches
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    GROUP BY s_suppkey
+    """,
+    tags=("join", "range"),
+)
+def join_range_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join, bucketized.
+
+    A naive |s-c|<=10 theta join is a broadcast nested loop — O(n·m) and
+    dead at scale. The scale path: quantize the band width into buckets,
+    explode each left row into its ≤3 candidate buckets, equi-join on the
+    bucket id (hash shuffle, no NLJ), then apply the exact band filter.
+    DuckDB oracle states the declarative BETWEEN; results are identical.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bucket", F.floor(F.col("c_acctbal") / 10)
+    )
+    s_exp = s.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - 10) / 10),
+                F.floor((F.col("s_acctbal") + 10) / 10),
+            )
+        ),
+    )
+    return (
+        s_exp.join(c, "bucket")
+        .filter(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - 10)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + 10)
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@register(
+    "join_asof_purchase_click",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tus
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS tus
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus > c.tus
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest strictly-earlier click
+    by the same user.
+
+    Spark lacks a native ASOF JOIN; the scalable composition is
+    union-both-sides + one window pass (last non-null over an ordered,
+    user-partitioned frame) — a single shuffle on user_id, no range
+    explosion, no per-group pandas. (The DuckDB oracle uses its native
+    ASOF LEFT JOIN.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_us_div("ts").alias("tus"), "event_type"
+    )
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).withColumn(
+        "click_id", F.when(F.col("event_type") == "click", F.col("event_id"))
+    )
+    # Order clicks before purchases at identical timestamps? The oracle's
+    # `>` is strict, so a same-µs click must NOT match: sort clicks after
+    # purchases at equal tus (event_type: 'click' < 'purchase' — desc puts
+    # purchase first).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus", F.desc("event_type"), "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        tagged.withColumn("prev_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("prev_click").alias("click_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (absent in reference — §2.4 'Window functions')
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk-per-group"),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number (the scalable top-k-per-group:
+    one shuffle on the partition key, no per-key collect)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_qty",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+    FROM lineitem WHERE l_suppkey < 10
+    """,
+    tags=("window", "frame"),
+)
+def window_running_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame (decimal-exact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "window_lag_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order (NULL for first)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+    ), flagged AS (
+      SELECT user_id, tus,
+             CASE WHEN tus - LAG(tus) OVER w > 1800000000 OR
+                       LAG(tus) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sessions AS (
+      SELECT user_id, tus,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + running sum —
+    the batch twin of streaming session_window (see streaming/).
+
+    Scale: one shuffle on user_id; both window passes share the same
+    partitioning so Catalyst plans a single exchange.
+    """
+    gap_us = 1_800_000_000  # 30 min
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", ts_us_div("ts").alias("tus")
+    )
+    w = W.partitionBy("user_id").orderBy("tus")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("tus") - F.lag("tus").over(w) > gap_us)
+            | F.lag("tus").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("tus").alias("session_start_us"), F.count(F.lit(1)).alias("n_events")
+    ).select("user_id", "session_start_us", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (reference Q7/E7: key-sorted sink)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("topk",),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (per-partition heaps, merge k
+    at the driver) — not a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_brand_type",
+    oracle="SELECT DISTINCT p_brand, p_type FROM part",
+    tags=("distinct",),
+)
+def distinct_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hash agg without aggregates)."""
+    return load_table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.4: union implicit in reference; intersect/except absent)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # set semantics (EXCEPT DISTINCT), not exceptAll
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (string/math/array/JSON/date — §2.4 rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           REVERSE(p_name) AS name_rev,
+           TRIM(p_name) AS name_trim
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.reverse("p_name").alias("name_rev"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+@register(
+    "math_funcs_supplier",
+    oracle="""
+    SELECT s_suppkey,
+           ABS(s_acctbal) AS bal_abs,
+           CAST(FLOOR(s_acctbal) AS BIGINT) AS bal_floor,
+           CAST(CEIL(s_acctbal) AS BIGINT) AS bal_ceil,
+           SQRT(ABS(s_acctbal)) AS bal_sqrt,
+           s_acctbal * s_acctbal AS bal_sq,
+           CAST(SIGN(s_acctbal) AS DOUBLE) AS bal_sign,
+           GREATEST(s_acctbal, 0.0) AS bal_pos
+    FROM supplier
+    """,
+    tags=("functions", "math"),
+)
+def math_funcs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface. sqrt is IEEE-correctly-rounded (safe cross-engine);
+    transcendentals (ln/exp/pow) are deliberately absent from the oracle
+    set — libm vs StrictMath differ in the last bit."""
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.abs(bal).alias("bal_abs"),
+        F.floor(bal).cast("bigint").alias("bal_floor"),
+        F.ceil(bal).cast("bigint").alias("bal_ceil"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        (bal * bal).alias("bal_sq"),
+        F.signum(bal).cast("double").alias("bal_sign"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+    )
+
+
+@register(
+    "array_funcs_orders",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_partkey)) AS parts,
+           COUNT(*) AS n_parts,
+           MAX(l_partkey) AS max_part
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("functions", "array"),
+)
+def array_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + array functions (the reference's key→values shape,
+    MapleJuice.cpp:260-281, with real array types)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("l_partkey").alias("max_part"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT CAST(props->>'k' AS BIGINT) AS k, COUNT(*) AS n_events
+    FROM events GROUP BY k
+    """,
+    tags=("functions", "json"),
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "events_per_day",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY day, event_type
+    """,
+    tags=("functions", "datetime"),
+)
+def events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface over the ns-BIGINT ts column (µs conversion —
+    see functions/__init__.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.timestamp_micros(ts_us_div("ts")), "yyyy-MM-dd").alias("day")
+    return ev.groupBy(day, "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY month
+    """,
+    tags=("functions", "datetime"),
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))

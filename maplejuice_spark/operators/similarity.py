@@ -1,0 +1,281 @@
+"""Similarity search over the ``embeddings`` table (north-star set).
+
+Exact path: brute-force cosine top-k — the query set is broadcast against
+the corpus and ranked per query with a window; correct baseline at any
+corpus size as long as the *query* set is broadcast-small.
+
+Scale path: random-hyperplane LSH — 16 fixed hyperplanes give a 16-bit
+bucket signature; neighbor search equi-joins on the bucket instead of
+cross-joining the corpus. Hyperplanes are module-level constants
+(seeded RNG) so the Spark plan and the DuckDB oracle use the *same*
+literal planes.
+
+Determinism: all vector math is f64 with an explicit sequential left
+fold (see functions.dot) and the DuckDB oracle spells out the identical
+fold via list_reduce(list_prepend(0.0, ...)) — bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import cosine, dot, to_double_vec
+from maplejuice_spark.registry import register
+
+DIM = 64
+N_PLANES = 16
+TOP_K = 5
+QUERY_MOD = 100  # query set = vec_id % QUERY_MOD == 0
+
+_rng = random.Random(4242)
+PLANES: list[list[float]] = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _sql_fold_dot(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product matching functions.dot()."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIM}), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_plane_literal(j: int) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in PLANES[j]) + "]"
+
+
+def _plane_col(j: int):
+    return F.array(*[F.lit(float(v)) for v in PLANES[j]])
+
+
+_SQL_COS = (
+    f"{_sql_fold_dot('qv', 'cv')} / "
+    f"(sqrt({_sql_fold_dot('qv', 'qv')}) * sqrt({_sql_fold_dot('cv', 'cv')}))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.v AS qv, c.v AS cv
+      FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_SQL_COS} AS cos_sim FROM pairs
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the corpus, rank per query with a window.
+
+    Scale: cost is |queries| × |corpus| — the corpus is scanned once,
+    never shuffled; only (query_id, cos) pairs reach the top-k window,
+    and the per-query candidate stream is cut to k by the row_number
+    filter. For large query sets, switch to ann_lsh_buckets.
+    """
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        # single-file input -> one partition; spread the fold-heavy
+        # vector math across all cores (no-op on pre-partitioned lakes)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", to_double_vec("embedding").alias("v"))
+    )
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_SQL_BUCKET = " + ".join(
+    f"CASE WHEN {_sql_fold_dot('v', f'({_sql_plane_literal(j)})')} > 0 "
+    f"THEN {1 << j} ELSE 0 END"
+    for j in range(N_PLANES)
+)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM vecs
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 16 sign bits -> bucket id.
+
+    Scale: bucketing is a single narrow projection (no shuffle); the
+    bucket id then serves as an equi-join key for candidate generation —
+    P(same bit) = 1 - angle/pi, so same-bucket vectors are angularly
+    close. This is the standard scale-out replacement for brute force.
+    """
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        # single-file input -> one partition; spread the fold-heavy
+        # vector math across all cores (no-op on pre-partitioned lakes)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", to_double_vec("embedding").alias("v"))
+    )
+    bucket = sum(
+        [
+            F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(N_PLANES)
+        ],
+        start=F.lit(0),
+    )
+    return (
+        vecs.select("vec_id", bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+_N_COARSE = 4  # coarse bands for the banded (multi-probe-ish) search
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM vecs
+    ),
+    bands AS (
+      SELECT vec_id, v, band,
+             (bucket // CAST(power(2, band * 4) AS BIGINT)) % 16 AS bv
+      FROM bucketed, unnest(generate_series(0, {_N_COARSE - 1})) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.v AS qv, c.v AS cv
+      FROM bands q JOIN bands c
+        ON q.band = c.band AND q.bv = c.bv AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_SQL_COS} AS cos_sim FROM cand
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via banded LSH: the 16-bit signature splits into
+    4 bands of 4 bits; a candidate must share >= 1 band with the query
+    (multi-probe-style recall boost), then exact cosine ranks candidates.
+
+    Scale: candidate generation is a band equi-join (shuffle on 4-bit
+    band values + band id), never a cross join; exact scoring touches
+    only candidates.
+    """
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        # single-file input -> one partition; spread the fold-heavy
+        # vector math across all cores (no-op on pre-partitioned lakes)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", to_double_vec("embedding").alias("v"))
+    )
+    bucket = sum(
+        [
+            F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(N_PLANES)
+        ],
+        start=F.lit(0),
+    ).cast("bigint")
+    bucketed = vecs.select("vec_id", "v", bucket.alias("bucket"))
+    bands = bucketed.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("bucket"), 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .cast("bigint")
+                        .alias("bv"),
+                    )
+                    for b in range(_N_COARSE)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "v", "x.band", "x.bv")
+    q = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band",
+        "bv",
+    )
+    c = bands.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "bv"
+    )
+    cand = (
+        q.join(c, ["band", "bv"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

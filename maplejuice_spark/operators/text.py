@@ -1,0 +1,286 @@
+"""Text-analysis operators.
+
+Reference parity: word count (word_count_map.cpp:16-46 +
+word_count_reduce.cpp:19-35, tokenizer pinned to ``[A-Za-z0-9-]+``) and
+web-graph inversion / adjacency lists (linked_graph_map.cpp:14-17,
+linked_graph_reduce.cpp:10-13, grouping at MapleJuice.cpp:260-281).
+
+North-star additions (BASELINE.json): token statistics, BPE-ish piece
+counting, quality scoring, n-gram language-ID heuristic, and document
+fingerprinting — all with DuckDB oracles, all pure ``pyspark.sql.functions``
+(codegen'd; no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import TOKEN_CLASS, tokens
+from maplejuice_spark.registry import register
+
+# DuckDB-side twin of functions.tokens()
+_SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
+
+# Small stopword lists for the language-ID heuristic (votes, argmax).
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "it", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "un", "une", "dans"),
+    "es": ("el", "los", "las", "y", "es", "no", "un", "una", "en"),
+}
+
+
+@register(
+    "wordcount",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n FROM toks GROUP BY word
+    """,
+    tags=("reference-parity", "text"),
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship job: tokenize -> count per word.
+
+    Spark plan: generate (explode) -> partial hash agg -> exchange ->
+    final agg. The map-side partial IS the reference's hand-written
+    combiner (word_count_map.cpp:13-38); the exchange replaces the
+    master-side merge (MapleJuice.cpp:260-281) with a distributed
+    shuffle — the core 100 TB fix.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "graph_adjacency",
+    oracle="""
+    SELECT l_partkey AS dst,
+           list_sort(list(DISTINCT l_suppkey)) AS srcs,
+           COUNT(DISTINCT l_suppkey) AS n_src
+    FROM lineitem GROUP BY l_partkey
+    """,
+    tags=("reference-parity", "graph"),
+)
+def graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph inversion -> adjacency list (linked_graph_map.cpp:14-17:
+    emit (dst, src); grouping produces dst -> [src...]).
+
+    Edges here: lineitem (supplier -> part). The reference's value order
+    is nondeterministic (unordered_map, MapleJuice.cpp:260), so the
+    canonical form sorts the list — same normalization its tests needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").alias("dst")).agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("srcs"),
+        F.countDistinct("l_suppkey").alias("n_src"),
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS t FROM documents
+    )
+    SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT t) AS distinct_tokens
+    FROM toks
+    """,
+    tags=("text",),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics (single-row global aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(tokens("text")).alias("t")).agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("t").alias("distinct_tokens"),
+    )
+
+
+@register(
+    "token_count_docs",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+           LENGTH(text) AS n_chars_calc
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens plus a BPE-ish
+    piece segmentation (letter runs | digit runs | single punct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len({_SQL_TOKENS}) AS n_tokens,
+             LENGTH(text) AS n_chars_calc,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars_calc, n_punct,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_chars_calc AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS chars_per_token,
+           LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100) *
+             (1.0 - CAST(n_punct AS DOUBLE) / (n_chars_calc + 1)) AS quality_score
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, punctuation density,
+    length-normalized score — the standard pre-training filter facets.
+
+    Pure column math (deterministic int->double divisions; no round()).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("bigint")
+    n_chars_calc = F.length("text").cast("bigint")
+    n_punct = n_chars_calc - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9 ]", "")
+    ).cast("bigint")
+    t = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars_calc.alias("n_chars_calc"),
+        n_punct.alias("n_punct"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_calc",
+        "n_punct",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_chars_calc").cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+        (
+            F.least(F.lit(1.0), F.col("n_tokens").cast("double") / 100)
+            * (
+                F.lit(1.0)
+                - F.col("n_punct").cast("double") / (F.col("n_chars_calc") + 1)
+            )
+        ).alias("quality_score"),
+    )
+
+
+def _langid_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({_SQL_TOKENS}, t -> t IN ({words}))) AS {lang}_hits"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_langid_hits_sql("en")},
+             {_langid_hits_sql("de")},
+             {_langid_hits_sql("fr")},
+             {_langid_hits_sql("es")}
+      FROM documents
+    )
+    SELECT doc_id, lang AS label_lang,
+           en_hits, de_hits, fr_hits, es_hits,
+           CASE
+             WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0
+               THEN 'unknown'
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+               THEN 'en'
+             WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+             WHEN fr_hits >= es_hits THEN 'fr'
+             ELSE 'es'
+           END AS pred_lang
+    FROM h
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic class; deterministic
+    argmax with a fixed tie-break order en>de>fr>es)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    def _hits(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
+
+    hits = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
+    h = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[hits[lang].alias(f"{lang}_hits") for lang in ("en", "de", "fr", "es")],
+    )
+    en, de, fr, es = (F.col(f"{lang}_hits") for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "unknown")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return h.select(
+        "doc_id", "label_lang", "en_hits", "de_hits", "fr_hits", "es_hits",
+        pred.alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKENS},
+                 t -> CAST(ascii(substr(t, 1, 1)) + 7 * LENGTH(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over the token stream
+    (h = (h*31 + f(token)) mod 1e9+7) — order-sensitive content hash,
+    computed as a sequential array fold in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vals = F.transform(
+        tokens("text"),
+        lambda t: (F.ascii(F.substring(t, 1, 1)) + 7 * F.length(t)).cast("bigint"),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,64 @@
+"""SparkSession factory for the maplejuice_spark engine.
+
+The reference engine (TianhangSun/MapleJuice) hand-rolls membership
+(SWIM.cpp), replication (SDFS.cpp) and task scheduling
+(MapleJuice.cpp:395-416); on Spark all of that is the cluster manager's
+job, so the only engine-level bootstrap is a correctly-configured
+SparkSession.
+
+Scale notes (100 TB mindset):
+- AQE on: runtime partition coalescing + skew-join splitting replace any
+  hand-tuned partition counts at scale.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster AQE's coalescing makes the initial number mostly
+  irrelevant as long as it is high enough.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver testdata's
+  ``events.ts`` column is Parquet TIMESTAMP(NANOS), which Spark 4.x only
+  reads as a raw nanosecond BIGINT under this flag (verified against
+  /root/testdata/sf0.001/events.parquet). All engine code treats
+  ``events.ts`` as ns-since-epoch BIGINT and converts explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_CPUS"]
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "maplejuice_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Local mode is a single JVM; on a cluster the same configs apply and
+    partitioning/AQE decisions are what carry over.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

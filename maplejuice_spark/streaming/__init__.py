@@ -1,0 +1,177 @@
+"""Streaming extension over the ``events`` table (SURVEY.md §7 phase 5 —
+the reference is strictly batch; this is a north-star extension).
+
+Two layers:
+
+1. Registered *batch-twin* queries (tumbling/sliding window aggregation)
+   whose semantics are identical to the streaming versions and which the
+   DuckDB oracle can check — `F.window()` produces the same buckets in
+   batch and streaming mode.
+2. True Structured Streaming builders (`stream_events`,
+   `tumbling_counts_stream`, `dedup_stream`) used by tests/test_streaming.py
+   with an availableNow trigger + memory sink: file source -> watermark ->
+   windowed agg / dropDuplicatesWithinWatermark.
+
+events.ts is a nanosecond BIGINT (see session.py); streaming needs a real
+timestamp column for watermarks, so both layers convert via
+``timestamp_micros(ts div 1000)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maplejuice_spark.catalog import load_table, table_path
+from maplejuice_spark.functions import dsum, ts_us_div
+from maplejuice_spark.registry import register
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_time(df: DataFrame) -> DataFrame:
+    return df.withColumn("event_time", F.timestamp_micros(ts_us_div("ts")))
+
+
+# ---------------------------------------------------------------------------
+# Batch twins (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start_us, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming
+    query below; same F.window buckets).
+
+    Scale: window(ts) is a plain derived grouping column — partial aggs
+    + one shuffle, identical cost to any groupBy.
+    """
+    ev = _event_time(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH shifted AS (
+      SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+               AS window_start
+      FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT epoch_us(window_start) AS window_start_us, COUNT(*) AS n
+    FROM shifted GROUP BY window_start_us
+    """,
+    tags=("streaming", "window"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): each event lands in
+    exactly 2 windows. The DuckDB oracle expresses the same thing by
+    exploding each row into its window/slide = 2 buckets — which is also
+    precisely how Spark implements F.window with a slide."""
+    ev = _event_time(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming builders (exercised in tests)
+# ---------------------------------------------------------------------------
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned; file
+    sources replay deterministically with availableNow triggers)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(table_path(sf_dir, "events"))
+    )
+    return _event_time(raw)
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window counts with a watermark for late data.
+
+    Scale: state per (window, event_type) only; the watermark bounds
+    state retention and admits late events inside the horizon.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows (session_window = the streaming twin of
+    the batch sessionize_events query in operators/relational.py)."""
+    return (
+        events.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark keeps state bounded — the streaming
+    answer to exact dedup at unbounded input size)."""
+    return events.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drive a streaming DataFrame to completion synchronously (memory
+    sink + availableNow) — the local test harness for streaming ops.
+    ``mode``: "complete" for aggregations, "append" for dedup/stateless.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

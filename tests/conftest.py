@@ -1,0 +1,36 @@
+"""Shared pytest fixtures: one SparkSession per test session, DuckDB
+oracle connection per scale factor."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from maplejuice_spark.catalog import TESTDATA_TABLES, table_path
+from maplejuice_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="maplejuice_tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()

@@ -1,0 +1,80 @@
+"""DuckDB-oracle differential tests — the local twin of the driver's
+CORRECTNESS gate (SURVEY.md §5: differential testing against an
+independent engine, the modern form of the reference's
+MapleJuice-vs-Hadoop cross-check).
+
+Every registered query with an oracle runs on both engines at sf0.001;
+results are compared order-insensitively and EXACTLY (the engine is
+designed for bit-identical doubles via decimal-exact aggregation and
+sequential folds — see maplejuice_spark/functions/__init__.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from maplejuice_spark.registry import all_queries
+
+SPECS = all_queries()
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+def _norm_cell(v):
+    """Make a cell hashable/sortable and engine-agnostic."""
+    if v is None:
+        return ("<null>",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("<null>",)
+        if v.is_integer() and abs(v) < 2**53:
+            return ("i", int(v))  # unify int-valued floats (nullable ints)
+        return ("f", v)  # exact double compare — by design
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("arr", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.isoformat())
+    if hasattr(v, "isoformat"):
+        return ("ts", v.isoformat())
+    if isinstance(v, (int,)):
+        return ("i", int(v))
+    return ("s", str(v))
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    ]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(name, spark, sf_dir, oracle_con):
+    spec = SPECS[name]
+    got = spec.fn(spark, sf_dir).toPandas()
+    want = oracle_con.sql(spec.oracle).df()
+
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch spark={sorted(got.columns)} "
+        f"duckdb={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), (
+        f"{name}: row count spark={len(got)} duckdb={len(want)}"
+    )
+    g, w = _canon(got), _canon(want)
+    if g != w:
+        diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark, sf_dir):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0  # runs end-to-end with a stable schema
+    assert len(df.columns) > 0
