@@ -1,0 +1,89 @@
+"""Plan inspection helpers.
+
+The reference has no optimizer (SURVEY.md §4.1) — every optimization here
+comes from Catalyst, so the engine's scale guarantees are *plan shapes*:
+filters reaching the parquet scan, dims broadcast, partial aggregation
+before exchanges, no cartesian products. These helpers make those shapes
+assertable in tests and inspectable during tuning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted physical plan ('formatted' explain mode)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The simple executed plan string (post-AQE when already executed)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if at least one scan has a non-empty PushedFilters list."""
+    plan = physical_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace(
+        "PushedFilters: [],", "PushedFilters: []"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    out = []
+    for line in physical_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            out.append(line.removeprefix("PushedFilters:").strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema lines — what each parquet scan actually reads (column
+    pruning check)."""
+    return [
+        ln.strip().removeprefix("ReadSchema:").strip()
+        for ln in physical_plan(df).splitlines()
+        if ln.strip().startswith("ReadSchema:")
+    ]
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Partial-before-shuffle aggregation (the built-in map-side combine
+    the reference hand-wrote in word_count_map.cpp:13-38)."""
+    plan = physical_plan(df)
+    return "partial_" in plan or "HashAggregate" in plan and "Exchange" in plan
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "CartesianProduct" in plan
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange operators in the physical plan (pre-AQE)."""
+    return physical_plan(df).count("Exchange")
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of codegen'd stages in the FINAL (post-AQE) plan.
+
+    AQE plans report zero codegen subtrees until executed, so this
+    triggers execution (noop-equivalent count) first and then reads the
+    executed plan, where codegen'd operators carry ``*(id)`` markers.
+    """
+    df.collect()  # count() would execute a *different* query execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ids = {
+        line.split("*(")[1].split(")")[0]
+        for line in plan.splitlines()
+        if "*(" in line
+    }
+    return len(ids)

@@ -112,9 +112,12 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; file
     sources replay deterministically with availableNow triggers)."""
+    # The file source requires a directory; glob-filter to the events
+    # table inside the sf dir.
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return _event_time(raw)
 

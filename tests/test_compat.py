@@ -1,0 +1,120 @@
+"""MapleJuice-compat API tests: the reference's own two jobs with golden
+values (SURVEY.md §5 / FIXTURES.md F1-F2), plus scheduler semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from maplejuice_spark.compat.mapreduce import (
+    JobQueue,
+    graph_invert_juice,
+    graph_invert_maple,
+    group_keys,
+    maple,
+    read_lines,
+    run_mapreduce,
+    wordcount_juice,
+    wordcount_maple,
+    write_per_key,
+    write_sorted,
+)
+
+SAMPLE = "/root/reference/sample_input_for_wordcount.txt"
+
+
+@pytest.fixture(scope="module")
+def wc_rows(spark):
+    out = run_mapreduce(spark, SAMPLE, wordcount_maple, wordcount_juice)
+    return out.collect()
+
+
+def test_wordcount_golden(wc_rows):
+    """Golden values from the reference corpus with [A-Za-z0-9-]+
+    tokenization (FIXTURES.md F1): 27,747 tokens, 6,414 distinct,
+    the=1,652."""
+    assert len(wc_rows) == 6414
+    assert sum(int(r.value) for r in wc_rows) == 27747
+    counts = {r.key: int(r.value) for r in wc_rows}
+    assert counts["the"] == 1652
+
+
+def test_wordcount_sorted_by_key(wc_rows):
+    """E7: output lexicographically sorted by key (MapleJuice.cpp:351)."""
+    keys = [r.key for r in wc_rows]
+    assert keys == sorted(keys)
+
+
+def test_graph_inversion(spark, tmp_path):
+    """F2: edge reversal + adjacency grouping
+    (linked_graph_map.cpp:14-17, linked_graph_reduce.cpp:10-13)."""
+    edges = tmp_path / "edges.txt"
+    edges.write_text("a b\na c\nb c\nd c\n")
+    out = run_mapreduce(
+        spark, str(edges), graph_invert_maple, graph_invert_juice
+    ).collect()
+    adj = {r.key: set(r.value.split()) for r in out}
+    # value order nondeterministic in the reference (unordered_map) —
+    # compare as sets (FIXTURES.md F2)
+    assert adj == {"b": {"a"}, "c": {"a", "b", "d"}}
+    assert [r.key for r in out] == sorted(adj)
+
+
+def test_maple_contract_empty_partitions(spark):
+    """A maple fn over an empty partition must still produce the schema."""
+    lines = read_lines(spark, SAMPLE).repartition(64)  # > rows in some parts
+    kv = maple(lines, wordcount_maple)
+    assert kv.columns == ["key", "value"]
+    assert kv.count() > 0
+
+
+def test_group_keys_shape(spark):
+    lines = read_lines(spark, SAMPLE)
+    grouped = group_keys(maple(lines, wordcount_maple))
+    row = grouped.filter(grouped.key == "the").collect()[0]
+    assert sum(int(v) for v in row["values"]) == 1652
+
+
+def test_jobqueue_maple_before_juice():
+    """scheduler.cpp:92-107: all maple jobs drain before any juice job,
+    FIFO within each queue; nothing runs before start()."""
+    order: list[str] = []
+
+    def mk(name):
+        def run():
+            order.append(name)
+            return None
+
+        return run
+
+    q = JobQueue()
+    q.add_juice_job(mk("j1"), "j1")
+    q.add_maple_job(mk("m1"), "m1")
+    q.add_juice_job(mk("j2"), "j2")
+    q.add_maple_job(mk("m2"), "m2")
+    assert order == []  # gated on start (MapleJuice.cpp:482-484)
+    q.start()
+    assert order == ["m1", "m2", "j1", "j2"]
+
+
+def test_write_sorted_single_file(spark, tmp_path):
+    """E7 sink parity: 'key value' lines, key-sorted, single file."""
+    edges = tmp_path / "edges.txt"
+    edges.write_text("x y\nx z\na b\n")
+    out = run_mapreduce(spark, str(edges), graph_invert_maple, graph_invert_juice)
+    dest = tmp_path / "out"
+    write_sorted(out, str(dest), single_file=True)
+    parts = [p for p in dest.iterdir() if p.name.startswith("part-")]
+    assert len(parts) == 1
+    lines = parts[0].read_text().strip().split("\n")
+    assert [ln.split()[0] for ln in lines] == sorted(ln.split()[0] for ln in lines)
+
+
+def test_write_per_key(spark, tmp_path):
+    """E5 per-key export (MapleJuice.cpp:285-298): one dir per key."""
+    edges = tmp_path / "edges.txt"
+    edges.write_text("a b\na c\nd c\n")
+    kv = maple(read_lines(spark, str(edges)), graph_invert_maple)
+    dest = tmp_path / "perkey"
+    write_per_key(kv, str(dest))
+    keys = {p.name.split("=", 1)[1] for p in dest.iterdir() if p.name.startswith("key=")}
+    assert keys == {"b", "c"}

@@ -1,0 +1,40 @@
+"""Distributed-grep tests over real text files (logger.cpp parity:
+per-file counts + global total, FIXTURES.md F4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from maplejuice_spark.compat.grep import grep_files, grep_total
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    (d / "node1.log").write_text(
+        "<01-01-2024 10:00:00> JOIN node2\n"
+        "<01-01-2024 10:00:01> PING ok\n"
+        "<01-01-2024 10:00:02> JOIN node3\n"
+    )
+    (d / "node2.log").write_text(
+        "<01-01-2024 10:00:00> PING ok\n<01-01-2024 10:00:05> FAIL node3\n"
+    )
+    (d / "node3.log").write_text("<01-01-2024 10:00:00> JOIN node1\n")
+    return d
+
+
+def test_per_file_counts(spark, log_dir):
+    res = grep_files(spark, str(log_dir), "JOIN")
+    counts = {r["file"].rsplit("/", 1)[-1]: r["n_matches"] for r in res.collect()}
+    assert counts == {"node1.log": 2, "node3.log": 1}
+
+
+def test_global_total(spark, log_dir):
+    assert grep_total(spark, str(log_dir), "JOIN") == 3
+    assert grep_total(spark, str(log_dir), "PING|FAIL") == 3
+    assert grep_total(spark, str(log_dir), "NOMATCH") == 0
+
+
+def test_regex_patterns(spark, log_dir):
+    # anchored + char-class patterns (the reference passes raw grep args)
+    assert grep_total(spark, str(log_dir), r"^<01-01-2024 10:00:0[0-2]>") == 5

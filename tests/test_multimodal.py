@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: binary payload table + mapInPandas decode
+(stubbed kernel, real schema/batching/parallelism)."""
+
+from __future__ import annotations
+
+import pytest
+
+from maplejuice_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return mm.as_media_table(spark, sf_dir)
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    assert media.schema["meta"].dataType.typeName() == "struct"
+
+
+def test_meta_matches_payload(media):
+    rows = media.limit(5).collect()
+    for r in rows:
+        assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_decode_frames(media):
+    n_docs = media.count()
+    frames = mm.decode_frames(media, frames_per_item=2)
+    assert [f.name for f in frames.schema.fields] == [
+        "doc_id", "frame_idx", "width", "height", "feature",
+    ]
+    out = frames.collect()
+    assert len(out) == 2 * n_docs
+    for r in out[:10]:
+        assert r["width"] in range(256, 256 + 16 * 64 + 1)
+        assert len(r["feature"]) == 8
+
+
+def test_decode_deterministic(media):
+    a = sorted(map(tuple, mm.decode_frames(media).collect()))
+    b = sorted(map(tuple, mm.decode_frames(media).collect()))
+    assert a == b
+
+
+def test_stub_raises_on_empty():
+    with pytest.raises(NotImplementedError):
+        mm._stub_decode(b"")

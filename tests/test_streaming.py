@@ -1,0 +1,59 @@
+"""Structured Streaming tests: the streaming builders must produce the
+same results as their batch twins when driven to completion with an
+availableNow trigger (file source -> memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from maplejuice_spark import streaming as st
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return st.stream_events(spark, sf_dir)
+
+
+def test_stream_is_streaming(events_stream):
+    assert events_stream.isStreaming
+
+
+def test_tumbling_counts_matches_batch(spark, sf_dir, events_stream):
+    agg = st.tumbling_counts_stream(events_stream)
+    st.run_stream_to_memory(agg, "tumbling_out", mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = st.events_tumbling_1h(spark, sf_dir)
+    want = {
+        (r["window_start_us"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    got_us = {(int(k[0].timestamp() * 1_000_000), k[1]): v for k, v in got.items()}
+    assert got_us == want
+
+
+def test_session_windows_stream(spark, sf_dir, events_stream):
+    sess = st.sessionized_stream(events_stream)
+    st.run_stream_to_memory(sess, "session_out", mode="complete")
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_dedup_stream(spark, sf_dir, events_stream):
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    dedup = st.dedup_stream(events_stream)
+    st.run_stream_to_memory(dedup, "dedup_out", mode="append")
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0]["n"]
+    # event_id is unique in the fixture -> dedup keeps everything; the
+    # operator's job is bounded state, not row loss.
+    assert n == total
+
+
+def test_watermark_present(events_stream):
+    agg = st.tumbling_counts_stream(events_stream, watermark="30 minutes")
+    assert agg.isStreaming
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
