@@ -1,0 +1,262 @@
+"""SQL-API surface: the same engine through ``spark.sql``.
+
+Catalyst compiles SQL and DataFrame calls to the same plans; registering
+these as SQL proves the full declarative surface (HAVING, scalar and
+correlated subqueries, GROUPING SETS, UNPIVOT-style stack, exact
+percentiles) — all absent from the reference, whose only "query language"
+was the maple/juice CLI (MapleJuice.cpp:452-533).
+
+Each query re-registers the sf_dir tables as temp views (cheap, metadata
+only) and returns ``spark.sql(...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from maplejuice_spark.catalog import register_testdata
+from maplejuice_spark.registry import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    return spark.sql(query)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    tags=("sql", "tpch", "agg"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly-selective scan-filter-agg; every predicate
+    must reach the parquet scan (PushedFilters)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+        """,
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    """,
+    tags=("sql", "tpch", "having"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + group + HAVING on the aggregate."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_custkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+        """,
+    )
+
+
+@register(
+    "q17_scalar_subquery",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem)
+    GROUP BY p_brand
+    """,
+    tags=("sql", "subquery"),
+)
+def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery feeding a filter.
+
+    avg(double) is order-dependent in general, but a *comparison
+    threshold* only flips rows sitting within 1e-10 of it — l_quantity
+    values are integers, so the predicate is engine-stable.
+    """
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand, COUNT(*) AS n_small
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem)
+        GROUP BY p_brand
+        """,
+    )
+
+
+@register(
+    "correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+    )
+    """,
+    tags=("sql", "subquery", "semi"),
+)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst rewrites it to a left-semi join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+        )
+        """,
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("sql", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    )
+
+
+@register(
+    "union_all_events_orders",
+    oracle="""
+    SELECT 'order' AS kind, o_orderkey AS id FROM orders
+    UNION ALL
+    SELECT 'event' AS kind, event_id AS id FROM events
+    """,
+    tags=("sql", "setop"),
+)
+def union_all_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union — the reference's implicit directory-merge,
+    MapleJuice.cpp:217-224, without the dedup of UNION)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT 'order' AS kind, o_orderkey AS id FROM orders
+        UNION ALL
+        SELECT 'event' AS kind, event_id AS id FROM events
+        """,
+    )
+
+
+@register(
+    "unpivot_supplier",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val
+    FROM supplier
+    """,
+    tags=("sql", "unpivot"),
+)
+def unpivot_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide -> long without a shuffle."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, metric, val FROM (
+          SELECT s_suppkey,
+                 stack(2, 'acctbal', s_acctbal,
+                          'nationkey', CAST(s_nationkey AS DOUBLE)) AS (metric, val)
+          FROM supplier
+        )
+        """,
+    )
+
+
+@register(
+    "quantile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sql", "agg", "percentile"),
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated): Spark percentile() == DuckDB
+    quantile_cont for exact computation (both sort the group; the
+    interpolation arithmetic on the two neighbors is identical)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               percentile(l_quantity, 0.5) AS med_qty,
+               percentile(l_quantity, 0.9) AS p90_qty,
+               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the mergeable-sketch path
+    for distinct counting at 100 TB (exact distinct = full shuffle of the
+    key space; HLL = fixed 1.5 KB state per group). No oracle — sketch
+    estimates are engine-specific by construction."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               approx_count_distinct(l_partkey) AS approx_parts,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sql_queries,
         text,
     )
     from maplejuice_spark.compat import grep  # noqa: F401

@@ -1,0 +1,92 @@
+"""Sources & sinks: the engine's storage surface.
+
+The reference's storage layer is SDFS — put/get/delete/ls/store verbs
+over a flat replicated namespace (SDFS.cpp:129-373, CLI at
+MapleJuice.cpp:497-520). On Spark, durability/replication belong to the
+filesystem; what remains is (a) a catalog mapping names to paths and
+(b) format-aware readers/writers. ``Store`` packages both, preserving
+the reference's verb set with DataFrames as the currency.
+
+Formats: text (the reference's only format), csv, json, parquet
+(columnar default), binary files (multimodal ingest). Delta/Iceberg
+would slot in here but their jars are not in this image — left as
+explicit unsupported formats rather than silent fallbacks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from maplejuice_spark.catalog import Catalog
+
+READERS = ("text", "csv", "json", "parquet", "binaryFile")
+
+
+def read_any(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """Format-dispatching reader. Directories are native (the reference
+    needed a driver-side `cat dir/*` merge, MapleJuice.cpp:217-224)."""
+    if fmt not in READERS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READERS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_any(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options
+) -> None:
+    if fmt == "binaryFile":
+        raise ValueError("binaryFile is read-only; write payloads as parquet binary columns")
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+
+
+class Store:
+    """SDFS verb parity over a catalog + filesystem.
+
+    put/get are overwrite-put and read (S1/S2, SDFS.cpp:129-217);
+    delete broadcasts nothing — it drops the catalog entry and the path
+    (S3); ls/store list the namespace (S4/S5, file_list.cpp:82-93).
+    Replication (S6) is the storage layer's job and intentionally absent.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.catalog = Catalog()
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def put(self, name: str, df: DataFrame, fmt: str = "parquet") -> str:
+        """Overwrite-put (last-writer-wins, SDFS.cpp:133-135)."""
+        path = self._path(name)
+        write_any(df, path, fmt=fmt, mode="overwrite")
+        self.catalog.put(name, path)
+        return path
+
+    def get(self, name: str, fmt: str = "parquet", **options) -> DataFrame:
+        return read_any(self.spark, self.catalog.get(name), fmt=fmt, **options)
+
+    def delete(self, name: str) -> None:
+        path = self.catalog.entries.get(name)
+        self.catalog.delete(name)
+        if path and os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+    def ls(self) -> list[str]:
+        return self.catalog.ls()
+
+    def store(self) -> dict[str, str]:
+        return self.catalog.store()

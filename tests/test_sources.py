@@ -1,0 +1,76 @@
+"""Sources/sinks tests: format round-trips and SDFS-verb parity
+(put/get/delete/ls/store, SDFS.cpp:129-373 -> Store)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.sources import Store, read_any, write_any
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return Store(spark, str(tmp_path / "sdfs"))
+
+
+def test_put_get_roundtrip(store, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    store.put("nation_copy", nation)
+    got = store.get("nation_copy")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_put_overwrites(store, spark, sf_dir):
+    """S1: put of an existing name is last-writer-wins (SDFS.cpp:133-135)."""
+    nation = load_table(spark, sf_dir, "nation")
+    store.put("t", nation)
+    store.put("t", nation.limit(3))
+    assert store.get("t").count() == 3
+
+
+def test_delete_and_missing(store, spark, sf_dir):
+    store.put("t", load_table(spark, sf_dir, "region"))
+    store.delete("t")
+    with pytest.raises(KeyError, match="file not available"):
+        store.get("t")  # SDFS.cpp:216 'file not available' analog
+
+
+def test_ls_store_verbs(store, spark, sf_dir):
+    store.put("a", load_table(spark, sf_dir, "region"))
+    store.put("b", load_table(spark, sf_dir, "nation"))
+    assert store.ls() == ["a", "b"]
+    assert set(store.store()) == {"a", "b"}
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+def test_format_roundtrip(spark, tmp_path, sf_dir, fmt):
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / f"region_{fmt}")
+    write_any(region, path, fmt=fmt, **({"header": True} if fmt == "csv" else {}))
+    opts = {"header": True, "inferSchema": True} if fmt == "csv" else {}
+    got = read_any(spark, path, fmt=fmt, **opts)
+    assert got.count() == region.count()
+    assert set(got.columns) == set(region.columns)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    df = spark.range(5).select(F.concat(F.lit("line-"), F.col("id")).alias("value"))
+    path = str(tmp_path / "txt")
+    write_any(df, path, fmt="text")
+    got = read_any(spark, path, fmt="text")
+    assert sorted(r.value for r in got.collect()) == [f"line-{i}" for i in range(5)]
+
+
+def test_binary_file_reader(spark, tmp_path):
+    (tmp_path / "blob1.bin").write_bytes(b"\x00\x01payload")
+    got = read_any(spark, str(tmp_path), fmt="binaryFile", pathGlobFilter="*.bin")
+    row = got.collect()[0]
+    assert bytes(row["content"]) == b"\x00\x01payload"
+    assert row["length"] == 9
+
+
+def test_unsupported_format(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_any(spark, "/tmp/x", fmt="delta")
