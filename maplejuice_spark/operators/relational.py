@@ -821,3 +821,38 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
     ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+
+
+@register(
+    "map_funcs_part",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey, MAP(['brand','type'], [p_brand, p_type]) AS pm FROM part
+    )
+    SELECT p_partkey,
+           map_keys(pm) AS ks,
+           map_values(pm) AS vs,
+           pm['brand'][1] AS brand_val,
+           CAST(cardinality(pm) AS BIGINT) AS n_entries
+    FROM m
+    """,
+    tags=("functions", "map"),
+)
+def map_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build, keys/values, point lookup, cardinality.
+
+    (DuckDB's ``m[k]`` yields a list; ``[1]`` unwraps to match Spark's
+    scalar extraction.)
+    """
+    p = load_table(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return p.select(
+        "p_partkey",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        m.getItem("brand").alias("brand_val"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_entries"),
+    )
