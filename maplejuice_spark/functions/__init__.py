@@ -97,3 +97,17 @@ def to_double_vec(c: Column | str) -> Column:
     """array<float> -> array<double> so all vector math runs in f64."""
     c = F.col(c) if isinstance(c, str) else c
     return F.transform(c, lambda x: x.cast("double"))
+
+
+def materialize(df):
+    """Materialize a small/medium intermediate that the plan reuses
+    several times (self-joins, multi-branch pipelines).
+
+    Spark re-executes a shared subtree once per branch unless the
+    exchanges happen to be identical; localCheckpoint truncates lineage
+    and stores the partitions on the executors, so an N-way self-join
+    computes the subtree once. Use on *narrow* intermediates
+    (signatures, bucket ids) — never on raw 100 TB tables; on a real
+    cluster a persisted table / `.persist(DISK_ONLY)` plays this role.
+    """
+    return df.localCheckpoint(eager=True)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import TOKEN_CLASS, tokens
+from maplejuice_spark.functions import TOKEN_CLASS, materialize, tokens
 from maplejuice_spark.registry import register
 
 _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
@@ -179,7 +179,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     band are ever paired. Verification joins per-doc *distinct shingle*
     sets only for candidate pairs.
     """
-    sh = _shingle_rows(spark, sf_dir)
+    sh = materialize(_shingle_rows(spark, sf_dir))  # reused 3x below
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(
@@ -278,7 +278,7 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding prefilter — correct for moderate collision rates; at
     100 TB the minhash_candidates path bounds the pair space first.
     """
-    dsh = _shingle_rows(spark, sf_dir).distinct()
+    dsh = materialize(_shingle_rows(spark, sf_dir).distinct())  # reused 3x
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = dsh.alias("x")
     y = dsh.alias("y")
@@ -390,7 +390,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join has full recall with no O(n²) stage. The DuckDB oracle
     states the same result as a plain pairwise comparison.
     """
-    sim = simhash_docs(spark, sf_dir)
+    sim = materialize(simhash_docs(spark, sf_dir))  # self-joined below
     bands = sim.select(
         "doc_id",
         "simhash",

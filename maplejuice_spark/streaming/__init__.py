@@ -178,3 +178,50 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> No
         .start()
     )
     q.awaitTermination()
+
+
+_STREAM_RUN_SEQ = [0]
+
+
+@register(
+    "stream_tumbling_1h",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start_us, event_type
+    """,
+    tags=("streaming", "window", "stateful"),
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution registered as a query: file
+    source -> watermark -> tumbling window agg -> memory sink, driven to
+    completion with an availableNow trigger, result returned as a batch
+    DataFrame.
+
+    With a single availableNow replay nothing is late, so the result
+    equals the batch twin (events_tumbling_1h) — which is exactly the
+    semantics Structured Streaming promises (incremental execution of
+    the same plan). Decimal-exact sum keeps the oracle bit-identical.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_tumbling_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(agg, name, mode="complete")
+    return spark.table(name)
