@@ -428,3 +428,107 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+JACCARD_THRESHOLD = 0.12
+
+
+def _cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional near-dup edges from the MinHash-LSH pipeline."""
+    pairs = minhash_candidates(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    fwd = pairs.select(F.col("d1").alias("s"), F.col("d2").alias("t"))
+    rev = pairs.select(F.col("d2").alias("s"), F.col("d1").alias("t"))
+    return fwd.union(rev)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_BAND_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+                   AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_common
+      FROM cand c JOIN dsh x ON x.doc_id = c.d1
+                  JOIN dsh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+      GROUP BY c.d1, c.d2
+    ),
+    pairs AS (
+      SELECT i.d1, i.d2
+      FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+                   JOIN sizes s2 ON s2.doc_id = i.d2
+      WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    )
+    SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH edge
+    set (jaccard >= 0.12), cluster id = min doc_id in the component.
+
+    Spark path: iterative min-label propagation — a driver-controlled
+    loop of joins, each iteration localCheckpoint'd to truncate lineage
+    (the standard Pregel-style pattern; converges in <= diameter
+    rounds). This is the canonical non-SQL iterative algorithm; the
+    DuckDB oracle states the same fixpoint as a recursive CTE.
+
+    Scale: each iteration is one equi-join + one agg on (node, label)
+    pairs — no transitive-closure materialization (the oracle's
+    reach-set IS quadratic; the label-propagation loop is not).
+    """
+    edges = materialize(_cluster_edges(spark, sf_dir))
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = materialize(labels)
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.t == labels.node)
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = materialize(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

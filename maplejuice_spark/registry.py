@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        skew,
         sql_queries,
         text,
     )

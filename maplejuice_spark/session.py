@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Split files at finer granularity so modest local files still
+        # scan in parallel (openCost only affects small-file packing —
+        # harmless on a real cluster, 3x scan parallelism here).
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
