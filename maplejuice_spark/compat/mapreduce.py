@@ -221,3 +221,17 @@ def graph_invert_maple(lines: Iterator[str]) -> Iterator[tuple[str, str]]:
 def graph_invert_juice(key: str, values: list[str]) -> Iterator[tuple[str, str]]:
     """linked_graph_reduce.cpp:10-13: identity — grouping already done."""
     yield key, " ".join(values)
+
+
+def write_sorted_scalable(df: DataFrame, dest: str, n_parts: int = 32) -> None:
+    """E7 sorted sink at scale: range-partition by key, sort within
+    partitions — output files are globally ordered (file i's keys all
+    precede file i+1's), no single-file bottleneck. This is how the
+    reference's key-sorted output survives 100 TB."""
+    (
+        df.repartitionByRange(n_parts, "key")
+        .sortWithinPartitions("key")
+        .select(F.concat_ws(" ", F.col("key"), F.col("value")).alias("value"))
+        .write.mode("overwrite")
+        .text(dest)
+    )

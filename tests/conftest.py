@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import tempfile
+
 import duckdb
 import pytest
 
@@ -16,7 +18,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="maplejuice_tests", cpus=8, shuffle_partitions=8)
+    wh = tempfile.mkdtemp(prefix="mj_warehouse_")
+    s = get_spark(
+        app_name="maplejuice_tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

@@ -1,0 +1,70 @@
+"""Bucketing: pre-shuffled tables make later equi-joins shuffle-free —
+the 100 TB answer to repeated joins on the same key (pyspark guide:
+bucketBy -> co-located join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # saveAsTable needs a warehouse; session default works (spark-warehouse)
+    return spark
+
+
+def test_bucketed_join_no_shuffle(warehouse, spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable("b_orders"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    # at sf0.001 both sides fit the broadcast threshold; force the
+    # shuffle-join path the bucket layout is designed to optimize
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        # the join itself must need no Exchange (bucket layout pre-shuffled)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        got = sorted(map(tuple, joined.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # and results are right
+    want = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got == sorted(map(tuple, want.collect()))
+
+
+def test_sorted_scalable_sink(spark, tmp_path):
+    from maplejuice_spark.compat.mapreduce import write_sorted_scalable
+
+    df = spark.range(1000).select(
+        F.format_string("k%04d", (F.col("id") * 7919) % 1000).alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    dest = tmp_path / "sorted"
+    write_sorted_scalable(df, str(dest), n_parts=4)
+    parts = sorted(p for p in dest.iterdir() if p.name.startswith("part-"))
+    all_keys = []
+    for p in parts:
+        keys = [ln.split()[0] for ln in p.read_text().splitlines()]
+        assert keys == sorted(keys)  # sorted within file
+        all_keys.extend(keys)
+    assert all_keys == sorted(all_keys)  # globally sorted across files
