@@ -5,8 +5,9 @@ behavior is distinct-key grouping, MapleJuice.cpp:260-281).
 Cross-engine determinism: every hash in this module is md5-derived
 (identical hex in Spark and DuckDB) — never xxhash64/hash(), which are
 engine-specific. MinHash uses the *string-min* trick: the j-th signature
-is ``min(md5(j || ':' || shingle))`` — min over uniformly-distributed hex
-strings is a valid minwise hash and is SQL-expressible in both engines.
+is ``min(substr(md5(shingle), 4j+1, 4))`` — min over uniformly-distributed
+hex slices is a valid minwise hash, costs ONE md5 per shingle for all 8
+signatures, and is SQL-expressible in both engines.
 
 Scale design (100 TB):
 - Exact dedup: hash-groupBy on a 128-bit content digest — one shuffle on
@@ -82,9 +83,19 @@ _SQL_SHINGLES = f"""
       i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i + 1] || ' ' || {_SQL_TOKENS}[i + 2])
 """
 
+# one md5 per shingle; the j-th signature is the min over the j-th 4-hex
+# (16-bit) slice of the digest — 8 hashes for the price of one, and the
+# identical expression runs in DuckDB
 _SIG_COLS = ", ".join(
-    f"MIN(md5('{j}:' || shingle)) AS sig{j}" for j in range(N_MINHASH)
+    f"MIN(substr(md5(shingle), {4 * j + 1}, 4)) AS sig{j}" for j in range(N_MINHASH)
 )
+
+
+def _sig_aggs():
+    h = F.md5(F.col("shingle").cast("binary"))
+    return [
+        F.min(F.substring(h, 4 * j + 1, 4)).alias(f"sig{j}") for j in range(N_MINHASH)
+    ]
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,18 +130,11 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (8 string-min hashes over word-
-    trigram shingles). One explode + one hash-agg; signature is O(1) per
-    doc regardless of document size."""
+    """Per-document MinHash signature (8 16-bit slice-min hashes over
+    word-trigram shingles, one md5 per shingle). One explode + one
+    hash-agg; signature is O(1) per doc regardless of document size."""
     sh = _shingle_rows(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(
-                f"sig{j}"
-            )
-            for j in range(N_MINHASH)
-        ]
-    )
+    return sh.groupBy("doc_id").agg(*_sig_aggs())
 
 
 N_BANDS = N_MINHASH // 2  # 4 bands x 2 rows: P(candidate) = jaccard^2
@@ -180,14 +184,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets only for candidate pairs.
     """
     sh = materialize(_shingle_rows(spark, sf_dir))  # reused 3x below
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(
-                f"sig{j}"
-            )
-            for j in range(N_MINHASH)
-        ]
-    )
+    sigs = sh.groupBy("doc_id").agg(*_sig_aggs())
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -309,7 +306,7 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32
 
 _SQL_BITSUMS = ", ".join(
     f"SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
@@ -334,7 +331,7 @@ _SQL_SIMHASH = " + ".join(
     tags=("dedup", "simhash"),
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document.
+    """32-bit SimHash per document.
 
     Bit i of a token's hash = high bit of hex digit i of md5(token)
     (hex digit >= '8'), identical in both engines; per-doc bit i is the
@@ -385,10 +382,14 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= 3, found via
-    banded equi-join: 16 bits -> 4 bands of 4 bits; any pair within
+    banded equi-join: 32 bits -> 4 bands of 8 bits; any pair within
     hamming 3 shares at least one identical band (pigeonhole), so the
     band join has full recall with no O(n²) stage. The DuckDB oracle
     states the same result as a plain pairwise comparison.
+
+    8-bit (not 4-bit) bands matter at scale: band selectivity is what
+    bounds the candidate-pair count, and 256 values/band keeps bucket
+    sizes ~n/256 instead of ~n/16.
     """
     sim = materialize(simhash_docs(spark, sf_dir))  # self-joined below
     bands = sim.select(
@@ -399,8 +400,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), 4 * b)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
                         .alias("v"),
                     )
                     for b in range(4)
