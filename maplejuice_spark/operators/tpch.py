@@ -1,0 +1,309 @@
+"""TPC-H query shapes adapted to the testdata's column subset.
+
+The reference has NO joins, subqueries, or conditional aggregation
+anywhere (SURVEY.md §2.4: joins "Absent", expressible only by hand inside
+a maple/juice exe, MapleJuice.cpp:63-67); this module demonstrates that
+the full declarative analytics surface comes free once the engine is
+Spark. Queries follow the official TPC-H shapes (Q2,Q4,Q7..Q10,Q12..Q16,
+Q19,Q20,Q22) but substitute columns the synthetic tables lack (no
+partsupp, no l_shipmode/l_receiptdate, no c_phone): each keeps the
+*operator pattern* — multi-way join order, correlated/scalar subqueries,
+EXISTS/NOT EXISTS, IN/NOT IN, disjunctive predicate pushdown, conditional
+aggregation, histogram-of-aggregates, top-k with tiebreak.
+
+Cross-engine determinism: every double SUM goes through
+``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`` (decimal accumulation
+is associative — bit-identical regardless of partitioning); ratios divide
+the two already-rounded doubles. LIMIT queries carry full tiebreakers.
+
+The exact same SQL text runs on Spark and DuckDB — the oracle IS the
+query, so any dialect drift fails loudly in tests/test_oracle.py.
+
+Scale notes (100 TB): all small-dim joins (region/nation/supplier/part)
+are broadcast by Catalyst/AQE automatically; the big fact-fact join
+(orders x lineitem) shuffles on the join key only after every pushable
+predicate has reached the parquet scan. Correlated EXISTS/IN rewrite to
+semi joins; NOT EXISTS/NOT IN to anti joins — never to per-row
+subquery execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from maplejuice_spark.catalog import register_testdata
+from maplejuice_spark.registry import register
+
+_DOC = {}
+
+
+def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str) -> None:
+    """Register one dual-engine SQL query (same text on both sides)."""
+
+    def fn(spark: SparkSession, sf_dir: str, _q: str = sql) -> DataFrame:
+        register_testdata(spark, sf_dir)
+        return spark.sql(_q)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    register(name, oracle=sql, tags=tags)(fn)
+    _DOC[name] = doc
+
+
+_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+_sql_query(
+    "q2_max_acctbal_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name, n_name, s.s_acctbal
+    FROM supplier s JOIN nation ON s.s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    ("sql", "tpch", "subquery-correlated"),
+    "Q2 shape: correlated scalar-MAX subquery over a 3-way dim join.",
+)
+
+_sql_query(
+    "q4_priority_late_ship",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    ("sql", "tpch", "exists"),
+    "Q4 shape: EXISTS rewritten to a left-semi join (l_shipdate proxies "
+    "l_commitdate, absent from the fixture).",
+)
+
+_sql_query(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {rev} AS revenue
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """.format(rev=_REV),
+    ("sql", "tpch", "join-6way"),
+    "Q7: 6-way join with symmetric nation-pair disjunction + year rollup.",
+)
+
+_sql_query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+             n1.n_name AS nation
+      FROM lineitem JOIN part     ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    ("sql", "tpch", "join-8way", "conditional-agg"),
+    "Q8: 8-way join; market share = conditional decimal sum / total.",
+)
+
+_sql_query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - p_retailprice * 0.01 * l_quantity AS DECIMAL(18,6)) AS amount
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN part     ON p_partkey = l_partkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    ("sql", "tpch", "join-5way"),
+    "Q9: profit rollup by nation/year (p_retailprice stands in for "
+    "ps_supplycost — no partsupp table in the fixture).",
+)
+
+_sql_query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           {rev} AS revenue
+    FROM customer JOIN orders  ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation  ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """.format(rev=_REV),
+    ("sql", "tpch", "topk"),
+    "Q10: top-20 customers by returned-item revenue, deterministic "
+    "tiebreak on c_custkey.",
+)
+
+_sql_query(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    ("sql", "tpch", "conditional-agg"),
+    "Q12 shape: conditional counts (l_linestatus proxies l_shipmode).",
+)
+
+_sql_query(
+    "q13_order_count_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    ("sql", "tpch", "outer-join", "histogram"),
+    "Q13: histogram of per-customer order counts over a left outer join "
+    "(customers with zero orders count as c_count = 0).",
+)
+
+_sql_query(
+    "q14_promo_revenue",
+    """
+    SELECT 100.0
+           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    ("sql", "tpch", "conditional-agg"),
+    "Q14: promo revenue percentage — two decimal sums, one double ratio.",
+)
+
+_sql_query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {rev} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """.format(rev=_REV),
+    ("sql", "tpch", "cte", "subquery-scalar"),
+    "Q15: CTE referenced twice (join input + scalar MAX subquery).",
+)
+
+_sql_query(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    ("sql", "tpch", "not-in", "count-distinct"),
+    "Q16 shape: NOT IN anti-join + grouped COUNT DISTINCT "
+    "(negative-balance suppliers stand in for the complaints filter).",
+)
+
+_sql_query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT {rev} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """.format(rev=_REV),
+    ("sql", "tpch", "disjunctive-predicate"),
+    "Q19: three-way disjunctive predicate spanning both join sides — "
+    "Catalyst extracts the common p_size/l_quantity bounds for pushdown.",
+)
+
+_sql_query(
+    "q20_promo_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 100
+    )
+    """,
+    ("sql", "tpch", "in-subquery", "having"),
+    "Q20 shape: IN over a grouped+HAVING subquery -> semi join.",
+)
+
+_sql_query(
+    "q22_dormant_rich_customers",
+    """
+    SELECT c_custkey % 5 AS cgroup, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate <  TIMESTAMP '1997-01-01')
+    GROUP BY c_custkey % 5
+    """,
+    ("sql", "tpch", "not-exists", "subquery-scalar"),
+    "Q22 shape: above-average balance + NOT EXISTS anti-join (dormant in "
+    "1996); custkey mod 5 stands in for the phone country code.",
+)

@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         skew,
         sql_queries,
         text,
+        tpch,
     )
     from maplejuice_spark.compat import grep  # noqa: F401
     from maplejuice_spark import streaming  # noqa: F401
