@@ -279,3 +279,192 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+N_CENTROIDS = 8  # IVF coarse quantizer size (fixed "trained" centroids)
+N_PROBE = 2  # query-side lists probed
+
+_SQL_QCOS = (
+    f"{_sql_fold_dot('v', 'cv')} / "
+    f"(sqrt({_sql_fold_dot('v', 'v')}) * sqrt({_sql_fold_dot('cv', 'cv')}))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rnk
+      FROM (
+        SELECT x.vec_id, x.v, c.cid, {_SQL_QCOS} AS cos_c
+        FROM vecs x CROSS JOIN cent c
+      )
+    ),
+    lists AS (SELECT vec_id, v, cid FROM assign WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id, v, cid FROM assign
+      WHERE rnk <= {N_PROBE} AND vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
+             q.v AS qv, l.v AS cv
+      FROM probes q JOIN lists l ON l.cid = q.cid AND l.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_SQL_COS} AS cos_sim FROM cand
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a fixed coarse quantizer (here the first
+    N_CENTROIDS vectors — a real deployment k-means-trains these offline)
+    partitions the corpus into inverted lists by nearest centroid; a
+    query probes only its N_PROBE nearest lists and scores exact cosine
+    inside them.
+
+    Scale: centroids are broadcast (tiny); list assignment is a narrow
+    map; the search join is an equi-join on cid — the corpus is never
+    cross-joined, and list size ~ n/N_CENTROIDS bounds per-query work.
+    """
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", to_double_vec("embedding").alias("v"))
+    )
+    cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    from pyspark.sql import Window as W
+
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cid")
+    assign = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", cosine("v", "cv").alias("cos_c"))
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    lists = assign.filter(F.col("rnk") == 1).select("vec_id", "v", "cid")
+    probes = assign.filter(
+        (F.col("rnk") <= N_PROBE) & (F.col("vec_id") % QUERY_MOD == 0)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qv",
+            F.col("v").alias("cv"),
+        )
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+COS_DUP_THRESHOLD = 0.4  # the fixture's vectors are i.i.d. — max cos ~0.5
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM vecs
+    ),
+    bands AS (
+      SELECT vec_id, v, band,
+             (bucket // CAST(power(2, band * 4) AS BIGINT)) % 16 AS bv
+      FROM bucketed, unnest(generate_series(0, {_N_COARSE - 1})) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, a.v AS qv, b.v AS cv
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )
+    SELECT v1, v2, cos_sim FROM (
+      SELECT v1, v2, {_SQL_COS} AS cos_sim FROM cand
+    ) WHERE cos_sim >= {COS_DUP_THRESHOLD}
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded random-hyperplane
+    LSH proposes candidates (same 4-bit band in any of 4 bands), exact
+    cosine >= COS_DUP_THRESHOLD confirms. The oracle states the identical
+    candidate generation, so both engines see the same (recall-bounded)
+    pair set — the same contract as minhash_candidates.
+
+    Scale: candidates come from a band equi-join, never an all-pairs
+    cross join; the exact cosine runs only on colliding pairs.
+    """
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", to_double_vec("embedding").alias("v"))
+    )
+    bucket = sum(
+        [
+            F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(N_PLANES)
+        ],
+        start=F.lit(0),
+    ).cast("bigint")
+    bands = vecs.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(bucket, 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .cast("bigint")
+                        .alias("bv"),
+                    )
+                    for b in range(_N_COARSE)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "v", "x.band", "x.bv")
+    a = bands.select(
+        F.col("vec_id").alias("v1"), F.col("v").alias("qv"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("v2"), F.col("v").alias("cv"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "qv", "cv")
+        .distinct()
+    )
+    return (
+        cand.select("v1", "v2", cosine("qv", "cv").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COS_DUP_THRESHOLD)
+    )
