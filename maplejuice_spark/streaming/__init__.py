@@ -225,3 +225,94 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"mj_stream_tumbling_{_STREAM_RUN_SEQ[0]}"
     run_stream_to_memory(agg, name, mode="complete")
     return spark.table(name)
+
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("first_ts_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+_USER_STATE_SCHEMA = "n LONG, total DECIMAL(18,6), first_us LONG, last_us LONG"
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Custom stateful per-user accumulator (count / decimal-exact sum /
+    first / last event time). State survives across micro-batches; a
+    single availableNow replay therefore equals the batch GROUP BY."""
+    import decimal
+
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, total, first_us, last_us = state.get
+    else:
+        n, total, first_us, last_us = 0, decimal.Decimal(0), None, None
+    total = decimal.Decimal(total)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        # value_dec is cast to decimal(18,6) ENGINE-side (same cast the
+        # oracle does) and arrives as exact decimal.Decimal objects —
+        # associative accumulation, bit-identical to the oracle
+        total += sum(pdf["value_dec"], decimal.Decimal(0))
+        lo, hi = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, total, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [float(total)],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+@register(
+    "stream_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MIN(epoch_us(ts)) AS first_ts_us,
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, decimal sum, first/last event time) — the
+    engine's extension point for stateful logic Spark's built-in
+    aggregates can't express (the streaming analog of the reference's
+    pluggable juice exe, MapleJuice.cpp:83-108).
+
+    Scale: state is O(1) per user and partitioned by the grouping key;
+    Arrow batches stream through the Python worker per micro-batch.
+    A single availableNow replay makes the final per-user state equal
+    the batch GROUP BY, which the oracle states in SQL.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .withColumn("ts_us", ts_us_div("ts"))
+        .withColumn("value_dec", F.col("value").cast("decimal(18,6)"))
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_user_stats_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(out, name, mode="update")
+    return spark.table(name)
