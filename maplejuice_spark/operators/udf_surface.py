@@ -1,0 +1,129 @@
+"""User-function surface beyond the compat maple/juice layer.
+
+The reference's ENTIRE query surface is pluggable user executables
+(SURVEY.md §2.4 UDF row: any exe is a map UDTF or reduce UDAF,
+MapleJuice.cpp:63,92). compat/mapreduce.py covers the per-partition
+(mapInPandas) and per-group (applyInPandas) contracts; this module
+completes the surface with the remaining two Spark extension points:
+
+- a **Python UDTF** (table function, one row in -> many rows out with
+  its own schema) — the closest modern analog of a maple exe;
+- a **grouped-agg pandas_udf** (vectorized UDAF) — the analog of a
+  juice exe for algebraic aggregates.
+
+Both are demonstration-grade on purpose: the hot paths elsewhere use
+built-in JVM expressions (UDFs are the slow path); these exist so a
+reference user porting a custom exe has a typed, tested template for
+each contract. Arithmetic stays in int64 so results are bit-identical
+to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from maplejuice_spark.catalog import register_testdata
+from maplejuice_spark.functions import TOKEN_CLASS
+from maplejuice_spark.registry import register
+
+
+class TokenExplodeUDTF:
+    """Maple-exe analog as a Python UDTF: one text value in, one row per
+    token out, with the token's 1-based position (word_count_map.cpp:16-38
+    emitted per-token lines the same way; the engine-side schema and
+    lateral join replace the keyset-file plumbing).
+
+    Wrapped with ``udtf(returnType=...)`` lazily inside the query —
+    return-type DDL parsing needs an active SparkSession.
+    """
+
+    def eval(self, text: str):  # noqa: D102 — contract fixed by Spark
+        import re
+
+        for i, w in enumerate(re.findall(r"[A-Za-z0-9-]+", text or ""), 1):
+            yield (w, i)
+
+
+@register(
+    "udtf_token_positions",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '{TOKEN_CLASS}') AS toks
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    e AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t
+    )
+    SELECT doc_id, toks[pos] AS word, pos FROM e
+    """,
+    tags=("udf-surface", "udtf"),
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: documents -> (doc_id, word, pos).
+
+    Scale note: Python UDTFs are row-at-a-time (the slow path) — this
+    registers the *contract*; the equivalent hot-path plan is the
+    explode() in text.wordcount. The doc_id filter keeps the demo's
+    Python row volume bounded.
+    """
+    register_testdata(spark, sf_dir)
+    spark.udtf.register("mj_token_explode", udtf(TokenExplodeUDTF, returnType="word string, pos int"))
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos
+        FROM documents d, LATERAL mj_token_explode(d.text) t
+        WHERE d.doc_id % 50 = 0
+        """
+    )
+
+
+def _qty_udafs():
+    """Vectorized UDAFs (juice-exe analog, word_count_reduce.cpp:19-27's
+    per-key sum): Arrow hands the whole group's column as one Series.
+    Built lazily — pandas_udf parses its return type against the active
+    session. Spark disallows mixing pandas UDAFs with built-in
+    aggregates in one agg(), so the row count is a pandas UDAF too."""
+
+    @pandas_udf("long")
+    def qty_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def row_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    return qty_sum, row_count
+
+
+@register(
+    "pandas_udaf_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("udf-surface", "pandas-udf", "udaf"),
+)
+def pandas_udaf_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf: per-(flag,status) quantity totals.
+
+    The cast to long happens ENGINE-side (l_quantity is integer-valued),
+    so the Python sum is exact int64 arithmetic — bit-identical to the
+    oracle. Scale: Arrow-batched transfer, one Python call per group per
+    partition with partial aggregation unavailable for UDAFs — which is
+    exactly why the hot paths use built-in aggregates instead.
+    """
+    register_testdata(spark, sf_dir)
+    li = spark.table("lineitem").withColumn(
+        "qty_int", F.col("l_quantity").cast("long")
+    )
+    qty_sum, row_count = _qty_udafs()
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_sum("qty_int").alias("total_qty"),
+        row_count("qty_int").alias("n_rows"),
+    )

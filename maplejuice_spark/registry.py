@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sql_queries,
         text,
         tpch,
+        udf_surface,
     )
     from maplejuice_spark.compat import grep  # noqa: F401
     from maplejuice_spark import streaming  # noqa: F401
