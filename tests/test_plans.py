@@ -71,3 +71,46 @@ def test_minhash_no_cartesian(spark, sf_dir):
 def test_wordcount_codegen(spark, sf_dir):
     """The tokenize->explode->agg pipeline stays in whole-stage codegen."""
     assert plans.whole_stage_codegen_spans(wordcount(spark, sf_dir)) >= 1
+
+
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    """The 8-way join must broadcast every dim side — one shuffle-free
+    probe pipeline over lineitem, no SortMergeJoin chains."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["q8_market_share"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 7, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert not plans.has_cartesian(df)
+
+
+def test_q19_disjunction_pushdown(spark, sf_dir):
+    """The 3-way OR must still push scan-level filters (Catalyst extracts
+    the common l_quantity/p_size bounds from the disjunction)."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["q19_disjunctive_revenue"].fn(spark, sf_dir)
+    assert len(plans.pushed_filters(df)) >= 1
+    assert not plans.has_cartesian(df)
+
+
+def test_embedding_dedup_no_cartesian(spark, sf_dir):
+    """LSH candidate generation for embedding near-dup must be a band
+    equi-join, never an all-pairs product."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir)
+    assert not plans.has_cartesian(df)
+
+
+def test_ivf_cross_join_is_broadcast_only(spark, sf_dir):
+    """IVF's only nested-loop is the intentional corpus x centroids
+    assignment, and the centroid side must be broadcast (constant-size);
+    the list-probe search join itself is an equi-join."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["ann_ivf_topk"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan  # only BroadcastNestedLoop allowed
+    assert "BroadcastNestedLoopJoin" in plan
