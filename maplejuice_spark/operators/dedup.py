@@ -411,6 +411,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bv.band", "bv.v")
     a = bands.alias("a")
     b = bands.alias("b")
+
+    def _band_eq(j: int):
+        return (
+            F.shiftright(F.col("a.simhash"), 8 * j).bitwiseAND(F.lit(255))
+            == F.shiftright(F.col("b.simhash"), 8 * j).bitwiseAND(F.lit(255))
+        )
+
+    # A pair colliding in k bands appears k times in the join; instead of
+    # a distinct() (one more shuffle of every candidate row), keep each
+    # pair only at its FIRST matching band — a pure projection filter
+    # computable from the two simhashes already present in the row.
+    first_match = F.coalesce(
+        *[F.when(_band_eq(j), F.lit(j)) for j in range(4)]
+    )
     pairs = (
         a.join(
             b,
@@ -418,6 +432,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.band") == first_match)
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
@@ -426,7 +441,6 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .distinct()
     )
     return pairs
 
