@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import cosine, dot, to_double_vec
+from maplejuice_spark.functions import cosine, dot, l2norm, to_double_vec
 from maplejuice_spark.registry import register
 
 DIM = 64
@@ -382,7 +382,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COS_DUP_THRESHOLD = 0.4  # the fixture's vectors are i.i.d. — max cos ~0.5
+COS_DUP_THRESHOLD = 0.3  # the fixture's vectors are i.i.d. — max cos ~0.5
+_N_DUP_BANDS = 2  # near-dup blocking: 2 bands x 8 bits
 
 
 @register(
@@ -391,31 +392,40 @@ COS_DUP_THRESHOLD = 0.4  # the fixture's vectors are i.i.d. — max cos ~0.5
     WITH vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    bucketed AS (
-      SELECT vec_id, v, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM vecs
+    normed AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> x / sqrt({_sql_fold_dot('v', 'v')})) AS vn,
+             CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM vecs
     ),
     bands AS (
-      SELECT vec_id, v, band,
-             (bucket // CAST(power(2, band * 4) AS BIGINT)) % 16 AS bv
-      FROM bucketed, unnest(generate_series(0, {_N_COARSE - 1})) AS t(band)
+      SELECT vec_id, vn, bucket, band,
+             (bucket // CAST(power(2, band * 8) AS BIGINT)) % 256 AS bv
+      FROM normed, unnest(generate_series(0, {_N_DUP_BANDS - 1})) AS t(band)
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, a.v AS qv, b.v AS cv
+      SELECT a.vec_id AS v1, b.vec_id AS v2, a.vn AS av, b.vn AS bv2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+      WHERE a.band = 0 OR a.bucket % 256 <> b.bucket % 256
     )
     SELECT v1, v2, cos_sim FROM (
-      SELECT v1, v2, {_SQL_COS} AS cos_sim FROM cand
+      SELECT v1, v2, {_sql_fold_dot('av', 'bv2')} AS cos_sim FROM cand
     ) WHERE cos_sim >= {COS_DUP_THRESHOLD}
     """,
     tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded random-hyperplane
-    LSH proposes candidates (same 4-bit band in any of 4 bands), exact
+    LSH proposes candidates (same 8-bit band in either of 2 bands), exact
     cosine >= COS_DUP_THRESHOLD confirms. The oracle states the identical
     candidate generation, so both engines see the same (recall-bounded)
     pair set — the same contract as minhash_candidates.
+
+    8-bit (not 4-bit) bands are the scale lever: 256 values/band keeps
+    bucket sizes ~n/256, so the candidate count stays near-linear in n
+    instead of n²/16 — the difference between a dedup pass that touches
+    ~0.1% of pairs and one that touches 25%.
 
     Scale: candidates come from a band equi-join, never an all-pairs
     cross join; the exact cosine runs only on colliding pairs.
@@ -434,37 +444,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         start=F.lit(0),
     ).cast("bigint")
-    bands = vecs.select(
+    # Normalize ONCE (norm materialized in its own projection so the
+    # transform lambda doesn't recompute the fold per element); per-pair
+    # scoring is then a single dot instead of dot + two norms.
+    normed = (
+        vecs.select("vec_id", "v", l2norm("v").alias("nrm"), bucket.alias("bucket"))
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
+            "bucket",
+        )
+    )
+    bands = normed.select(
         "vec_id",
-        "v",
+        "vn",
+        "bucket",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(bucket, 4 * b)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright(F.col("bucket"), 8 * b)
+                        .bitwiseAND(F.lit(255))
                         .cast("bigint")
                         .alias("bv"),
                     )
-                    for b in range(_N_COARSE)
+                    for b in range(_N_DUP_BANDS)
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", "v", "x.band", "x.bv")
+    ).select("vec_id", "vn", "bucket", "x.band", "x.bv")
     a = bands.select(
-        F.col("vec_id").alias("v1"), F.col("v").alias("qv"), "band", "bv"
+        F.col("vec_id").alias("v1"),
+        F.col("vn").alias("av"),
+        F.col("bucket").alias("abucket"),
+        "band",
+        "bv",
     )
     b = bands.select(
-        F.col("vec_id").alias("v2"), F.col("v").alias("cv"), "band", "bv"
+        F.col("vec_id").alias("v2"),
+        F.col("vn").alias("bvec"),
+        F.col("bucket").alias("bbucket"),
+        "band",
+        "bv",
     )
+    # first-matching-band filter instead of distinct(): a pair colliding
+    # in both bands is kept only at band 0 — pure projection, no shuffle
     cand = (
         a.join(b, ["band", "bv"])
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", "qv", "cv")
-        .distinct()
+        .filter(
+            (F.col("band") == 0)
+            | (
+                F.col("abucket").bitwiseAND(F.lit(255))
+                != F.col("bbucket").bitwiseAND(F.lit(255))
+            )
+        )
+        .select("v1", "v2", "av", "bvec")
     )
     return (
-        cand.select("v1", "v2", cosine("qv", "cv").alias("cos_sim"))
+        cand.select("v1", "v2", dot("av", "bvec").alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_DUP_THRESHOLD)
     )
