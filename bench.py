@@ -32,7 +32,12 @@ HEADLINE = [
     "simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
     "events_tumbling_1h",
+    "q8_market_share",
+    "q13_order_count_histogram",
+    "q18_large_orders",
 ]
 
 
