@@ -1,0 +1,71 @@
+"""Property-based differential tests (hypothesis): the compat maple/juice
+pipeline must agree with the built-in DataFrame plan on ARBITRARY input,
+not just the golden corpus — the same cross-engine idea as the oracle
+suite, applied engine-internally (slow Python-contract path vs codegen
+path).
+
+Hypothesis generates the inputs once per session (deterministic seed via
+derandomize) so CI runs are stable.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from maplejuice_spark.compat.mapreduce import (
+    group_keys,
+    juice,
+    maple,
+    wordcount_juice,
+    wordcount_maple,
+)
+from maplejuice_spark.functions import tokens
+
+# Lines of printable ASCII (the reference's domain: byte-oriented C++
+# tokenization, SURVEY §7 watch list #2 pins semantics to ASCII).
+_line = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+_corpus = st.lists(_line, min_size=1, max_size=30)
+
+_TOK = re.compile(r"[A-Za-z0-9-]+")
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_corpus)
+def test_compat_wordcount_matches_builtin(spark, corpus):
+    """maple(tokenize+combine) -> group -> juice(sum) == explode+groupBy."""
+    lines = spark.createDataFrame([(l,) for l in corpus], "value string")
+
+    got = {
+        (r["key"], int(r["value"]))
+        for r in juice(group_keys(maple(lines, wordcount_maple)), wordcount_juice)
+        .collect()
+    }
+    want = {
+        (r["word"], r["n"])
+        for r in lines.select(F.explode(tokens("value")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_corpus)
+def test_compat_tokenizer_matches_python_re(spark, corpus):
+    """Spark's split-based tokens() == the reference's token class applied
+    with Python re (ASCII parity, word_count_map.cpp:16-38)."""
+    lines = spark.createDataFrame([(l,) for l in corpus], "value string")
+    got = [
+        r["toks"]
+        for r in lines.select(tokens("value").alias("toks")).collect()
+    ]
+    want = [_TOK.findall(l) for l in corpus]
+    # row order of createDataFrame(collect()) is stable for local data
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
