@@ -78,9 +78,13 @@ def graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical form sorts the list — same normalization its tests needed.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_partkey").alias("dst")).agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("srcs"),
-        F.countDistinct("l_suppkey").alias("n_src"),
+    # n_src = size(srcs), not countDistinct: a second DISTINCT aggregate
+    # would force a separate distinct-expansion path through the same
+    # shuffle — the set is already collected, its size is free.
+    return (
+        li.groupBy(F.col("l_partkey").alias("dst"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("srcs"))
+        .select("dst", "srcs", F.size("srcs").cast("bigint").alias("n_src"))
     )
 
 
