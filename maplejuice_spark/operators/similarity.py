@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import cosine, dot, l2norm, to_double_vec
+from maplejuice_spark.functions import dot, l2norm, to_double_vec
 from maplejuice_spark.registry import register
 
 DIM = 64
@@ -59,6 +59,29 @@ _SQL_COS = (
     f"(sqrt({_sql_fold_dot('qv', 'qv')}) * sqrt({_sql_fold_dot('cv', 'cv')}))"
 )
 
+# Pre-normalization: cosine(a, b) == dot(a/|a|, b/|b|) — normalizing each
+# vector ONCE turns per-pair scoring into a single fold instead of three.
+# Both engines state the identical normalize-then-dot arithmetic.
+_SQL_NORM = f"list_transform(v, x -> x / sqrt({_sql_fold_dot('v', 'v')}))"
+
+
+def _normed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vn) with vn = v/|v|; the norm is materialized in its own
+    projection so the transform lambda doesn't re-fold per element."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        # single-file input -> one partition; spread the fold-heavy
+        # vector math across all cores (no-op on pre-partitioned lakes)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", to_double_vec("embedding").alias("v"))
+        .select("vec_id", "v", l2norm("v").alias("nrm"))
+        .select(
+            "vec_id",
+            "v",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
+        )
+    )
+
 
 @register(
     "ann_cosine_topk",
@@ -66,14 +89,18 @@ _SQL_COS = (
     WITH vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
+    normed AS (
+      SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
+    ),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             q.v AS qv, c.v AS cv
-      FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+             q.vn AS qv, c.vn AS cv
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
       WHERE q.vec_id % {QUERY_MOD} = 0
     ),
     scored AS (
-      SELECT query_id, neighbor_id, {_SQL_COS} AS cos_sim FROM pairs
+      SELECT query_id, neighbor_id, {_sql_fold_dot('qv', 'cv')} AS cos_sim
+      FROM pairs
     )
     SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
@@ -86,27 +113,22 @@ _SQL_COS = (
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
-    the corpus, rank per query with a window.
+    the corpus, rank per query with a window. Vectors are normalized once
+    so per-pair scoring is a single dot fold.
 
     Scale: cost is |queries| × |corpus| — the corpus is scanned once,
     never shuffled; only (query_id, cos) pairs reach the top-k window,
     and the per-query candidate stream is cut to k by the row_number
     filter. For large query sets, switch to ann_lsh_buckets.
     """
-    vecs = (
-        load_table(spark, sf_dir, "embeddings")
-        # single-file input -> one partition; spread the fold-heavy
-        # vector math across all cores (no-op on pre-partitioned lakes)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", to_double_vec("embedding").alias("v"))
-    )
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
     )
-    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
+        .select("query_id", "neighbor_id", dot("qv", "cv").alias("cos_sim"))
     )
     from pyspark.sql import Window as W
 
@@ -176,29 +198,43 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_COARSE = 4  # coarse bands for the banded (multi-probe-ish) search
 
 
+_SQL_FIRST_BAND = (
+    "CASE "
+    + " ".join(
+        f"WHEN (q.bucket // {1 << (4 * j)}) % 16 = (c.bucket // {1 << (4 * j)}) % 16 "
+        f"THEN {j}"
+        for j in range(_N_COARSE)
+    )
+    + " END"
+)
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""
     WITH vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    bucketed AS (
-      SELECT vec_id, v, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM vecs
+    normed AS (
+      SELECT vec_id, {_SQL_NORM} AS vn, CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM vecs
     ),
     bands AS (
-      SELECT vec_id, v, band,
+      SELECT vec_id, vn, bucket, band,
              (bucket // CAST(power(2, band * 4) AS BIGINT)) % 16 AS bv
-      FROM bucketed, unnest(generate_series(0, {_N_COARSE - 1})) AS t(band)
+      FROM normed, unnest(generate_series(0, {_N_COARSE - 1})) AS t(band)
     ),
     cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             q.v AS qv, c.v AS cv
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.vn AS qv, c.vn AS cv
       FROM bands q JOIN bands c
         ON q.band = c.band AND q.bv = c.bv AND q.vec_id <> c.vec_id
       WHERE q.vec_id % {QUERY_MOD} = 0
+        AND q.band = {_SQL_FIRST_BAND}
     ),
     scored AS (
-      SELECT query_id, neighbor_id, {_SQL_COS} AS cos_sim FROM cand
+      SELECT query_id, neighbor_id, {_sql_fold_dot('qv', 'cv')} AS cos_sim
+      FROM cand
     )
     SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
@@ -212,19 +248,16 @@ _N_COARSE = 4  # coarse bands for the banded (multi-probe-ish) search
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via banded LSH: the 16-bit signature splits into
     4 bands of 4 bits; a candidate must share >= 1 band with the query
-    (multi-probe-style recall boost), then exact cosine ranks candidates.
+    (multi-probe-style recall boost), then exact cosine (single dot over
+    pre-normalized vectors) ranks candidates. Multi-band duplicates are
+    removed by the first-matching-band projection filter, not a
+    distinct() of vector-carrying rows.
 
     Scale: candidate generation is a band equi-join (shuffle on 4-bit
     band values + band id), never a cross join; exact scoring touches
     only candidates.
     """
-    vecs = (
-        load_table(spark, sf_dir, "embeddings")
-        # single-file input -> one partition; spread the fold-heavy
-        # vector math across all cores (no-op on pre-partitioned lakes)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", to_double_vec("embedding").alias("v"))
-    )
+    vecs = _normed_vecs(spark, sf_dir)
     bucket = sum(
         [
             F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
@@ -234,10 +267,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         start=F.lit(0),
     ).cast("bigint")
-    bucketed = vecs.select("vec_id", "v", bucket.alias("bucket"))
+    bucketed = vecs.select("vec_id", "vn", bucket.alias("bucket"))
     bands = bucketed.select(
         "vec_id",
-        "v",
+        "vn",
+        "bucket",
         F.explode(
             F.array(
                 *[
@@ -252,24 +286,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", "v", "x.band", "x.bv")
+    ).select("vec_id", "vn", "bucket", "x.band", "x.bv")
     q = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
+        F.col("vn").alias("qv"),
+        F.col("bucket").alias("qbucket"),
         "band",
         "bv",
     )
     c = bands.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "bv"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vn").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+        "band",
+        "bv",
+    )
+
+    def _band_eq(j: int):
+        return (
+            F.shiftright(F.col("qbucket"), 4 * j).bitwiseAND(F.lit(15))
+            == F.shiftright(F.col("cbucket"), 4 * j).bitwiseAND(F.lit(15))
+        )
+
+    first_match = F.coalesce(
+        *[F.when(_band_eq(j), F.lit(j)) for j in range(_N_COARSE)]
     )
     cand = (
         q.join(c, ["band", "bv"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("band") == first_match)
         .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
+        "query_id", "neighbor_id", dot("qv", "cv").alias("cos_sim")
     )
     from pyspark.sql import Window as W
 
@@ -284,11 +333,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 8  # IVF coarse quantizer size (fixed "trained" centroids)
 N_PROBE = 2  # query-side lists probed
 
-_SQL_QCOS = (
-    f"{_sql_fold_dot('v', 'cv')} / "
-    f"(sqrt({_sql_fold_dot('v', 'v')}) * sqrt({_sql_fold_dot('cv', 'cv')}))"
-)
-
 
 @register(
     "ann_ivf_topk",
@@ -296,30 +340,34 @@ _SQL_QCOS = (
     WITH vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
+    normed AS (
+      SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
+    ),
     cent AS (
-      SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {N_CENTROIDS}
+      SELECT vec_id AS cid, vn AS cv FROM normed WHERE vec_id < {N_CENTROIDS}
     ),
     assign AS (
-      SELECT vec_id, v, cid,
+      SELECT vec_id, vn, cid,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY cos_c DESC, cid) AS rnk
       FROM (
-        SELECT x.vec_id, x.v, c.cid, {_SQL_QCOS} AS cos_c
-        FROM vecs x CROSS JOIN cent c
+        SELECT x.vec_id, x.vn, c.cid, {_sql_fold_dot('vn', 'cv')} AS cos_c
+        FROM normed x CROSS JOIN cent c
       )
     ),
-    lists AS (SELECT vec_id, v, cid FROM assign WHERE rnk = 1),
+    lists AS (SELECT vec_id, vn, cid FROM assign WHERE rnk = 1),
     probes AS (
-      SELECT vec_id, v, cid FROM assign
+      SELECT vec_id, vn, cid FROM assign
       WHERE rnk <= {N_PROBE} AND vec_id % {QUERY_MOD} = 0
     ),
     cand AS (
       SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
-             q.v AS qv, l.v AS cv
+             q.vn AS qv, l.vn AS cv
       FROM probes q JOIN lists l ON l.cid = q.cid AND l.vec_id <> q.vec_id
     ),
     scored AS (
-      SELECT query_id, neighbor_id, {_SQL_COS} AS cos_sim FROM cand
+      SELECT query_id, neighbor_id, {_sql_fold_dot('qv', 'cv')} AS cos_sim
+      FROM cand
     )
     SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
@@ -341,26 +389,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map; the search join is an equi-join on cid — the corpus is never
     cross-joined, and list size ~ n/N_CENTROIDS bounds per-query work.
     """
-    vecs = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", to_double_vec("embedding").alias("v"))
-    )
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
     cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
     )
     from pyspark.sql import Window as W
 
     aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cid")
     assign = (
         vecs.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", cosine("v", "cv").alias("cos_c"))
+        .select("vec_id", "vn", "cid", dot("vn", "cv").alias("cos_c"))
         .withColumn("rnk", F.row_number().over(aw))
     )
-    lists = assign.filter(F.col("rnk") == 1).select("vec_id", "v", "cid")
+    lists = assign.filter(F.col("rnk") == 1).select("vec_id", "vn", "cid")
     probes = assign.filter(
         (F.col("rnk") <= N_PROBE) & (F.col("vec_id") % QUERY_MOD == 0)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    ).select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"), "cid")
     cand = (
         probes.join(lists, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -368,11 +412,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "qv",
-            F.col("v").alias("cv"),
+            F.col("vn").alias("cv"),
         )
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
+        "query_id", "neighbor_id", dot("qv", "cv").alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -430,11 +474,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from a band equi-join, never an all-pairs
     cross join; the exact cosine runs only on colliding pairs.
     """
-    vecs = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", to_double_vec("embedding").alias("v"))
-    )
     bucket = sum(
         [
             F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
@@ -444,16 +483,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         start=F.lit(0),
     ).cast("bigint")
-    # Normalize ONCE (norm materialized in its own projection so the
-    # transform lambda doesn't recompute the fold per element); per-pair
-    # scoring is then a single dot instead of dot + two norms.
-    normed = (
-        vecs.select("vec_id", "v", l2norm("v").alias("nrm"), bucket.alias("bucket"))
-        .select(
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
-            "bucket",
-        )
+    # Normalized ONCE (see _normed_vecs); per-pair scoring is then a
+    # single dot instead of dot + two norms.
+    normed = _normed_vecs(spark, sf_dir).select(
+        "vec_id", "vn", bucket.alias("bucket")
     )
     bands = normed.select(
         "vec_id",
