@@ -142,3 +142,43 @@ def decode_frames(media: DataFrame, frames_per_item: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, 1)) AS frame_idx
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, frame_idx,
+           256 + (ascii(substr(text, 1, 1)) % 16) * 64 AS width,
+           256 + (ascii(substr(text, 2, 1)) % 16) * 64 AS height,
+           list_transform(generate_series(1, 8),
+             j -> CAST((ascii(substr(text, ((j - 1) % LENGTH(text)) + 1, 1))
+                        + frame_idx) % 251 AS DOUBLE) / 251.0) AS feature
+    FROM f
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing as an oracle-checked query: binary
+    media table -> Arrow-batched mapInPandas frame-sample + (stubbed)
+    feature extraction. The stub decode is a deterministic pure function
+    of the payload bytes, so even the Python-side kernel is differential-
+    tested against a SQL restatement (payloads are ASCII text bytes, so
+    ascii(substr(...)) == byte value).
+
+    Scale: the doc_id filter stands in for partition pruning of a media
+    lake; the mapInPandas stage is a pure map — no shuffle, parallel in
+    input splits, Arrow batch transfer.
+    """
+    media = as_media_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return decode_frames(media, frames_per_item=2).select(
+        "doc_id",
+        "frame_idx",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "feature",
+    )

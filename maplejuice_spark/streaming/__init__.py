@@ -227,6 +227,56 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+    ), flagged AS (
+      SELECT user_id, tus,
+             CASE WHEN tus - LAG(tus) OVER w >= 1800000000 OR
+                       LAG(tus) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sessions AS (
+      SELECT user_id, tus,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session-window", "stateful"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows: file stream -> watermark ->
+    session_window(30 min gap) per user -> memory sink (availableNow).
+
+    Boundary semantics: Spark sessions are [t, t+gap) merged while the
+    next event is STRICTLY inside the window, so a gap of exactly 30 min
+    starts a new session — the oracle's lag condition is therefore >=,
+    one tick different from the batch sessionize_events (>) twin.
+
+    Scale: state per open session, expired by the watermark.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_sessions_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(agg, name, mode="complete")
+    return spark.table(name)
+
+
 _USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
