@@ -1,0 +1,204 @@
+"""CLI with the reference's verb surface (MapleJuice.cpp:452-533).
+
+The reference is driven entirely through CLI verbs:
+
+    maple <exe> <num_maples> <prefix> <sdfs_src> <opt>     (:485-490)
+    juice <exe> <num_juices> <prefix> <sdfs_dest> <del>    (:491-496)
+    put <local> <sdfs>  /  get <sdfs> <local>  /  delete <sdfs>
+    ls <sdfs>  /  store                                    (:497-520)
+    grep <pattern>                                         (SWIM.cpp:465-467)
+
+This module preserves that surface verb-for-verb so a reference user can
+run the same jobs unchanged in shape:
+
+- an "exe" is a Python callable addressed as ``module:function``
+  (the reference shipped compiled executables; the contract — maple:
+  lines -> (key, value) pairs; juice: (key, values) -> (key, value) —
+  is compat.mapreduce's, unchanged);
+- the SDFS namespace is a ``Store`` rooted at ``$MJ_STORE_ROOT``
+  (default ``./mj_store``); replication is the filesystem's job;
+- the grouped intermediate ``<prefix>`` is stored as the reference's
+  observable text format — one ``key v1 v2 ... vN`` line per key
+  (MapleJuice.cpp:272-279) — so intermediates stay greppable and
+  inspectable exactly like the original;
+- ``start`` is implicit: unlike the reference's queue-then-start gate,
+  each CLI invocation runs its job (chain jobs by invoking in order;
+  JobQueue provides the queued variant as a library API).
+
+Usage:  python -m maplejuice_spark.cli <verb> [args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import shutil
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _store_root() -> str:
+    return os.environ.get("MJ_STORE_ROOT", "./mj_store")
+
+
+def _path(name: str) -> str:
+    return os.path.join(_store_root(), name)
+
+
+def _spark() -> SparkSession:
+    from maplejuice_spark.session import get_spark
+
+    return get_spark(app_name="maplejuice_cli")
+
+
+def _resolve(exe: str):
+    """``module:function`` -> callable (the exe contract's entry point)."""
+    mod, _, fn = exe.partition(":")
+    if not fn:
+        raise SystemExit(f"exe must be module:function, got {exe!r}")
+    return getattr(importlib.import_module(mod), fn)
+
+
+def _read_grouped(spark: SparkSession, name: str) -> DataFrame:
+    """Parse the stored ``key v1 .. vN`` grouped-text format back into
+    (key, values) — the juice input contract (MapleJuice.cpp:310-335)."""
+    lines = spark.read.text(_path(name))
+    toks = F.split(F.col("value"), " ")
+    return lines.select(
+        F.element_at(toks, 1).alias("key"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("values"),
+    )
+
+
+def _write_grouped(grouped: DataFrame, name: str) -> None:
+    (
+        grouped.select(
+            F.concat_ws(
+                " ", F.col("key"), F.concat_ws(" ", F.col("values"))
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(_path(name))
+    )
+
+
+def cmd_maple(args: argparse.Namespace) -> None:
+    from maplejuice_spark.compat.mapreduce import (
+        group_keys,
+        maple,
+        read_lines,
+        write_per_key,
+    )
+
+    spark = _spark()
+    fn = _resolve(args.exe)
+    lines = read_lines(spark, _path(args.sdfs_src))
+    kv = maple(lines, fn, num_tasks=args.num_maples or None)
+    grouped = group_keys(kv)
+    _write_grouped(grouped, args.prefix)
+    if args.opt % 2 == 1:  # option 1/3: per-key export (MapleJuice.cpp:285-298)
+        write_per_key(kv, _path(f"tmp_{args.prefix}"))
+    n = spark.read.text(_path(args.prefix)).count()
+    print(f"maple done: {n} keys -> {args.prefix}")
+
+
+def cmd_juice(args: argparse.Namespace) -> None:
+    from maplejuice_spark.compat.mapreduce import juice, write_sorted
+
+    spark = _spark()
+    fn = _resolve(args.exe)
+    grouped = _read_grouped(spark, args.prefix)
+    out = juice(grouped, fn)
+    write_sorted(out, _path(args.sdfs_dest), single_file=args.num_juices == 1)
+    if args.delete_input:  # MapleJuice.cpp:383-385
+        shutil.rmtree(_path(args.prefix), ignore_errors=True)
+    n = spark.read.text(_path(args.sdfs_dest)).count()
+    print(f"juice done: {n} lines -> {args.sdfs_dest}")
+
+
+def cmd_put(args: argparse.Namespace) -> None:
+    """Overwrite-put (last-writer-wins, SDFS.cpp:133-135)."""
+    dest = _path(args.sdfs)
+    if os.path.exists(dest):
+        shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    shutil.copy(args.local, os.path.join(dest, os.path.basename(args.local)))
+    print(f"put {args.local} -> {args.sdfs}")
+
+
+def cmd_get(args: argparse.Namespace) -> None:
+    src = _path(args.sdfs)
+    if not os.path.isdir(src):
+        raise SystemExit(f"file not available: {args.sdfs}")  # SDFS.cpp:215
+    with open(args.local, "w") as out:
+        for part in sorted(os.listdir(src)):
+            if part.startswith((".", "_")):
+                continue
+            with open(os.path.join(src, part)) as f:
+                shutil.copyfileobj(f, out)
+    print(f"get {args.sdfs} -> {args.local}")
+
+
+def cmd_delete(args: argparse.Namespace) -> None:
+    shutil.rmtree(_path(args.sdfs), ignore_errors=True)
+    print(f"deleted {args.sdfs}")
+
+
+def cmd_ls(args: argparse.Namespace) -> None:
+    print(args.sdfs if os.path.isdir(_path(args.sdfs)) else f"not found: {args.sdfs}")
+
+
+def cmd_store(args: argparse.Namespace) -> None:
+    root = _store_root()
+    for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        print(name)
+
+
+def cmd_grep(args: argparse.Namespace) -> None:
+    """Distributed grep with per-file and global counts (logger.cpp:193-224)."""
+    from maplejuice_spark.compat.grep import grep_files, grep_total
+
+    spark = _spark()
+    for row in grep_files(spark, _path(args.sdfs), args.pattern).collect():
+        print(f"{row['file']}: {row['n_matches']}")
+    print(f"Line_count: {grep_total(spark, _path(args.sdfs), args.pattern)}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="maplejuice", description=__doc__)
+    sub = p.add_subparsers(required=True)
+
+    m = sub.add_parser("maple", help="run a map job")
+    m.add_argument("exe"), m.add_argument("num_maples", type=int)
+    m.add_argument("prefix"), m.add_argument("sdfs_src")
+    m.add_argument("opt", type=int, nargs="?", default=0)
+    m.set_defaults(fn=cmd_maple)
+
+    j = sub.add_parser("juice", help="run a reduce job")
+    j.add_argument("exe"), j.add_argument("num_juices", type=int)
+    j.add_argument("prefix"), j.add_argument("sdfs_dest")
+    j.add_argument("delete_input", type=int, nargs="?", default=0)
+    j.set_defaults(fn=cmd_juice)
+
+    for verb, fn, params in (
+        ("put", cmd_put, ["local", "sdfs"]),
+        ("get", cmd_get, ["sdfs", "local"]),
+        ("delete", cmd_delete, ["sdfs"]),
+        ("ls", cmd_ls, ["sdfs"]),
+        ("store", cmd_store, []),
+        ("grep", cmd_grep, ["pattern", "sdfs"]),
+    ):
+        sp = sub.add_parser(verb)
+        for param in params:
+            sp.add_argument(param)
+        sp.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

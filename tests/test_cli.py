@@ -1,0 +1,63 @@
+"""CLI verb-surface test: the reference's own word-count job driven
+through the same verb sequence a MapleJuice user types
+(put -> maple -> juice -> get, MapleJuice.cpp:452-533), checked against
+the golden corpus numbers (SURVEY.md §7 phase 1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from maplejuice_spark import cli
+
+CORPUS = "/root/reference/sample_input_for_wordcount.txt"
+
+
+@pytest.fixture()
+def store_root(tmp_path, monkeypatch):
+    root = tmp_path / "mj_store"
+    monkeypatch.setenv("MJ_STORE_ROOT", str(root))
+    return root
+
+
+def test_cli_wordcount_end_to_end(spark, store_root, tmp_path, capsys):
+    # put <local> <sdfs>
+    cli.main(["put", CORPUS, "corpus"])
+    # maple <exe> <num_maples> <prefix> <sdfs_src> <opt>
+    cli.main(
+        ["maple", "maplejuice_spark.compat.mapreduce:wordcount_maple",
+         "4", "wc_prefix", "corpus"]
+    )
+    # juice <exe> <num_juices> <prefix> <sdfs_dest> <delete_input>
+    cli.main(
+        ["juice", "maplejuice_spark.compat.mapreduce:wordcount_juice",
+         "1", "wc_prefix", "wc_out", "1"]
+    )
+    # get <sdfs> <local>
+    out = tmp_path / "result.txt"
+    cli.main(["get", "wc_out", str(out)])
+
+    lines = out.read_text().splitlines()
+    counts = dict(line.split(" ", 1) for line in lines)
+    # golden values (word_count_map.cpp tokenizer on the Gutenberg sample)
+    assert len(counts) == 6414
+    assert counts["the"] == "1652"
+    assert sum(int(v) for v in counts.values()) == 27747
+    # E7: output byte-sorted by key
+    keys = [line.split(" ", 1)[0] for line in lines]
+    assert keys == sorted(keys)
+    # delete_input=1 removed the intermediate (MapleJuice.cpp:383-385)
+    assert not (store_root / "wc_prefix").exists()
+    # store lists remaining names
+    cli.main(["store"])
+    assert "wc_out" in capsys.readouterr().out.splitlines()
+
+
+def test_cli_grep_counts(spark, store_root, capsys):
+    cli.main(["put", CORPUS, "logs"])
+    cli.main(["grep", "[Tt]he", "logs"])
+    out = capsys.readouterr().out
+    assert "Line_count:" in out  # logger.cpp:73 trailer
+    total = int(out.strip().rsplit("Line_count:", 1)[1])
+    assert total > 0
