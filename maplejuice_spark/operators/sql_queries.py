@@ -241,6 +241,51 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except_all_orders",
+    oracle="""
+    SELECT o_orderstatus FROM orders
+    EXCEPT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    tags=("sql", "setop", "bag"),
+)
+def set_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — keeps surplus multiplicities,
+    unlike the distinct-ing EXCEPT in set_except_nations)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus FROM orders
+        EXCEPT ALL
+        SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        """,
+    )
+
+
+@register(
+    "set_intersect_all_orders",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    tags=("sql", "setop", "bag"),
+)
+def set_intersect_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection: min of the two counts)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+        """,
+    )
+
+
+@register(
     "approx_distinct_parts",
     oracle=None,  # HLL sketches are engine-specific — rows-only check
     tags=("agg", "approx"),
