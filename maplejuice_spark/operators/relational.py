@@ -514,6 +514,45 @@ def window_running_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+             AS n_similar_price
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (vs the row-counting ROWS frame of
+    window_running_qty): per status, how many orders fall within 1000
+    price units below this one. RANGE frames bound by VALUE distance —
+    peers with equal order keys share a frame, so COUNT (order-
+    independent) keeps the result engine-stable.
+
+    Scale: same single shuffle as any window; the frame scan is a
+    sliding pointer over the sorted partition.
+    """
+    # DataFrame-API rangeBetween only takes integral offsets; the SQL
+    # window syntax carries decimal RANGE bounds (same Catalyst plan).
+    from maplejuice_spark.catalog import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               COUNT(*) OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+                 AS n_similar_price
+        FROM orders WHERE o_orderkey % 20 = 0
+        """
+    )
+
+
+@register(
     "window_lag_orders",
     oracle="""
     SELECT o_orderkey, o_custkey,
