@@ -241,6 +241,75 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_safe",
+    oracle="""
+    WITH g AS (
+      SELECT nullif(c_custkey % 3, 0) AS cgroup, c_nationkey FROM customer
+    )
+    SELECT a.cgroup, COUNT(*) AS n_pairs
+    FROM g a JOIN g b
+      ON a.cgroup IS NOT DISTINCT FROM b.cgroup
+     AND a.c_nationkey = b.c_nationkey
+    GROUP BY a.cgroup
+    """,
+    tags=("sql", "join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (IS NOT DISTINCT FROM / <=>): NULL keys
+    match each other instead of vanishing — still plans as a hash
+    equi-join (EqualNullSafe is a valid hash key), not an NLJ."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH g AS (
+          SELECT nullif(c_custkey % 3, 0) AS cgroup, c_nationkey FROM customer
+        )
+        SELECT a.cgroup, COUNT(*) AS n_pairs
+        FROM g a JOIN g b
+          ON a.cgroup IS NOT DISTINCT FROM b.cgroup
+         AND a.c_nationkey = b.c_nationkey
+        GROUP BY a.cgroup
+        """,
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("sql", "window", "analytic"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value analytic functions with the full-frame
+    spec (last_value needs UNBOUNDED FOLLOWING — the default frame stops
+    at CURRENT ROW) and a deterministic (date, key) tiebreak order."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT DISTINCT o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               COUNT(*) OVER w AS n_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+    )
+
+
+@register(
     "set_except_all_orders",
     oracle="""
     SELECT o_orderstatus FROM orders
