@@ -104,6 +104,17 @@ def test_embedding_dedup_no_cartesian(spark, sf_dir):
     assert not plans.has_cartesian(df)
 
 
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """IS NOT DISTINCT FROM must still be a hash-join key (EqualNullSafe),
+    never a nested-loop over the null-safe predicate."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["join_null_safe"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "HashJoin" in plan
+    assert not plans.has_cartesian(df)
+
+
 def test_ivf_cross_join_is_broadcast_only(spark, sf_dir):
     """IVF's only nested-loop is the intentional corpus x centroids
     assignment, and the centroid side must be broadcast (constant-size);
