@@ -1,0 +1,295 @@
+"""Advanced declarative surface: correlated EXISTS/NOT-EXISTS shapes,
+LATERAL joins, series generation/gap-fill, ordered string aggregation,
+per-group top-k, tile/distribution windows, and bitwise/positional
+aggregates.
+
+All of these are **Absent** in the reference (SURVEY.md §2.4 — its only
+query language was the maple/juice exe contract, `MapleJuice.cpp:452-533`);
+every one lands here as a pure Catalyst plan with a DuckDB oracle.
+
+Scale notes (100 TB mindset):
+- The Q21 shape's EXISTS/NOT-EXISTS rewrite to left-semi/left-anti hash
+  joins on ``l_orderkey`` — one shuffle key shared across all three
+  lineitem scans, so AQE can reuse the exchange.
+- LATERAL top-k compiles to a window/limit per key, not a driver loop.
+- Gap-fill generates the calendar axis with ``sequence`` (a few thousand
+  rows) and broadcast-joins it against the aggregated fact side — never
+  the raw fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from maplejuice_spark.catalog import register_testdata
+from maplejuice_spark.registry import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    return spark.sql(query)
+
+
+_Q21_SPARK = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+JOIN nation    ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=_Q21_SPARK,
+    tags=("sql", "tpch", "exists", "anti-join"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to the fixture schema (no
+    receipt/commit dates): suppliers whose line was the LAST to ship on a
+    finished multi-supplier order. Exercises correlated EXISTS (left-semi)
+    + correlated NOT EXISTS with an inequality (left-anti), a 4-way join,
+    and a deterministic ORDER/LIMIT (s_name is unique per group)."""
+    return _sql(spark, sf_dir, _Q21_SPARK)
+
+
+_LATERAL_SPARK = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 2) t
+WHERE c.c_custkey < 100
+"""
+
+
+@register(
+    "lateral_topk_orders",
+    oracle=_LATERAL_SPARK,
+    tags=("sql", "lateral", "topk"),
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-key ORDER BY + LIMIT: the
+    top-2 orders by price for each customer. Catalyst plans this as a
+    lateral join (rewritten to window/limit), not a driver-side loop —
+    identical syntax runs on DuckDB as the oracle."""
+    return _sql(spark, sf_dir, _LATERAL_SPARK)
+
+
+@register(
+    "calendar_fill_days",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                                         DATE '1996-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    cnt AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COALESCE(cnt.n_orders, 0) AS n_orders
+    FROM days LEFT JOIN cnt ON days.d = cnt.d
+    """,
+    tags=("sql", "generator", "gapfill"),
+)
+def calendar_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series generation + gap-fill: a dense Q1-1996 calendar axis
+    (``sequence`` + ``explode``) left-joined against per-day order counts
+    so days with zero orders appear explicitly. The calendar side is tiny
+    and broadcast; the fact side is pre-aggregated before the join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH days AS (
+          SELECT explode(sequence(DATE '1996-01-01', DATE '1996-03-31',
+                                  interval 1 day)) AS d
+        ),
+        cnt AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+               COALESCE(cnt.n_orders, 0) AS n_orders
+        FROM days LEFT JOIN cnt ON days.d = cnt.d
+        """,
+    )
+
+
+@register(
+    "listagg_regions",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("sql", "agg", "string"),
+)
+def listagg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG semantics): nations per region
+    concatenated in name order. Spark side builds it deterministically as
+    ``concat_ws(',', sort_array(collect_list(...)))`` — the scalable form
+    of an ORDER BY inside an aggregate."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_regionkey,
+               concat_ws(',', sort_array(collect_list(n_name))) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation GROUP BY n_regionkey
+        """,
+    )
+
+
+_TOPK_GROUP_SPARK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) ranked
+WHERE rn <= 3
+"""
+
+
+@register(
+    "topk_per_group",
+    oracle=_TOPK_GROUP_SPARK,
+    tags=("sql", "window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER + filter — the 3 priciest orders in
+    each priority class, tiebroken on the unique key. At scale Spark
+    executes this as a rank-limit pushdown per partition (WindowGroupLimit),
+    never materializing the full ranked set."""
+    return _sql(spark, sf_dir, _TOPK_GROUP_SPARK)
+
+
+_NTILE_SPARK = """
+SELECT o_orderpriority, bucket, COUNT(*) AS n,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM (SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders) t
+GROUP BY o_orderpriority, bucket
+"""
+
+
+@register(
+    "ntile_price_quartiles",
+    oracle=_NTILE_SPARK,
+    tags=("sql", "window", "ntile"),
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) quartile assignment per priority class with per-bucket
+    stats; the window ordering includes the unique key so bucket edges are
+    deterministic across engines."""
+    return _sql(spark, sf_dir, _NTILE_SPARK)
+
+
+_DIST_RANK_SPARK = """
+SELECT o_orderkey,
+       PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+       CUME_DIST()    OVER (ORDER BY o_totalprice, o_orderkey) AS cume_dist
+FROM orders
+WHERE o_custkey < 50
+"""
+
+
+@register(
+    "percent_rank_orders",
+    oracle=_DIST_RANK_SPARK,
+    tags=("sql", "window", "distribution"),
+)
+def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: PERCENT_RANK ((rank-1)/(n-1)) and CUME_DIST
+    (peers<=x / n) over a unique total order — both are exact integer
+    ratios, so the doubles match DuckDB bit-for-bit."""
+    return _sql(spark, sf_dir, _DIST_RANK_SPARK)
+
+
+_HISTO_SPARK = """
+SELECT CAST(FLOOR((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_customers,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+FROM customer
+GROUP BY 1
+"""
+
+
+@register(
+    "acctbal_histogram",
+    oracle=_HISTO_SPARK,
+    tags=("sql", "agg", "histogram"),
+)
+def acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket semantics, spelled as explicit
+    floor arithmetic so both engines run the identical double math):
+    1000-unit account-balance buckets with per-bucket extrema. One
+    map-side-combinable aggregation — no shuffle beyond the final
+    per-bucket merge."""
+    return _sql(spark, sf_dir, _HISTO_SPARK)
+
+
+_BITAGG_SPARK = """
+SELECT o_orderpriority,
+       BIT_AND(o_orderkey) AS key_and,
+       BIT_OR(o_orderkey)  AS key_or,
+       BIT_XOR(o_orderkey) AS key_xor,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "bit_agg_orders",
+    oracle=_BITAGG_SPARK,
+    tags=("sql", "agg", "bitwise"),
+)
+def bit_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (BIT_AND/BIT_OR/BIT_XOR) per priority class —
+    associative+commutative, so Spark computes them with map-side partial
+    aggregation like any algebraic agg."""
+    return _sql(spark, sf_dir, _BITAGG_SPARK)
+
+
+_MINMAX_BY_SPARK = """
+SELECT o_orderpriority,
+       MAX_BY(o_custkey, o_orderkey) AS last_cust,
+       MIN_BY(o_custkey, o_orderkey) AS first_cust,
+       MAX(o_orderkey) AS max_key,
+       MIN(o_orderkey) AS min_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "minmax_by_priority",
+    oracle=_MINMAX_BY_SPARK,
+    tags=("sql", "agg", "positional"),
+)
+def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional aggregates MAX_BY/MIN_BY keyed on the unique order key
+    (deterministic — no ties): the customer on the newest/oldest order per
+    priority class, in one pass with partial aggregation."""
+    return _sql(spark, sf_dir, _MINMAX_BY_SPARK)

@@ -43,6 +43,7 @@ def register(
 def all_queries() -> dict[str, QuerySpec]:
     # Import for registration side effects; deferred to avoid cycles.
     from maplejuice_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         multimodal,
         relational,
