@@ -115,6 +115,50 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     assert not plans.has_cartesian(df)
 
 
+def test_topk_per_group_rank_limit_pushdown(spark, sf_dir):
+    """ROW_NUMBER <= k must plan as WindowGroupLimit (per-partition rank
+    limit before the shuffle) — the full ranked set is never materialized."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["topk_per_group"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in plans.physical_plan(df)
+
+
+def test_lateral_topk_rewrites_to_window_limit(spark, sf_dir):
+    """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate to a
+    window rank-limit + equi-join — no per-row re-execution, no
+    nested-loop."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["lateral_topk_orders"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert not plans.has_cartesian(df)
+
+
+def test_q21_semi_anti_hash_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must become left-semi / left-anti hash joins on
+    l_orderkey with a top-k sink — never correlated re-execution."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan
+    assert not plans.has_cartesian(df)
+
+
+def test_calendar_fill_broadcasts_axis(spark, sf_dir):
+    """The generated calendar axis must be the broadcast side; the fact
+    side is pre-aggregated before the join."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["calendar_fill_days"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not plans.has_cartesian(df)
+
+
 def test_ivf_cross_join_is_broadcast_only(spark, sf_dir):
     """IVF's only nested-loop is the intentional corpus x centroids
     assignment, and the centroid side must be broadcast (constant-size);
