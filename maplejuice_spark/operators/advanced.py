@@ -293,3 +293,123 @@ def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic — no ties): the customer on the newest/oldest order per
     priority class, in one pass with partial aggregation."""
     return _sql(spark, sf_dir, _MINMAX_BY_SPARK)
+
+
+_DT_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       dayofyear(o_orderdate) AS doy,
+       isodow(o_orderdate) AS iso_dow,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+FROM orders WHERE o_custkey < 100
+"""
+
+
+@register(
+    "datetime_funcs_orders",
+    oracle=_DT_ORACLE,
+    tags=("sql", "functions", "datetime"),
+)
+def datetime_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (absent from the reference's queries —
+    SURVEY.md §2.4): extraction (year..dayofyear), ISO weekday, week
+    truncation, month end, epoch seconds, and interval arithmetic.
+    Cross-engine parity notes: Spark ``weekday()+1`` == DuckDB
+    ``isodow`` (Monday=1); session TZ is UTC so ``unix_timestamp`` ==
+    ``epoch`` on naive timestamps."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               quarter(o_orderdate) AS q,
+               month(o_orderdate) AS m,
+               day(o_orderdate) AS d,
+               dayofyear(o_orderdate) AS doy,
+               weekday(o_orderdate) + 1 AS iso_dow,
+               date_format(date_trunc('week', o_orderdate), 'yyyy-MM-dd')
+                 AS week_start,
+               date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS month_end,
+               unix_timestamp(o_orderdate) AS epoch_s,
+               date_format(o_orderdate + INTERVAL 90 DAY, 'yyyy-MM-dd')
+                 AS due_date
+        FROM orders WHERE o_custkey < 100
+        """,
+    )
+
+
+@register(
+    "levenshtein_similar_names",
+    oracle="""
+    SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+    tags=("sql", "functions", "fuzzy", "blocking"),
+)
+def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: supplier-name pairs within edit distance 2.
+
+    The Spark side length-blocks before comparing: dist <= 2 implies
+    ``abs(len(a)-len(b)) <= 2``, so each left row explodes to 5 candidate
+    lengths and equi-joins on ``length(b.s_name)`` — an O(n·bucket) band
+    join, not the O(n²) cross join the (small-input) DuckDB oracle
+    states. Same blocking idea as the SimHash/MinHash band joins."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH a AS (
+          SELECT s_suppkey, s_name,
+                 explode(sequence(length(s_name) - 2, length(s_name) + 2))
+                   AS cand_len
+          FROM supplier
+        )
+        SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+               levenshtein(a.s_name, b.s_name) AS dist
+        FROM a JOIN supplier b
+          ON a.cand_len = length(b.s_name) AND a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 2
+        """
+    )
+
+
+@register(
+    "regexp_funcs_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+           length(text) - length(regexp_replace(text, ' ', '', 'g'))
+             AS n_spaces,
+           regexp_matches(text, '[0-9]') AS has_digit
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("sql", "functions", "regexp"),
+)
+def regexp_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function surface over documents: extract, global replace,
+    occurrence counting via replace, and boolean match (the reference's
+    only regex facility was shelling out to grep — logger.cpp:50-56).
+    Note DuckDB needs the 'g' flag for global replace; Spark's
+    regexp_replace is always global."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id,
+               regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+               regexp_replace(text, '[0-9]+', '#') AS masked,
+               length(text) - length(regexp_replace(text, ' ', ''))
+                 AS n_spaces,
+               text RLIKE '[0-9]' AS has_digit
+        FROM documents WHERE doc_id < 50
+        """,
+    )
