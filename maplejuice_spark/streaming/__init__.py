@@ -366,3 +366,107 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"mj_stream_user_stats_{_STREAM_RUN_SEQ[0]}"
     run_stream_to_memory(out, name, mode="update")
     return spark.table(name)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events file stream enriched against the
+    static customer dimension (user_id = c_custkey), then aggregated per
+    market segment.
+
+    Scale: the static side is planned per micro-batch like any batch
+    join — small dims broadcast, so the stream never shuffles; state
+    exists only for the downstream windowless aggregate (complete mode
+    here; at 100 TB this would be a windowed agg with a watermark).
+    """
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_static_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(agg, name, mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "stateful"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases attributed to same-user clicks at most 1 hour earlier.
+
+    Both sides carry watermarks; the range condition bounds join state —
+    each side buffers only rows inside the watermark + 1 h horizon
+    (Spark derives the state eviction bound from the time-range
+    predicate). A single availableNow replay emits the complete inner
+    join, which the oracle states as a batch self-join.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("purchase_time"))
+            - F.unix_micros(F.col("click_time"))
+        ).alias("delay_us"),
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_ss_join_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(joined, name, mode="append")
+    return spark.table(name)
