@@ -1,0 +1,140 @@
+"""End-to-end training-data pipeline operators (north-star,
+BASELINE.json): the composed curation flow a pre-training corpus goes
+through — quality filter -> exact dedup -> per-source accounting — and
+deterministic hash-based dataset splitting.
+
+The reference's closest analog is chaining maple/juice jobs through SDFS
+intermediates (scheduler.cpp:62-107, SURVEY.md §2.3 Q8); here the whole
+pipeline is ONE Catalyst plan, so filters fuse into the scan and the
+dedup shuffle carries only (digest, doc_id, counters) — never document
+text.
+
+Scale notes (100 TB):
+- The quality filter runs before the dedup shuffle, so rejected docs are
+  dropped map-side.
+- Split assignment is a pure projection on md5(doc_id) — deterministic,
+  reproducible across runs/engines, no sampling state, and stable under
+  re-partitioning (the property random() splits lack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import tokens, TOKEN_CLASS
+from maplejuice_spark.registry import register
+
+_SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len({_SQL_TOKENS}) AS n_tokens,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 5 AND n_punct * 5 < n_chars
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    )
+    SELECT k.source, COUNT(*) AS n_docs,
+           SUM(k.n_tokens) AS total_tokens,
+           MIN(k.doc_id) AS min_doc_id
+    FROM kept k JOIN keepers USING (doc_id)
+    GROUP BY k.source
+    """,
+    tags=("pipeline", "dedup", "quality"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: quality filter (>=5 tokens,
+    punctuation < 20% of chars) -> exact dedup (keeper = min doc_id per
+    content digest) -> per-source document/token accounting.
+
+    One logical plan: the filter is evaluated at the scan, the dedup
+    groupBy shuffles 16-byte digests + counters only, and the keeper
+    self-join is an equi-join on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    n_punct = n_chars - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9 ]", "")
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 5) & (F.col("n_punct") * 5 < F.col("n_chars"))
+    )
+    keepers = (
+        kept.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(keepers, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'b' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('c', 'd') THEN 'val'
+                  ELSE 'test' END AS split,
+             len({_SQL_TOKENS}) AS n_tokens
+      FROM documents
+    )
+    SELECT split, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM assigned GROUP BY split, source
+    """,
+    tags=("pipeline", "split"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment from the
+    first hex digit of md5(doc_id) ('0'-'b' / 'c'-'d' / 'e'-'f'), with
+    per-split per-source accounting.
+
+    Hash-based (not random()) splitting is the reproducibility
+    requirement of a training pipeline: assignment is a pure function of
+    the stable id — identical across engines, runs, and partitionings —
+    and joins against any other table preserve the split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    assigned = docs.select(
+        "source",
+        F.when(hexd.between("0", "b"), "train")
+        .when(hexd.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

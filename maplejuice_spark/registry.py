@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         advanced,
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         skew,
