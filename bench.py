@@ -38,6 +38,8 @@ HEADLINE = [
     "q8_market_share",
     "q13_order_count_histogram",
     "q18_large_orders",
+    "q21_waiting_suppliers",
+    "corpus_curation",
 ]
 
 
