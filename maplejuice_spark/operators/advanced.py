@@ -413,3 +413,38 @@ def regexp_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id < 50
         """,
     )
+
+
+_VAR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
+         SUM(CAST(l_quantity AS DECIMAL(18,6)) *
+             CAST(l_quantity AS DECIMAL(18,6))) AS s2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(s1 AS DOUBLE) / n AS mean_qty,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+         / (n - 1) AS var_qty,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+         / (n - 1)) AS stddev_qty
+FROM m
+"""
+
+
+@register(
+    "variance_stats",
+    oracle=_VAR_ORACLE,
+    tags=("sql", "agg", "statistics"),
+)
+def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean / sample variance / stddev) computed
+    from decimal-exact moments (n, sum x, sum x²) with the double math
+    deferred to the final projection — the same two-level trick the other
+    aggregates use to stay bit-identical across engines, here applied to
+    second moments. The built-in var_samp/stddev_samp use Welford-style
+    streaming updates whose float rounding is accumulation-order-dependent
+    (fine in practice, unusable for an exact differential gate)."""
+    return _sql(spark, sf_dir, _VAR_ORACLE)
