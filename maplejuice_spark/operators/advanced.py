@@ -448,3 +448,57 @@ def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming updates whose float rounding is accumulation-order-dependent
     (fine in practice, unusable for an exact differential gate)."""
     return _sql(spark, sf_dir, _VAR_ORACLE)
+
+
+_Q11_SPARK = """
+SELECT s_nationkey,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS nation_bal
+FROM supplier
+GROUP BY s_nationkey
+HAVING SUM(CAST(s_acctbal AS DECIMAL(18,6))) >
+       (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,6))) * 0.04 FROM supplier)
+"""
+
+
+@register(
+    "q11_important_balance",
+    oracle=_Q11_SPARK,
+    tags=("sql", "tpch", "having", "scalar-subquery"),
+)
+def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp in the fixtures, so over supplier
+    balances): per-nation totals kept only if they exceed a fraction of
+    the GLOBAL total — a grouped aggregate HAVING-compared against a
+    scalar subquery aggregate. Catalyst runs the scalar once and
+    broadcasts it into the filter; comparison happens in exact decimals.
+    """
+    return _sql(spark, sf_dir, _Q11_SPARK)
+
+
+_CROSS_SPARK = """
+SELECT r.r_name, p.o_orderpriority, COALESCE(c.n, 0) AS n_orders
+FROM region r
+CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+LEFT JOIN (
+  SELECT n_regionkey, o_orderpriority, COUNT(*) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_regionkey, o_orderpriority
+) c ON c.n_regionkey = r.r_regionkey
+   AND c.o_orderpriority = p.o_orderpriority
+"""
+
+
+@register(
+    "cross_join_matrix",
+    oracle=_CROSS_SPARK,
+    tags=("sql", "join", "cross"),
+)
+def cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN: the dense region x priority matrix
+    (zero-filled via a left join against the aggregated facts) — the
+    same dimension-product + gap-fill pattern as calendar_fill_days, in
+    two axes. Both cross-join inputs are tiny and broadcast; the fact
+    side is aggregated before joining."""
+    return _sql(spark, sf_dir, _CROSS_SPARK)
