@@ -127,3 +127,41 @@ def pandas_udaf_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         qty_sum("qty_int").alias("total_qty"),
         row_count("qty_int").alias("n_rows"),
     )
+
+
+@register(
+    "pandas_scalar_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9-]+')) AS n_tokens,
+           LENGTH(text) AS n_chars
+    FROM documents
+    """,
+    tags=("udf-surface", "pandas-udf", "scalar"),
+)
+def pandas_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (Series -> Series) pandas_udf: vectorized per-document token
+    counting with the reference tokenizer's class (word_count_map.cpp:20,
+    pinned ASCII) via pandas ``str.count`` — the Arrow-batched scalar UDF
+    template for porting custom per-row maple logic that built-ins can't
+    express (this one CAN be expressed with built-ins, which is what the
+    oracle and token_count_docs state — the point here is the surface).
+
+    Scale: Arrow transfers columns in batches (10-100x row-at-a-time
+    Python UDFs); the UDF is a narrow transformation — no shuffle, and
+    columns not referenced are pruned before transfer.
+    """
+    register_testdata(spark, sf_dir)
+
+    @pandas_udf("long")
+    def tok_count(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[A-Za-z0-9-]+").astype("int64")
+
+    docs = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select(
+        "doc_id",
+        tok_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
