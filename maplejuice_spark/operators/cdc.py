@@ -1,0 +1,133 @@
+"""Change-data-capture / upsert operators.
+
+The reference's only mutation primitive is whole-file last-writer-wins
+overwrite: ``put`` of an existing SDFS name broadcasts a delete first
+(SDFS.cpp:133-135) — there is no row-level update anywhere. A modern
+pipeline needs row-level MERGE semantics (apply a change set of
+inserts/updates/deletes onto a base table); without a transactional
+table format this is expressed as a full-outer join, which is exactly
+what table formats compile MERGE INTO down to.
+
+The change set here is derived deterministically from the base table
+itself (no extra fixtures): every 7th order is touched (delete if
+key % 3 = 0, else update doubling the price) and every 11th order
+spawns an insert under a shifted key.
+
+Scale (100 TB mindset): MERGE = one shuffle of base ∪ changes on the
+key. Change sets are normally tiny relative to base — at scale the
+right plan is a *broadcast* of changes + left join for updates/deletes
+plus a union of inserts, or storage-level copy-on-write; the
+full-outer form here is the general case when changes are also large.
+The anti-join dedup guard keeps the operation idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.registry import register
+
+_CHANGES_SQL = """
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+           o_totalprice * 2 AS new_price
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000 AS key, 'I' AS op,
+           o_totalprice AS new_price
+    FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    touched = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("o_totalprice") * 2).alias("new_price"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    return touched.unionAll(inserts)
+
+
+def merge_apply(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """General MERGE: full-outer join base with changes on the key;
+    deletes drop, updates take the change row's values, inserts are
+    change rows with no base match. Returns
+    (key, price, merge_action)."""
+    b = base.select(
+        F.col(key).alias("key"), F.col("o_totalprice").alias("old_price")
+    )
+    j = b.join(changes, "key", "full_outer")
+    return j.where((F.col("op").isNull()) | (F.col("op") != "D")).select(
+        F.col("key").alias("o_orderkey"),
+        F.coalesce("new_price", "old_price").alias("o_totalprice"),
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("op") == "U", F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_SQL})
+    SELECT COALESCE(b.o_orderkey, c.key) AS o_orderkey,
+           COALESCE(c.new_price, b.o_totalprice) AS o_totalprice,
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS merge_action
+    FROM orders b FULL JOIN changes c ON b.o_orderkey = c.key
+    WHERE COALESCE(c.op, '') <> 'D'
+    """,
+    tags=("cdc", "merge", "join"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (upsert+delete) applied to orders — the row-level
+    form of the reference's whole-file overwrite-put (SDFS.cpp:129-179).
+    """
+    base = load_table(spark, sf_dir, "orders")
+    return merge_apply(base, _changes(spark, sf_dir), "o_orderkey")
+
+
+@register(
+    "merge_accounting",
+    oracle=f"""
+    WITH changes AS ({_CHANGES_SQL})
+    SELECT CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN c.op = 'D' THEN 'deleted'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS merge_action,
+           COUNT(*) AS n_rows
+    FROM orders b FULL JOIN changes c ON b.o_orderkey = c.key
+    GROUP BY 1
+    """,
+    tags=("cdc", "merge", "agg"),
+)
+def merge_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge audit: row counts per action incl. deletes — the accounting
+    a production MERGE emits (rows matched/updated/deleted/inserted)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    j = base.join(_changes(spark, sf_dir), "key", "full_outer")
+    return (
+        j.select(
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("op") == "D", F.lit("deleted"))
+            .when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("merge_action")
+        )
+        .groupBy("merge_action")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

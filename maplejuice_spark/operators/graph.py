@@ -1,0 +1,165 @@
+"""Iterative graph analytics.
+
+The reference's only graph support is encoding a graph as an edge-list
+text file and inverting it (linked_graph_map.cpp:14-17,
+linked_graph_reduce.cpp:10-13). Its extensible exe surface
+(MapleJuice.cpp:63,92 — any executable is a map/reduce step) plus job
+chaining (scheduler.cpp:62-107) means iterative algorithms like PageRank
+are *expressible* there as N chained maple+juice jobs; this module is
+that capability re-expressed as Spark DataFrame iteration.
+
+Determinism note: classic PageRank sums doubles, whose value depends on
+partition order. Both queries here use SCALED INTEGER arithmetic
+(rank × 1e12 as BIGINT, floor division) — associative, partition-order
+independent, and bit-identical between Spark and the DuckDB oracle at
+any parallelism. Positive operands make Spark's truncating ``div`` and
+DuckDB's flooring ``//`` agree.
+
+Edges are derived deterministically from the orders table
+(o_custkey % N -> o_orderkey % N), giving a dense ~N-node multigraph
+collapsed with DISTINCT.
+
+Scale (100 TB mindset): each iteration is one equi-join (ranks x edges
+on src) + one hash aggregation on dst — the canonical distributed
+PageRank shape. Out-degrees are joined once *before* the loop so the
+per-iteration join carries (src, dst, deg) only. At real scale: edges
+repartitioned by src once and cached, ranks co-partitioned on the join
+key so every iteration reuses the same exchange; localCheckpoint every
+few iterations to truncate lineage (the 3 unrolled iterations here stay
+one Catalyst plan — no checkpoint needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.registry import register
+
+N_NODES = 50  # modulus for the derived graph's node ids
+SCALE = 1_000_000_000_000  # rank fixed-point scale (1.0 == 1e12)
+BASE = SCALE * 15 // 100  # (1 - d) × SCALE, damping d = 0.85
+N_ITER = 3
+
+_EDGES_SQL = f"""
+    SELECT DISTINCT o_custkey % {N_NODES} AS src,
+                    o_orderkey % {N_NODES} AS dst
+    FROM orders
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        (F.col("o_custkey") % N_NODES).alias("src"),
+        (F.col("o_orderkey") % N_NODES).alias("dst"),
+    ).distinct()
+
+
+def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """Simplified PageRank (no dangling-mass redistribution), scaled-
+    integer exact: rank' = 0.15·S + floor(0.85·Σ floor(rank_src/deg)).
+
+    Returns (node BIGINT, rank_scaled BIGINT).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Degree rides along with each edge so the loop never re-joins it.
+    ed = edges.join(F.broadcast(outdeg), "src")
+    ranks = nodes.withColumn("rank", F.lit(SCALE).cast("bigint"))
+    for _ in range(n_iter):
+        contribs = (
+            ed.join(
+                ranks.withColumnRenamed("node", "src"),
+                "src",
+            )
+            .select("dst", F.expr("rank div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = nodes.join(
+            contribs.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(BASE)
+                + F.expr("(85 * coalesce(contrib, 0L)) div 100")
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def _unrolled_oracle(n_iter: int = N_ITER) -> str:
+    """The same fixed-point recurrence unrolled as chained CTEs."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
+        f"r0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS rank FROM nodes),",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst, CAST(SUM(r.rank // o.deg) AS BIGINT)"
+            f" AS contrib FROM edges e"
+            f" JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN outdeg o ON e.src = o.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, CAST({BASE} +"
+            f" (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, rank AS rank_scaled FROM r{n_iter}")
+    return "\n".join(parts)
+
+
+@register(
+    "pagerank_3iter",
+    oracle=_unrolled_oracle(),
+    tags=("graph", "iterative"),
+)
+def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the derived orders graph — the iterative
+    join-agg family the reference reaches via chained maple/juice jobs
+    (scheduler.cpp:62-107). Exact by scaled-integer construction; the
+    oracle is the identical recurrence unrolled into CTEs.
+    """
+    return pagerank(_edges(spark, sf_dir))
+
+
+@register(
+    "two_hop_neighbors",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL})
+    SELECT a.src AS node, COUNT(DISTINCT b.dst) AS n_two_hop
+    FROM edges a JOIN edges b ON a.dst = b.src
+    GROUP BY a.src
+    """,
+    tags=("graph", "self-join"),
+)
+def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 2-hop reachability counts via edge self-join — the
+    graph-traversal shape (join on dst = src) the reference can only
+    express as a second chained job over its adjacency output.
+
+    Scale: self-join shuffles both sides on the hop key; the distinct
+    count is a partial-aggregated expand. Bucketing the edge table on
+    (src) makes hop joins exchange-free at 100 TB.
+    """
+    edges = _edges(spark, sf_dir)
+    a = edges.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    b = edges.select(F.col("src").alias("mid"), F.col("dst").alias("two"))
+    return (
+        a.join(b, "mid")
+        .groupBy("node")
+        .agg(F.countDistinct("two").alias("n_two_hop"))
+    )

@@ -288,3 +288,73 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "term_relevance_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest({_SQL_TOKENS})) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf * n.n_docs) // df.df AS relevance
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, relevance,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY relevance DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, relevance, rk FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by an integer-exact
+    TF-IDF analogue: relevance = floor(tf × N_docs / df). The rational
+    score keeps the rarity weighting of idf while staying bit-identical
+    across engines (no floating-point log).
+
+    Plan: tokenize -> (doc, term) hash agg -> df hash agg -> equi-join
+    tf x df (term key) x broadcast scalar N -> per-doc window top-k
+    (WindowGroupLimit prunes before the full sort). Scale: both aggs
+    partial-combine map-side; df is |vocab|-sized (zipf-bounded), so the
+    tf x df join broadcasts the vocabulary at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(tf * n_docs) div df").alias("relevance"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("relevance").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "relevance", "rk")
+    )

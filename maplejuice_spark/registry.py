@@ -44,7 +44,9 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import for registration side effects; deferred to avoid cycles.
     from maplejuice_spark.operators import (  # noqa: F401
         advanced,
+        cdc,
         dedup,
+        graph,
         multimodal,
         pipeline,
         relational,

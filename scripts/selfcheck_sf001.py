@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""One-shot dual-engine self-check at an arbitrary SF dir (default sf0.01,
+the driver's CORRECTNESS gate scale). Mirrors tests/test_oracle.py but as
+a standalone script so it can run against bigger SFs without pytest
+overhead. Prints per-query PASS/FAIL and a summary."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from maplejuice_spark.registry import all_queries  # noqa: E402
+from maplejuice_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    if v is None:
+        return ("<null>",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("<null>",)
+        if v.is_integer() and abs(v) < 2**53:
+            return ("i", int(v))
+        return ("f", v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("arr", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.isoformat())
+    if hasattr(v, "isoformat"):
+        return ("ts", v.isoformat())
+    if isinstance(v, int):
+        return ("i", int(v))
+    return ("s", str(v))
+
+
+def _canon(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(_norm_cell(row[c]) for c in cols) for _, row in pdf.iterrows()
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    specs = all_queries()
+    names = sorted(specs) if only is None else only
+    failed = []
+    for name in names:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        try:
+            got = spec.fn(spark, sf_dir).toPandas()
+            if spec.oracle is None:
+                print(f"ROWSONLY {name}: {len(got)} rows "
+                      f"({time.perf_counter() - t0:.1f}s)")
+                continue
+            want = con.sql(spec.oracle).df()
+            if sorted(got.columns) != sorted(want.columns):
+                raise AssertionError(
+                    f"cols spark={sorted(got.columns)} "
+                    f"duck={sorted(want.columns)}")
+            if len(got) != len(want):
+                raise AssertionError(
+                    f"rows spark={len(got)} duck={len(want)}")
+            g, w = _canon(got), _canon(want)
+            if g != w:
+                diffs = [(a, b) for a, b in zip(g, w) if a != b][:3]
+                raise AssertionError(f"values differ, first: {diffs}")
+            print(f"PASS {name} ({time.perf_counter() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: {e}")
+    print(f"\n{len(names) - len(failed)}/{len(names)} ok; "
+          f"failed: {failed}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
