@@ -40,6 +40,9 @@ HEADLINE = [
     "q18_large_orders",
     "q21_waiting_suppliers",
     "corpus_curation",
+    "pagerank_3iter",
+    "term_relevance_topk",
+    "merge_upsert_orders",
 ]
 
 

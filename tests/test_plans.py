@@ -169,3 +169,34 @@ def test_ivf_cross_join_is_broadcast_only(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan  # only BroadcastNestedLoop allowed
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pagerank_no_cartesian_and_partial_agg(spark, sf_dir):
+    """Each PageRank iteration is equi-join + hash agg: no cartesian
+    anywhere in the 3-iteration unrolled plan, and contribution sums
+    partial-aggregate before their exchange."""
+    from maplejuice_spark.operators.graph import pagerank_3iter
+
+    df = pagerank_3iter(spark, sf_dir)
+    assert not plans.has_cartesian(df)
+    assert "partial" in plans.physical_plan(df).lower()
+
+
+def test_term_relevance_rank_limit_pushdown(spark, sf_dir):
+    """The per-doc top-3 must prune via WindowGroupLimit (per-partition
+    heap), not sort every (doc, term) pair globally."""
+    from maplejuice_spark.operators.text import term_relevance_topk
+
+    df = term_relevance_topk(spark, sf_dir)
+    assert "WindowGroupLimit" in plans.physical_plan(df)
+
+
+def test_merge_upsert_is_hash_join(spark, sf_dir):
+    """The MERGE full-outer join must plan as a hash/SMJ equi-join on
+    the key — never a nested loop."""
+    from maplejuice_spark.operators.cdc import merge_upsert_orders
+
+    df = merge_upsert_orders(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert not plans.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
