@@ -1,0 +1,103 @@
+"""Deterministic sampling operators.
+
+The reference has no sampling of any kind — every job reads the full
+input (SURVEY.md §2.4). A training-data pipeline needs reproducible
+samples: `df.sample()` seeds per-partition RNG state, so its output
+changes with partitioning/cluster size — unacceptable for dataset
+lineage. Everything here samples by *content hash* instead: the same
+row is in or out of the sample regardless of parallelism, file layout,
+or engine (the same property train_val_test_split relies on).
+
+Scale (100 TB mindset): hash-bernoulli is a pure map-side projection —
+a filter on md5(id), no shuffle, no state, trivially pushdown-adjacent.
+The stratified fixed-quota variant costs one shuffle on the stratum key
+and prunes per-group via WindowGroupLimit — per-stratum heaps, never a
+global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.registry import register
+
+# First two hex chars of md5 < '1a' keeps 26/256 ~ 10.2% of rows.
+_PREFIX_LT = "1a"
+QUOTA = 50
+
+
+def _hash_key(c: F.Column | str) -> F.Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.md5(c.cast("string").cast("binary"))
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_PREFIX_LT}'
+    """,
+    tags=("sampling", "filter"),
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% bernoulli sample by md5(doc_id) hex prefix — reproducible
+    under any partitioning (unlike seeded df.sample), identical across
+    engines, and a pure map-side filter at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.substring(_hash_key("doc_id"), 1, 2) < _PREFIX_LT
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "sample_stratified_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, lang, rk FROM ranked WHERE rk <= {QUOTA}
+    """,
+    tags=("sampling", "window"),
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed quota of {QUOTA} docs per source stratum, chosen by hash
+    order — a deterministic reservoir sample. One shuffle on the
+    stratum key; the quota prunes via per-partition rank limit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_hash_key("doc_id"), "doc_id")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= QUOTA)
+    )
+
+
+@register(
+    "sample_accounting",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_PREFIX_LT}'
+           ) AS n_sampled
+    FROM documents GROUP BY source
+    """,
+    tags=("sampling", "agg"),
+)
+def sample_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sample-rate audit (total vs sampled counts in one
+    pass) — the lineage record a pipeline stores alongside a sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = F.substring(_hash_key("doc_id"), 1, 2) < _PREFIX_LT
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(in_sample).alias("n_sampled"),
+    )

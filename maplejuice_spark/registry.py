@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pipeline,
         relational,
+        sampling,
         similarity,
         skew,
         sql_queries,

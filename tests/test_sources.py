@@ -74,3 +74,31 @@ def test_binary_file_reader(spark, tmp_path):
 def test_unsupported_format(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_any(spark, "/tmp/x", fmt="delta")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
+    """Hive-style partitioned parquet + a partition-key filter must plan
+    as partition pruning (PartitionFilters on the scan), not a full scan
+    — at 100 TB this is the difference between reading one partition
+    and reading the lake."""
+    from maplejuice_spark import plans
+    from maplejuice_spark.catalog import load_table
+
+    dest = str(tmp_path / "orders_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(dest)
+    back = spark.read.parquet(dest).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = plans.physical_plan(back)
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan[:2000]
+    # Pruned read returns exactly the filtered subset.
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert back.count() == want
