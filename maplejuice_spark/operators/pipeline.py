@@ -138,3 +138,52 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY month, o_orderpriority
+    """,
+    tags=("pipeline", "incremental", "agg"),
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    rollup is computed as base partials (orders with o_orderkey%10 != 0,
+    standing in for the existing MV) merged with delta partials (the
+    %10 == 0 "new" rows) — partial-agg union re-agg, never a full
+    recompute. The oracle IS the full recompute: decimal partials are
+    algebraic, so merge(base, delta) is exactly equal.
+
+    Scale: this is how a 100 TB rollup absorbs a daily increment — the
+    MV stores (group, decimal_sum, count) partials; each refresh
+    aggregates only the delta and merges, O(delta + |groups|).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("month"),
+            "o_orderpriority",
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    base = partials(orders.where(F.col("o_orderkey") % 10 != 0))
+    delta = partials(orders.where(F.col("o_orderkey") % 10 == 0))
+    return (
+        base.unionAll(delta)
+        .groupBy("month", "o_orderpriority")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("n").alias("n_orders"),
+        )
+    )

@@ -470,3 +470,98 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"mj_stream_ss_join_{_STREAM_RUN_SEQ[0]}"
     run_stream_to_memory(joined, name, mode="append")
     return spark.table(name)
+
+
+def _latest_partials(batch: DataFrame) -> DataFrame:
+    """Per-user partial state for one micro-batch: the batch's latest
+    event (by (ts_us, event_id)) plus its event count. Partials are
+    mergeable: latest-of-latests and sum-of-counts."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        batch.select(
+            "user_id",
+            ts_us_div("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+        .withColumn("n_events", F.count(F.lit(1)).over(
+            Window.partitionBy("user_id")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+@register(
+    "stream_upsert_latest",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, epoch_us(ts) AS latest_ts_us,
+             event_id AS latest_event_id, value AS latest_value,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id, latest_ts_us, latest_event_id, latest_value, n_events
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("streaming", "cdc", "foreachBatch"),
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert via foreachBatch: each micro-batch reduces to
+    per-user partial state (latest event + count) appended to a state
+    log; reading the log compacts partials into final state — the
+    append-log + compaction pattern transactional table formats wrap.
+
+    Scale: per-batch work is one window over the batch only; the log
+    grows by |active users| per batch, not |events|; compaction is a
+    partial-merge (latest-of-latests, sum of counts), so state never
+    needs the raw stream. Deterministic: the (ts_us, event_id) total
+    order makes "latest" unique, so any batch split yields the same
+    final state — which is why the single-replay result equals the
+    batch oracle.
+    """
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    state_dir = tempfile.mkdtemp(prefix="mj_upsert_state_")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        _latest_partials(batch).write.mode("append").parquet(state_dir)
+
+    ev = stream_events(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="mj_upsert_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    log = spark.read.parquet(state_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn(
+            "n_total", F.sum("n_events").over(Window.partitionBy("user_id"))
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("latest_ts_us"),
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+            F.col("n_total").alias("n_events"),
+        )
+    )
