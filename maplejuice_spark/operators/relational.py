@@ -895,3 +895,44 @@ def map_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("brand").alias("brand_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_entries"),
     )
+
+
+@register(
+    "struct_funcs_lineitems",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey,
+             list_sort(list(struct_pack(pk := l_partkey, qty := l_quantity)))
+               AS items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(items) AS n_items,
+           items[1].pk AS first_part,
+           items[1].qty AS first_qty,
+           items[-1].pk AS last_part
+    FROM g
+    """,
+    tags=("functions", "struct", "nested"),
+)
+def struct_funcs_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: build (pk, qty) structs per line item,
+    collect and sort the struct array per order (lexicographic struct
+    ordering), then extract fields positionally. The output is flat
+    columns — nested types live inside the plan, where they model
+    order-line detail records at any scale (one shuffle on the order
+    key; struct arrays stay executor-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_partkey").alias("pk"), F.col("l_quantity").alias("qty")
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(item)).alias("items")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.element_at("items", 1)["pk"].alias("first_part"),
+        F.element_at("items", 1)["qty"].alias("first_qty"),
+        F.element_at("items", -1)["pk"].alias("last_part"),
+    )

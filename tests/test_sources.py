@@ -102,3 +102,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
         .count()
     )
     assert back.count() == want
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: files written with different (compatible)
+    schemas read back as the union schema under mergeSchema, with nulls
+    for columns absent in older files — how a lake absorbs new columns
+    without rewriting history."""
+    dest = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        dest + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(dest + "/batch=1")
+    back = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert set(back.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
