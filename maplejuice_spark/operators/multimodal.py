@@ -182,3 +182,99 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("bigint").alias("height"),
         "feature",
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("new_width", T.LongType()),
+        T.StructField("new_height", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+RESIZE_TARGET = 224
+
+
+def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """STUB resize kernel over binary payloads via mapInPandas: decode
+    (stub) -> integer aspect-preserving scale to ``target`` on the long
+    side -> digest of the "resized" payload (md5 of payload + dims tag;
+    a real kernel would emit resampled pixel bytes here).
+
+    Integer arithmetic keeps the geometry bit-identical to the SQL
+    restatement; the Spark plumbing (Arrow batches, fixed schema, pure
+    map, no shuffle) is the real production shape.
+    """
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h = _stub_decode(b)
+                if w >= h:
+                    nw, nh = target, (h * target) // w
+                else:
+                    nw, nh = (w * target) // h, target
+                tag = f"|{nw}x{nh}".encode()
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        nw,
+                        nh,
+                        hashlib.md5(b + tag).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "new_width",
+                    "new_height",
+                    "resized_md5",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, text,
+             256 + (ascii(substr(text, 1, 1)) % 16) * 64 AS width,
+             256 + (ascii(substr(text, 2, 1)) % 16) * 64 AS height
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    scaled AS (
+      SELECT doc_id, text, width, height,
+             CASE WHEN width >= height THEN {RESIZE_TARGET}
+                  ELSE (width * {RESIZE_TARGET}) // height END AS new_width,
+             CASE WHEN width >= height
+                  THEN (height * {RESIZE_TARGET}) // width
+                  ELSE {RESIZE_TARGET} END AS new_height
+      FROM dims
+    )
+    SELECT doc_id, width, height, new_width, new_height,
+           md5(text || '|' || new_width || 'x' || new_height) AS resized_md5
+    FROM scaled
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize over the media table — the third stub
+    kernel (decode / frame-sample+features / resize) on the same
+    mapInPandas plumbing, oracle-checked via integer geometry and a
+    digest of the tagged payload (ASCII payloads make the Python bytes
+    and SQL string md5 agree)."""
+    media = as_media_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return resize_media(media)
