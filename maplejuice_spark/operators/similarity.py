@@ -539,3 +539,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("v1", "v2", dot("av", "bvec").alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_DUP_THRESHOLD)
     )
+
+
+PROJ_DIM = 8
+IN_DIM = 64
+
+
+def _proj_weight_expr(vec: F.Column, j: int) -> F.Column:
+    """Sequential-fold dot of ``vec`` with projection column ``j`` of a
+    fixed integer weight matrix w[i][j] = ((i*31 + j*13) % 11) - 5 — a
+    deterministic, engine-independent stand-in for a seeded Gaussian
+    matrix (distinct weight pattern per output dim; mod 11 keeps the 8
+    column offsets 13j mod 11 all distinct)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(IN_DIM)),
+            # NB: a 2-arg lambda would make Spark pass the array INDEX
+            # as the 2nd arg — j must be closed over, not a parameter.
+            lambda i: F.element_at(vec, i)
+            * ((((i - 1) * 31 + j * 13) % 11) - 5).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "embed_random_projection",
+    oracle=f"""
+    SELECT vec_id, label,
+           [
+             {",".join(
+               "list_reduce(list_prepend(0.0,"
+               f" list_transform(generate_series(1, {IN_DIM}),"
+               f" i -> CAST(embedding[i] AS DOUBLE)"
+               f" * (((i - 1) * 31 + {j} * 13) % 11 - 5))),"
+               " (a, x) -> a + x)"
+               for j in range(PROJ_DIM)
+             )}
+           ] AS proj
+    FROM embeddings
+    """,
+    tags=("similarity", "projection", "vector"),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (64 -> 8 dims) with a
+    fixed integer weight matrix — the cheap pre-filter in front of exact
+    re-scoring at ANN scale (project once, bucket or coarse-score in the
+    reduced space, re-rank survivors in full dimension).
+
+    Exactness: integer weights x double components, summed by a
+    sequential left fold in BOTH engines — bit-identical, no seeded RNG.
+    Scale: pure map over the corpus (no shuffle); the projection matrix
+    is a compile-time constant in the plan, the at-scale analog of
+    broadcasting a small learned matrix.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = to_double_vec(F.col("embedding"))
+    comps = [_proj_weight_expr(vec, j) for j in range(PROJ_DIM)]
+    return emb.select("vec_id", "label", F.array(*comps).alias("proj"))

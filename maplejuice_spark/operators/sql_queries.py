@@ -374,3 +374,27 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """,
     )
+
+
+@register(
+    "approx_quantiles_price",
+    oracle=None,  # t-digest/GK sketches are engine-specific — rows-only
+    tags=("agg", "approx", "percentile"),
+)
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK-style sketch): the mergeable-sketch
+    path for quantiles at 100 TB — exact percentiles need a global sort
+    per group, sketches keep fixed per-group state and merge
+    associatively. Exact twins live in quantile_stats; estimates are
+    engine-specific, hence rows-only."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)
+                 AS price_quantiles,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
