@@ -502,3 +502,85 @@ def cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     two axes. Both cross-join inputs are tiny and broadcast; the fact
     side is aggregated before joining."""
     return _sql(spark, sf_dir, _CROSS_SPARK)
+
+
+_REGR_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(19,0)) AS x,
+         CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(19,0)) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100 AS slope,
+       ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) / 100
+         AS intercept,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+FROM m
+"""
+
+
+@register(
+    "regression_qty_price",
+    oracle=_REGR_SQL,
+    tags=("sql", "agg", "statistics", "regression"),
+)
+def regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/Pearson corr of
+    extendedprice on quantity per returnflag) from exact INTEGER moments
+    (n, Σx, Σy, Σx², Σy², Σxy over quantity units and price cents, summed
+    as DECIMAL(38,0)) — the variance_stats trick pushed further: scaled
+    decimals convert to double through two roundings (engine-dependent
+    last ULP), integers convert through one correctly-rounded step, so
+    the final projection's IEEE ops (÷, ×, sqrt) are engine-identical.
+    Built-in regr_slope/corr stream float updates and can't hash-match
+    across engines."""
+    return _sql(spark, sf_dir, _REGR_SQL)
+
+
+_DQ_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT COUNT(*) FROM events WHERE props IS NULL) AS null_props_events,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
+    AS out_of_range_lineitems,
+  (SELECT COUNT(*) FROM documents WHERE LENGTH(text) <> n_chars)
+    AS inconsistent_nchars_docs
+"""
+
+
+@register(
+    "data_quality_audit",
+    oracle=_DQ_SQL,
+    tags=("pipeline", "quality", "anti-join"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level expectation audit in one statement: referential
+    integrity (orphans via NOT EXISTS -> left-anti hash joins), null
+    rates, range violations, and derived-column consistency — the
+    validation gate a pipeline runs before promoting a snapshot.
+
+    Scale: each check is an independent aggregate; the anti-joins
+    shuffle on their key, the scans prune to the checked columns. At
+    100 TB run checks as one pass per table (combine predicates) and
+    sample-first for cheap early failure."""
+    return _sql(spark, sf_dir, _DQ_SQL)
