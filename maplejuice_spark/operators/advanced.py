@@ -20,6 +20,7 @@ Scale notes (100 TB mindset):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import register_testdata
 from maplejuice_spark.registry import register
@@ -584,3 +585,81 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB run checks as one pass per table (combine predicates) and
     sample-first for cheap early failure."""
     return _sql(spark, sf_dir, _DQ_SQL)
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "event_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > v.t1
+        AND epoch_us(e.ts) <= v.t1 + {_HOUR_US}
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.t2
+        AND epoch_us(e.ts) <= c.t2 + {_HOUR_US}
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("analytics", "funnel", "join"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step conversion funnel (view -> click within 1 h -> purchase
+    within 1 h of the click) with min-time step progression — the
+    sequential-pattern query behind product analytics, expressed as
+    per-step equi-joins on user_id with time-band predicates.
+
+    Scale: each step is one hash agg + one equi-join on user_id; step
+    outputs shrink monotonically, so later joins are cheap(er); all
+    steps share the user_id shuffle key, so a real deployment
+    pre-partitions events by user once. Time math is integer µs — exact
+    in both engines.
+    """
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import ts_us_div
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us_div("ts").alias("t")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("t") > F.col("t1")) & (F.col("t") <= F.col("t1") + _HOUR_US))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("t") > F.col("t2")) & (F.col("t") <= F.col("t2") + _HOUR_US))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+        )
+    )
