@@ -663,3 +663,63 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
         )
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH signup AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT s.user_id,
+             s.t0 // {_WEEK_US} AS cohort_week,
+             (epoch_us(e.ts) - s.t0) // {_WEEK_US} AS week_offset
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE epoch_us(e.ts) >= s.t0
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users grouped by signup week (first
+    'signup' event), counted as active in each whole-week offset where
+    they have any later event — the other standard product-analytics
+    shape next to funnels and sessionization.
+
+    Plan: per-user min (hash agg) -> equi-join back to events on
+    user_id -> distinct (cohort, offset, user) -> count. Week buckets
+    are integer floor divisions of epoch µs (non-negative), identical
+    across engines. Scale: both shuffles key on user_id; the distinct
+    partial-aggregates map-side; cohort output is O(weeks²), tiny.
+    """
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import ts_us_div
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us_div("ts").alias("t")
+    )
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t0"))
+    )
+    activity = (
+        ev.join(signup, "user_id")
+        .where(F.col("t") >= F.col("t0"))
+        .select(
+            "user_id",
+            F.expr(f"t0 div {_WEEK_US}").alias("cohort_week"),
+            F.expr(f"(t - t0) div {_WEEK_US}").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
