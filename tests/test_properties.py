@@ -69,3 +69,44 @@ def test_compat_tokenizer_matches_python_re(spark, corpus):
     want = [_TOK.findall(l) for l in corpus]
     # row order of createDataFrame(collect()) is stable for local data
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_sampling_invariant_under_repartition(spark, sf_dir):
+    """Hash-based sampling must select the SAME rows regardless of
+    physical layout — the property seeded df.sample() lacks and the
+    reason the engine samples by content hash (lineage-stable at any
+    cluster size)."""
+    from maplejuice_spark.operators.sampling import sample_hash_bernoulli
+
+    base = {r["doc_id"] for r in sample_hash_bernoulli(spark, sf_dir).collect()}
+    docs = __import__(
+        "maplejuice_spark.catalog", fromlist=["load_table"]
+    ).load_table(spark, sf_dir, "documents")
+    for n_parts in (1, 7):
+        re_rows = {
+            r["doc_id"]
+            for r in docs.repartition(n_parts)
+            .where(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+                )
+                < "1a"
+            )
+            .collect()
+        }
+        assert re_rows == base
+
+
+def test_pagerank_invariant_under_parallelism(spark, sf_dir):
+    """Scaled-integer PageRank must be bit-identical at different
+    shuffle widths — double-sum PageRank is not; this is the property
+    that makes results reproducible when the cluster size changes."""
+    from maplejuice_spark.operators.graph import pagerank, _edges
+
+    def run(n_parts):
+        e = _edges(spark, sf_dir).repartition(n_parts)
+        return sorted(
+            (r["node"], r["rank_scaled"]) for r in pagerank(e).collect()
+        )
+
+    assert run(2) == run(13)
