@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import materialize
 from maplejuice_spark.registry import register
 
 N_NODES = 50  # modulus for the derived graph's node ids
@@ -63,14 +64,18 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
 
     Returns (node BIGINT, rank_scaled BIGINT).
     """
-    nodes = (
+    nodes = materialize(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Degree rides along with each edge so the loop never re-joins it.
-    ed = edges.join(F.broadcast(outdeg), "src")
+    # Degree rides along with each edge so the loop never re-joins it;
+    # the (edge, deg) side and the node set are loop-invariant, so they
+    # are materialized ONCE — otherwise each unrolled iteration re-scans
+    # and re-shuffles the whole edge-derivation subtree (the at-scale
+    # equivalent is caching the partitioned edge table before iterating).
+    ed = materialize(edges.join(F.broadcast(outdeg), "src"))
     ranks = nodes.withColumn("rank", F.lit(SCALE).cast("bigint"))
     for _ in range(n_iter):
         contribs = (
