@@ -335,7 +335,13 @@ def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens("text")).alias("t")
     ).select("doc_id", F.lower("t").alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from maplejuice_spark.functions import materialize
+
+    # tf feeds BOTH the score join and the df aggregation — materialize
+    # so tokenize+agg runs once, not once per branch.
+    tf = materialize(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
