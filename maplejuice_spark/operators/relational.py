@@ -936,3 +936,32 @@ def struct_funcs_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("items", 1)["qty"].alias("first_qty"),
         F.element_at("items", -1)["pk"].alias("last_part"),
     )
+
+
+@register(
+    "json_schema_parse",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE props IS NULL) AS n_null_props,
+           COUNT(*) FILTER (WHERE props IS NOT NULL) AS n_parsed,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+    FROM events
+    """,
+    tags=("functions", "json"),
+)
+def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-based JSON parsing (``from_json`` with a declared
+    StructType) rather than per-path string extraction — the scalable
+    form: one parse per row into a typed struct, all downstream access
+    columnar. NULL payloads become NULL structs, counted explicitly.
+    All outputs integral, so the oracle is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "props", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.agg(
+        F.count_if(F.col("props").isNull()).alias("n_null_props"),
+        F.count_if(F.col("props").isNotNull()).alias("n_parsed"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.countDistinct(F.col("p.k")).alias("n_distinct_k"),
+    )
