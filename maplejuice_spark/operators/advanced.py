@@ -723,3 +723,102 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY month, event_type
+    """,
+    tags=("analytics", "rollup", "hypertable"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: monthly totals are NOT
+    computed from raw events but by cascading partials hour -> day ->
+    month (each level aggregates the previous level's decimal partials).
+    The oracle is the direct raw-to-month aggregation — equal because
+    count/decimal-sum partials are algebraic at every level.
+
+    Scale: this is the continuous-aggregate maintenance pattern for
+    time-series lakes — each level is O(|finer level|), the raw table
+    is touched once at the finest grain, and refreshes only recompute
+    touched buckets up the hierarchy.
+    """
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import ts_us_div
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.timestamp_micros(ts_us_div("ts")).alias("t"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "t").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    monthly = daily.groupBy(
+        F.date_format(F.date_trunc("month", "day"), "yyyy-MM-dd").alias(
+            "month"
+        ),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("total_value"),
+    )
+    return monthly
+
+
+_KMV_K = 64
+
+
+@register(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
+    ),
+    smallest AS (
+      SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K}
+    )
+    SELECT {_KMV_K} AS k,
+           MAX(h) AS kth_hash,
+           ({_KMV_K} - 1) /
+             (CAST(CAST('0x' || substr(MAX(h), 1, 15) AS BIGINT) AS DOUBLE)
+              / 1152921504606846976.0) AS est_distinct
+    FROM smallest
+    """,
+    tags=("sketch", "approx", "distinct"),
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch — unlike HLL, fully
+    deterministic given the md5 hash, so the estimate itself is
+    oracle-checkable: keep the k smallest hash values of the key set;
+    est = (k-1) / normalized k-th minimum (first 15 hex chars as a
+    fraction of 16^15).
+
+    Scale: the KMV state is k hashes — mergeable by union+re-truncate,
+    a tiny fixed-size summary per partition; the final top-k is a
+    TakeOrdered of k rows, no global sort. The exact same plan serves
+    set-union/intersection cardinality estimates by merging sketches.
+    """
+    from maplejuice_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        F.md5(F.col("l_partkey").cast("string").cast("binary")).alias("h")
+    ).distinct()
+    smallest = hashed.orderBy("h").limit(_KMV_K)
+    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    return smallest.agg(
+        F.lit(_KMV_K).alias("k"),
+        F.max("h").alias("kth_hash"),
+        ((F.lit(_KMV_K) - 1) / frac).alias("est_distinct"),
+    )
