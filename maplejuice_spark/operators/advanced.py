@@ -822,3 +822,59 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("kth_hash"),
         ((F.lit(_KMV_K) - 1) / frac).alias("est_distinct"),
     )
+
+
+@register(
+    "kmv_union_estimate",
+    oracle=f"""
+    WITH ha AS (
+      SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+      GROUP BY 1 ORDER BY 1 LIMIT {_KMV_K}
+    ),
+    hb AS (
+      SELECT md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer
+      GROUP BY 1 ORDER BY 1 LIMIT {_KMV_K}
+    ),
+    merged AS (
+      SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+      ORDER BY h LIMIT {_KMV_K}
+    )
+    SELECT {_KMV_K} AS k,
+           MAX(h) AS kth_hash,
+           ({_KMV_K} - 1) /
+             (CAST(CAST('0x' || substr(MAX(h), 1, 15) AS BIGINT) AS DOUBLE)
+              / 1152921504606846976.0) AS est_union_distinct
+    FROM merged
+    """,
+    tags=("sketch", "approx", "set-ops"),
+)
+def kmv_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability: two per-table KMV sketches (ordering
+    customers, registered customers) merge by hash-union + re-truncate
+    to k, estimating the union cardinality WITHOUT rescanning either
+    table — the property that lets per-partition / per-day sketches
+    roll up. Deterministic md5 makes even the merged estimate
+    oracle-exact."""
+    from maplejuice_spark.catalog import load_table
+
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(
+                F.md5(F.col(col).cast("string").cast("binary")).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    a = sketch(load_table(spark, sf_dir, "orders"), "o_custkey")
+    b = sketch(load_table(spark, sf_dir, "customer"), "c_custkey")
+    merged = a.union(b).distinct().orderBy("h").limit(_KMV_K)
+    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    return merged.agg(
+        F.lit(_KMV_K).alias("k"),
+        F.max("h").alias("kth_hash"),
+        ((F.lit(_KMV_K) - 1) / frac).alias("est_union_distinct"),
+    )
