@@ -70,11 +70,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Make parquet reads work on ANY caller-supplied SparkSession.
+
+    ``events.parquet`` carries a TIMESTAMP(NANOS) column that Spark
+    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set; the
+    conf is runtime-settable, so set it here instead of relying on the
+    engine's own session factory. Queries must be self-sufficient on a
+    plain ``SparkSession.builder`` session (driver-gate contract).
+
+    Session timezone is pinned to UTC for the same reason: epoch /
+    date_trunc('week') / date_format over naive timestamps must agree
+    with the DuckDB oracle regardless of the host JVM default zone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_read_confs(spark)
     return spark.read.parquet(table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    _ensure_read_confs(spark)
     out = {}
     for name in TESTDATA_TABLES:
         p = table_path(sf_dir, name)

@@ -151,14 +151,19 @@ def decode_frames(media: DataFrame, frames_per_item: int = 2) -> DataFrame:
       SELECT doc_id, text,
              unnest(generate_series(0, 1)) AS frame_idx
       FROM documents WHERE doc_id % 10 = 0
+    ),
+    ex AS (
+      SELECT doc_id, frame_idx, text,
+             unnest(generate_series(0, 7)) AS j
+      FROM f
     )
     SELECT doc_id, frame_idx,
-           256 + (ascii(substr(text, 1, 1)) % 16) * 64 AS width,
-           256 + (ascii(substr(text, 2, 1)) % 16) * 64 AS height,
-           list_transform(generate_series(1, 8),
-             j -> CAST((ascii(substr(text, ((j - 1) % LENGTH(text)) + 1, 1))
-                        + frame_idx) % 251 AS DOUBLE) / 251.0) AS feature
-    FROM f
+           CAST(256 + (ascii(substr(text, 1, 1)) % 16) * 64 AS BIGINT) AS width,
+           CAST(256 + (ascii(substr(text, 2, 1)) % 16) * 64 AS BIGINT) AS height,
+           j,
+           CAST((ascii(substr(text, (j % LENGTH(text)) + 1, 1))
+                 + frame_idx) % 251 AS DOUBLE) / 251.0 AS value
+    FROM ex
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -170,18 +175,24 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested against a SQL restatement (payloads are ASCII text bytes, so
     ascii(substr(...)) == byte value).
 
+    The per-frame feature vector is EXPLODED to (doc_id, frame_idx, j,
+    value) rows for the registered output — the harness canonicalizer
+    can only sort scalar columns; ``decode_frames`` remains the
+    array-producing library operator.
+
     Scale: the doc_id filter stands in for partition pruning of a media
     lake; the mapInPandas stage is a pure map — no shuffle, parallel in
     input splits, Arrow batch transfer.
     """
     media = as_media_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    return decode_frames(media, frames_per_item=2).select(
+    frames = decode_frames(media, frames_per_item=2)
+    return frames.select(
         "doc_id",
-        "frame_idx",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
-        "feature",
-    )
+        F.posexplode("feature").alias("j", "value"),
+    ).withColumn("j", F.col("j").cast("bigint"))
 
 
 RESIZE_SCHEMA = T.StructType(

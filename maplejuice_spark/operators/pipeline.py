@@ -48,7 +48,7 @@ _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
       SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
     )
     SELECT k.source, COUNT(*) AS n_docs,
-           SUM(k.n_tokens) AS total_tokens,
+           CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens,
            MIN(k.doc_id) AS min_doc_id
     FROM kept k JOIN keepers USING (doc_id)
     GROUP BY k.source
@@ -109,7 +109,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
              len({_SQL_TOKENS}) AS n_tokens
       FROM documents
     )
-    SELECT split, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM assigned GROUP BY split, source
     """,
     tags=("pipeline", "split"),

@@ -791,7 +791,7 @@ def math_funcs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs_orders",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_partkey)) AS parts,
+           array_to_string(list_sort(list(l_partkey)), ',') AS parts,
            COUNT(*) AS n_parts,
            MAX(l_partkey) AS max_part
     FROM lineitem GROUP BY l_orderkey
@@ -800,10 +800,14 @@ def math_funcs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list + array functions (the reference's key→values shape,
-    MapleJuice.cpp:260-281, with real array types)."""
+    MapleJuice.cpp:260-281, with real array types). The array lives
+    inside the plan; the registered output serializes it to a ','-joined
+    string (scalar columns only at the harness boundary)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("l_partkey")).cast("array<string>")
+        ).alias("parts"),
         F.count(F.lit(1)).alias("n_parts"),
         F.max("l_partkey").alias("max_part"),
     )
@@ -869,8 +873,8 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey, MAP(['brand','type'], [p_brand, p_type]) AS pm FROM part
     )
     SELECT p_partkey,
-           map_keys(pm) AS ks,
-           map_values(pm) AS vs,
+           array_to_string(map_keys(pm), ',') AS ks,
+           array_to_string(map_values(pm), ',') AS vs,
            pm['brand'][1] AS brand_val,
            CAST(cardinality(pm) AS BIGINT) AS n_entries
     FROM m
@@ -879,6 +883,8 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type surface: build, keys/values, point lookup, cardinality.
+    Keys/values serialize to ','-joined strings at the output boundary
+    (the map itself stays inside the plan).
 
     (DuckDB's ``m[k]`` yields a list; ``[1]`` unwraps to match Spark's
     scalar extraction.)
@@ -890,8 +896,8 @@ def map_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.select(
         "p_partkey",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.concat_ws(",", F.map_keys(m)).alias("ks"),
+        F.concat_ws(",", F.map_values(m)).alias("vs"),
         m.getItem("brand").alias("brand_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_entries"),
     )

@@ -568,16 +568,14 @@ def _proj_weight_expr(vec: F.Column, j: int) -> F.Column:
     "embed_random_projection",
     oracle=f"""
     SELECT vec_id, label,
-           [
-             {",".join(
-               "list_reduce(list_prepend(0.0,"
-               f" list_transform(generate_series(1, {IN_DIM}),"
-               f" i -> CAST(embedding[i] AS DOUBLE)"
-               f" * (((i - 1) * 31 + {j} * 13) % 11 - 5))),"
-               " (a, x) -> a + x)"
-               for j in range(PROJ_DIM)
-             )}
-           ] AS proj
+           {",".join(
+             "list_reduce(list_prepend(0.0,"
+             f" list_transform(generate_series(1, {IN_DIM}),"
+             f" i -> CAST(embedding[i] AS DOUBLE)"
+             f" * (((i - 1) * 31 + {j} * 13) % 11 - 5))),"
+             f" (a, x) -> a + x) AS p{j}"
+             for j in range(PROJ_DIM)
+           )}
     FROM embeddings
     """,
     tags=("similarity", "projection", "vector"),
@@ -590,11 +588,17 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: integer weights x double components, summed by a
     sequential left fold in BOTH engines — bit-identical, no seeded RNG.
+    The registered output is one scalar column per reduced dimension
+    (p0..p7) — the harness canonicalizer cannot sort array cells; use
+    ``F.array`` over the same exprs for an array-typed library variant.
     Scale: pure map over the corpus (no shuffle); the projection matrix
     is a compile-time constant in the plan, the at-scale analog of
     broadcasting a small learned matrix.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = to_double_vec(F.col("embedding"))
-    comps = [_proj_weight_expr(vec, j) for j in range(PROJ_DIM)]
-    return emb.select("vec_id", "label", F.array(*comps).alias("proj"))
+    return emb.select(
+        "vec_id",
+        "label",
+        *[_proj_weight_expr(vec, j).alias(f"p{j}") for j in range(PROJ_DIM)],
+    )

@@ -55,7 +55,7 @@ def salted_collect(
     "salted_adjacency",
     oracle="""
     SELECT l_partkey AS dst,
-           list_sort(list(DISTINCT l_suppkey)) AS srcs,
+           array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS srcs,
            COUNT(DISTINCT l_suppkey) AS n_src
     FROM lineitem GROUP BY l_partkey
     """,
@@ -65,7 +65,9 @@ def salted_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_adjacency re-planned skew-proof: per-(key,salt) partial
     collect_set, then a merge of ≤16 partial sets per key. Same result
     set as the direct collect_set (oracle-identical); the plan bounds
-    any single reducer's input at 1/16th of the hottest key.
+    any single reducer's input at 1/16th of the hottest key. Output
+    serialized to a ','-joined string (scalar columns only at the
+    harness boundary).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("dst"), F.col("l_suppkey").alias("src")
@@ -73,6 +75,6 @@ def salted_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = salted_collect(li, "dst", "src")
     return merged.select(
         "dst",
-        F.col("values").alias("srcs"),
+        F.concat_ws(",", F.col("values").cast("array<string>")).alias("srcs"),
         F.size("values").cast("bigint").alias("n_src"),
     )

@@ -392,8 +392,9 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         SELECT o_orderpriority,
-               approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)
-                 AS price_quantiles,
+               approx_percentile(o_totalprice, 0.5, 1000) AS p50,
+               approx_percentile(o_totalprice, 0.9, 1000) AS p90,
+               approx_percentile(o_totalprice, 0.99, 1000) AS p99,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
         """,

@@ -63,7 +63,7 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_adjacency",
     oracle="""
     SELECT l_partkey AS dst,
-           list_sort(list(DISTINCT l_suppkey)) AS srcs,
+           array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS srcs,
            COUNT(DISTINCT l_suppkey) AS n_src
     FROM lineitem GROUP BY l_partkey
     """,
@@ -76,6 +76,10 @@ def graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edges here: lineitem (supplier -> part). The reference's value order
     is nondeterministic (unordered_map, MapleJuice.cpp:260), so the
     canonical form sorts the list — same normalization its tests needed.
+    The registered output serializes the list to a ','-joined string
+    (matching the reference's text-file value format,
+    MapleJuice.cpp:273-276) — harness canonicalizers sort scalar
+    columns only.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # n_src = size(srcs), not countDistinct: a second DISTINCT aggregate
@@ -84,7 +88,11 @@ def graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy(F.col("l_partkey").alias("dst"))
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("srcs"))
-        .select("dst", "srcs", F.size("srcs").cast("bigint").alias("n_src"))
+        .select(
+            "dst",
+            F.concat_ws(",", F.col("srcs").cast("array<string>")).alias("srcs"),
+            F.size("srcs").cast("bigint").alias("n_src"),
+        )
     )
 
 

@@ -103,7 +103,7 @@ def _qty_udafs():
     "pandas_udaf_qty",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,

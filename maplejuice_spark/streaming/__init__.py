@@ -112,6 +112,9 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; file
     sources replay deterministically with availableNow triggers)."""
+    from maplejuice_spark.catalog import _ensure_read_confs
+
+    _ensure_read_confs(spark)  # nanos ts + UTC on ANY caller session
     # The file source requires a directory; glob-filter to the events
     # table inside the sf dir.
     raw = (

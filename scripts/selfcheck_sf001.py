@@ -1,13 +1,25 @@
 #!/usr/bin/env python3
 """One-shot dual-engine self-check at an arbitrary SF dir (default sf0.01,
-the driver's CORRECTNESS gate scale). Mirrors tests/test_oracle.py but as
-a standalone script so it can run against bigger SFs without pytest
-overhead. Prints per-query PASS/FAIL and a summary."""
+the driver's CORRECTNESS gate scale). Mirrors the DRIVER's harness, not a
+friendlier one:
+
+- The SparkSession is a plain ``SparkSession.builder`` session with NO
+  engine configs (the driver passes its own session; queries must be
+  self-sufficient — round-1 lesson, 21 gate failures).
+- Row canonicalization sorts the pandas frame with ``sort_values`` over
+  all columns, which raises on unhashable (array) cells exactly like the
+  driver's canonicalizer.
+- Value comparison is dtype-strict: int64 64 vs float64 64.0 FAILS
+  (DuckDB HUGEINT widening must be caught here, not at the gate).
+
+Usage: selfcheck_sf001.py [SF_DIR] [name1,name2,...]
+"""
 
 from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
 
@@ -15,10 +27,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
-
-from maplejuice_spark.registry import all_queries  # noqa: E402
-from maplejuice_spark.session import get_spark  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -26,37 +37,61 @@ TABLES = (
 ).split()
 
 
+def plain_spark() -> SparkSession:
+    """Driver-identical session: bare builder, no engine configs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("selfcheck-plain")
+        .getOrCreate()
+    )
+
+
 def _norm_cell(v):
+    # Dtype-strict: float and int are DIFFERENT even when equal-valued;
+    # floats compare byte-exact (the driver hash is byte-sensitive).
     if v is None:
         return ("<null>",)
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return ("<null>",)
-        if v.is_integer() and abs(v) < 2**53:
-            return ("i", int(v))
-        return ("f", v)
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("arr", tuple(_norm_cell(x) for x in v))
+        return ("f", struct.pack("<d", f))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("b", bytes(v))
     if isinstance(v, pd.Timestamp):
         return ("ts", v.isoformat())
     if hasattr(v, "isoformat"):
         return ("ts", v.isoformat())
-    if isinstance(v, int):
-        return ("i", int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        # The driver cannot sort these; _canon's sort_values raises first,
+        # but keep a strict encoding for single-row frames that slip through.
+        return ("arr", tuple(_norm_cell(x) for x in v))
     return ("s", str(v))
 
 
-def _canon(pdf):
+def _canon(pdf: pd.DataFrame):
     cols = sorted(pdf.columns)
-    return sorted(
+    pdf = pdf[cols]
+    # Driver-identical: sort_values over every column — unhashable cells
+    # (lists/arrays) raise TypeError here, same as the gate.
+    pdf = pdf.sort_values(cols).reset_index(drop=True)
+    return [
         tuple(_norm_cell(row[c]) for c in cols) for _, row in pdf.iterrows()
-    )
+    ]
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    spark = get_spark(app_name="selfcheck")
+
+    from maplejuice_spark.registry import all_queries
+
+    spark = plain_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -73,6 +108,9 @@ def main() -> None:
         try:
             got = spec.fn(spark, sf_dir).toPandas()
             if spec.oracle is None:
+                # Driver's weaker rows-only check still canonicalizes the
+                # Spark frame — arrays must not appear here either.
+                _canon(got)
                 print(f"ROWSONLY {name}: {len(got)} rows "
                       f"({time.perf_counter() - t0:.1f}s)")
                 continue
@@ -91,7 +129,8 @@ def main() -> None:
             print(f"PASS {name} ({time.perf_counter() - t0:.1f}s)")
         except Exception as e:  # noqa: BLE001
             failed.append(name)
-            print(f"FAIL {name}: {e}")
+            msg = str(e).replace("\n", " ")[:500]
+            print(f"FAIL {name}: {msg}")
     print(f"\n{len(names) - len(failed)}/{len(names)} ok; "
           f"failed: {failed}")
     sys.exit(1 if failed else 0)
