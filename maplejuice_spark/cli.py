@@ -158,13 +158,29 @@ def cmd_store(args: argparse.Namespace) -> None:
 
 
 def cmd_grep(args: argparse.Namespace) -> None:
-    """Distributed grep with per-file and global counts (logger.cpp:193-224)."""
-    from maplejuice_spark.compat.grep import grep_files, grep_total
+    """Distributed grep (logger.cpp:193-224). Flags -i/-v/-c/-F mirror
+    the reference's raw-grep-command surface (logger.cpp:50-56)."""
+    from maplejuice_spark.compat.grep import grep_command
 
     spark = _spark()
-    for row in grep_files(spark, _path(args.sdfs), args.pattern).collect():
-        print(f"{row['file']}: {row['n_matches']}")
-    print(f"Line_count: {grep_total(spark, _path(args.sdfs), args.pattern)}")
+    res = grep_command(
+        spark,
+        _path(args.sdfs),
+        args.pattern,
+        ignore_case=args.ignore_case,
+        invert=args.invert,
+        count_only=args.count,
+        fixed_string=args.fixed,
+    )
+    rows = res.collect()
+    if args.count:
+        for row in rows:
+            print(f"{row['file']}: {row['n_matches']}")
+        print(f"Line_count: {sum(r['n_matches'] for r in rows)}")
+    else:
+        for row in rows:
+            print(row["line"])
+        print(f"Line_count: {len(rows)}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -189,12 +205,19 @@ def main(argv: list[str] | None = None) -> None:
         ("delete", cmd_delete, ["sdfs"]),
         ("ls", cmd_ls, ["sdfs"]),
         ("store", cmd_store, []),
-        ("grep", cmd_grep, ["pattern", "sdfs"]),
     ):
         sp = sub.add_parser(verb)
         for param in params:
             sp.add_argument(param)
         sp.set_defaults(fn=fn)
+
+    g = sub.add_parser("grep", help="distributed grep over a stored file")
+    g.add_argument("-i", dest="ignore_case", action="store_true")
+    g.add_argument("-v", dest="invert", action="store_true")
+    g.add_argument("-c", dest="count", action="store_true")
+    g.add_argument("-F", dest="fixed", action="store_true")
+    g.add_argument("pattern"), g.add_argument("sdfs")
+    g.set_defaults(fn=cmd_grep)
 
     args = p.parse_args(argv)
     args.fn(args)

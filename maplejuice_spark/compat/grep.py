@@ -44,6 +44,61 @@ def grep_total(spark: SparkSession, path: str, pattern: str) -> int:
     return spark.read.text(path).filter(F.col("value").rlike(pattern)).count()
 
 
+def _match_cond(
+    pattern: str, *, ignore_case: bool = False, fixed_string: bool = False
+) -> F.Column:
+    """Build the line-match predicate for one grep pattern.
+
+    ``-F`` (fixed string) compiles to a substring ``contains`` — no regex
+    engine in the hot loop; ``-i`` prefixes ``(?i)`` (regex) or lowers
+    both sides (fixed). Patterns are Java regex — a superset of grep -E;
+    the reference shells out to the node's own grep (logger.cpp:50-56) so
+    exact BRE quirks were never part of its contract.
+    """
+    col = F.col("value")
+    if fixed_string:
+        if ignore_case:
+            return F.lower(col).contains(pattern.lower())
+        return col.contains(pattern)
+    return col.rlike(f"(?i){pattern}" if ignore_case else pattern)
+
+
+def grep_command(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    *,
+    ignore_case: bool = False,
+    invert: bool = False,
+    count_only: bool = False,
+    fixed_string: bool = False,
+) -> DataFrame:
+    """The reference's arbitrary-grep-command surface (logger.cpp:50-56
+    runs ``system("<raw grep cmd> ./log.txt")``), translated to a Spark
+    plan: flags -i / -v / -c / -F map onto the filter expression.
+
+    Returns matching lines ``(file, line)`` — or per-file counts
+    ``(file, n_matches)`` under ``-c`` (one count row per file, the
+    per-node view of logger.cpp:216-223).
+
+    Scale: the predicate evaluates in the scan stage; ``-c`` adds only a
+    partial-agg'd groupBy on input_file_name().
+    """
+    cond = _match_cond(
+        pattern, ignore_case=ignore_case, fixed_string=fixed_string
+    )
+    if invert:
+        cond = ~cond
+    lines = spark.read.text(path).filter(cond)
+    if count_only:
+        return lines.groupBy(F.input_file_name().alias("file")).agg(
+            F.count(F.lit(1)).alias("n_matches")
+        )
+    return lines.select(
+        F.input_file_name().alias("file"), F.col("value").alias("line")
+    )
+
+
 @register(
     "grep_count_by_source",
     oracle=f"""

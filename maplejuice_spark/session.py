@@ -58,6 +58,12 @@ def get_spark(
         # harmless on a real cluster, 3x scan parallelism here).
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # Straggler mitigation: the reference kills+reschedules a task
+        # after a 600 s timeout (MapleJuice.cpp:139-144); Spark's
+        # speculative execution relaunches slow tasks on other executors
+        # instead. No-op in single-JVM local mode; load-bearing on a
+        # 1000-executor cluster (see SCALE.md).
+        .config("spark.speculation", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

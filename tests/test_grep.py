@@ -38,3 +38,42 @@ def test_global_total(spark, log_dir):
 def test_regex_patterns(spark, log_dir):
     # anchored + char-class patterns (the reference passes raw grep args)
     assert grep_total(spark, str(log_dir), r"^<01-01-2024 10:00:0[0-2]>") == 5
+
+
+def test_grep_flags(spark, log_dir):
+    """Flag surface of the reference's raw grep command (logger.cpp:50-56):
+    -i ignore case, -v invert, -c count-only, -F fixed string."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    d = str(log_dir)
+
+    def lines(**kw):
+        return grep_command(spark, d, **kw).collect()
+
+    # plain: matching lines with their file
+    assert len(lines(pattern="JOIN")) == 3
+    # -i: case-insensitive regex
+    assert len(lines(pattern="join", ignore_case=True)) == 3
+    assert len(lines(pattern="join")) == 0
+    # -v: invert (6 total lines, 3 match JOIN)
+    assert len(lines(pattern="JOIN", invert=True)) == 3
+    # -c: per-file counts
+    counts = {
+        r["file"].rsplit("/", 1)[-1]: r["n_matches"]
+        for r in lines(pattern="JOIN", count_only=True)
+    }
+    assert counts == {"node1.log": 2, "node3.log": 1}
+    # -F: regex metachars are literal
+    assert len(lines(pattern="PING|FAIL", fixed_string=True)) == 0
+    assert len(lines(pattern="PING ok", fixed_string=True)) == 2
+    assert len(lines(pattern="ping OK", fixed_string=True, ignore_case=True)) == 2
+
+
+def test_cli_grep_flags(log_dir, capsys, monkeypatch, tmp_path):
+    """CLI verb parity: grep -c -i through the argparse surface."""
+    from maplejuice_spark import cli
+
+    monkeypatch.setenv("MJ_STORE_ROOT", str(log_dir.parent))
+    cli.main(["grep", "-c", "-i", "join", log_dir.name])
+    out = capsys.readouterr().out
+    assert "Line_count: 3" in out
