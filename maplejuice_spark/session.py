@@ -64,6 +64,11 @@ def get_spark(
         # instead. No-op in single-JVM local mode; load-bearing on a
         # 1000-executor cluster (see SCALE.md).
         .config("spark.speculation", "true")
+        # Runtime bloom-filter join pruning: on a selective shuffle join
+        # the build side publishes a bloom filter that the probe side's
+        # SCAN applies — at 100 TB this skips reading most of the probe
+        # table's rows before the shuffle (see SCALE.md).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

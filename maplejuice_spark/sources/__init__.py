@@ -51,6 +51,31 @@ def write_any(
     writer.format(fmt).save(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    sort_within: list[str] | None = None,
+) -> None:
+    """Hive-style partitioned sink: ``path/col=value/...`` directories.
+
+    This is THE lake layout a 100 TB table needs: a reader filtering on
+    a partition column prunes whole directories at planning time
+    (``PartitionFilters`` in the scan — zero I/O for pruned values),
+    where the reference would scan every SDFS block.
+
+    ``sort_within`` additionally sorts rows inside each output file so
+    parquet min/max row-group stats become selective for those columns
+    (the poor-man's Z-order for one sort dimension).
+    """
+    if fmt == "binaryFile":
+        raise ValueError("binaryFile is read-only")
+    out = df.sortWithinPartitions(*sort_within) if sort_within else df
+    out.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
 class Store:
     """SDFS verb parity over a catalog + filesystem.
 

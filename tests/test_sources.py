@@ -120,3 +120,35 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(back.columns) == {"id", "name", "score", "batch"}
     rows = {r["id"]: r for r in back.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    """write_partitioned round-trip: a filter on the partition column
+    must prune at planning time (PartitionFilters in the scan, only the
+    matching directory read) — the lake layout that makes a 100 TB
+    table scannable."""
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.sources import write_partitioned
+
+    dest = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(
+        orders, dest, ["o_orderpriority"], sort_within=["o_orderdate"]
+    )
+    back = spark.read.parquet(dest).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == want
+
+
+def test_runtime_bloom_filter_conf(spark):
+    """Engine session enables runtime bloom-filter join pruning (probe
+    side scan skips rows that cannot match the build side)."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
