@@ -188,3 +188,103 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_orders"),
         )
     )
+
+
+@register(
+    "ngram_decontamination",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS l,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'b' THEN 'train' ELSE 'eval' END
+               AS split
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(l) - 2),
+               i -> md5(l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])))) AS h
+      FROM assigned WHERE len(l) >= 3
+    ),
+    ev AS (SELECT DISTINCT h FROM sh WHERE split = 'eval'),
+    tr AS (
+      SELECT t.doc_id, t.source,
+             COUNT(*) AS n_sh,
+             CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM sh t LEFT JOIN ev e ON t.h = e.h
+      WHERE t.split = 'train'
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           COUNT(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN n_hit * 10 >= n_sh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits
+    FROM tr GROUP BY source
+    """,
+    tags=("pipeline", "decontamination", "ngram"),
+)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram
+    shingles overlap an eval split (>=10% of the doc's distinct
+    shingles), reported per source. The standard pre-training hygiene
+    pass — eval-set n-grams must not leak into the training corpus.
+
+    Split assignment reuses train_val_test_split's md5(doc_id) rule
+    ('0'-'b' = train, rest = eval), so the check is a pure function of
+    the stable id.
+
+    Scale (100 TB): shingles are md5 digests, so the contamination join
+    shuffles 32-byte keys, never text; the eval side is DISTINCT'd and
+    BROADCAST (eval suites are tiny next to a training corpus — the
+    at-scale plan is a broadcast semi-join against every train shard).
+    Integer threshold compare (n_hit*10 >= n_sh) keeps the flag exact.
+    Docs with <3 tokens have no shingle and are excluded (same WHERE in
+    the oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        tokens("text").alias("l"),
+        F.when(hexd.between("0", "b"), "train").otherwise("eval").alias(
+            "split"
+        ),
+    ).filter(F.size("l") >= 3)
+    sh = assigned.select(
+        "doc_id",
+        "source",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(l) - 2),"
+                    " i -> md5(cast(concat_ws(' ', element_at(l, i),"
+                    " element_at(l, i + 1), element_at(l, i + 2))"
+                    " as binary)))"
+                )
+            )
+        ).alias("h"),
+    )
+    ev = sh.filter(F.col("split") == "eval").select("h").distinct()
+    tr = (
+        sh.filter(F.col("split") == "train")
+        .join(F.broadcast(ev.withColumn("hit", F.lit(1))), "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return tr.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(
+            (F.col("n_hit") * 10 >= F.col("n_sh")).cast("bigint")
+        ).alias("n_contaminated"),
+        F.sum("n_hit").alias("total_hits"),
+    )

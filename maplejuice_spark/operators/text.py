@@ -372,3 +372,86 @@ def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "relevance", "rk")
     )
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, len(l) AS n_tokens,
+             list_transform(generate_series(1, len(l) - 1),
+                            i -> l[i] || ' ' || l[i + 1]) AS bl
+      FROM tl WHERE len(l) >= 2
+    ),
+    bstat AS (
+      SELECT doc_id, n_tokens,
+             len(bl) AS n_bigrams,
+             len(list_distinct(bl)) AS distinct_bigrams
+      FROM bg
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    top AS (SELECT doc_id, MAX(c) AS max_tf FROM tf GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.n_bigrams, b.distinct_bigrams,
+           CAST(b.n_bigrams - b.distinct_bigrams AS DOUBLE) / b.n_bigrams
+             AS dup_bigram_ratio,
+           CAST(t.max_tf AS DOUBLE) / b.n_tokens AS top_token_frac
+    FROM bstat b JOIN top t USING (doc_id)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 filter facets):
+    duplicate-bigram ratio and most-frequent-token fraction per doc.
+    High values mark boilerplate / degenerate generations — standard
+    removal signals in a pre-training curation pipeline.
+
+    Exactness: ratios are single BIGINT->DOUBLE divisions (bit-identical
+    cross-engine). Scale: bigram stats are a pure projection (array ops
+    in the scan stage, no shuffle); only the per-doc top-term frequency
+    shuffles, keyed by (doc_id, token) with map-side partial counts.
+    Docs with <2 tokens have no bigram and are excluded (same WHERE in
+    the oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokens("text")
+    tl = docs.select("doc_id", l.alias("l")).filter(F.size("l") >= 2)
+    # 1-arg HOF lambda: i is the sequence VALUE (1-based index); a 2-arg
+    # lambda would receive the array position instead (round-1 pitfall).
+    bl = F.transform(
+        F.sequence(F.lit(1), F.size("l") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("l", i), F.element_at("l", i + 1)
+        ),
+    )
+    bstat = tl.select(
+        "doc_id",
+        F.size("l").cast("bigint").alias("n_tokens"),
+        F.size(bl).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bl)).cast("bigint").alias("distinct_bigrams"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(l).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tf.groupBy("doc_id").agg(F.max("c").alias("max_tf"))
+    return bstat.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "distinct_bigrams",
+        (
+            (F.col("n_bigrams") - F.col("distinct_bigrams")).cast("double")
+            / F.col("n_bigrams")
+        ).alias("dup_bigram_ratio"),
+        (F.col("max_tf").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+    )
