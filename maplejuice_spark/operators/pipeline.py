@@ -288,3 +288,113 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_contaminated"),
         F.sum("n_hit").alias("total_hits"),
     )
+
+
+_PACK_BUCKETS = (16, 32, 64, 128, 256, 512)
+_SQL_PACK_BUCKET = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _PACK_BUCKETS
+    )
+    + f" ELSE {2 * _PACK_BUCKETS[-1]} END"
+)
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT n_tokens, CAST({_SQL_PACK_BUCKET} AS BIGINT) AS bucket FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket) AS BIGINT) AS padded_tokens,
+           1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                 / CAST(SUM(bucket) AS BIGINT) AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+    tags=("pipeline", "packing", "agg"),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting: bucket docs by padded sequence length
+    (fixed power-of-2 ladder, the shapes a training batcher pads to) and
+    report real vs padded token counts and the padding-waste fraction —
+    the number that says whether the batcher needs length-grouped packing.
+
+    Exactness: the bucket ladder is an integer CASE (no float log2, which
+    could round differently at exact powers of two); waste is one
+    BIGINT->DOUBLE division. Scale: pure projection + one bounded-key
+    groupBy (|buckets| rows), partial-agg'd map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("bigint")
+    bucket = F.lit(2 * _PACK_BUCKETS[-1])
+    for b in reversed(_PACK_BUCKETS):
+        bucket = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(bucket)
+    t = docs.select(n_tokens.alias("n_tokens")).select(
+        "n_tokens", bucket.cast("bigint").alias("bucket")
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+        F.sum("bucket").alias("padded_tokens"),
+        (
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double") / F.sum("bucket")
+        ).alias("pad_waste"),
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, src_tokens,
+           CAST(src_tokens AS DOUBLE)
+             / CAST(SUM(src_tokens) OVER () AS BIGINT) AS actual_share,
+           CAST(CAST(SUM(src_tokens) OVER () AS BIGINT) AS DOUBLE)
+             / (COUNT(*) OVER () * src_tokens) AS sampling_weight
+    FROM s
+    """,
+    tags=("pipeline", "mixture"),
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: per-source token share and the sampling
+    weight that flattens the mixture to uniform-across-sources (weight =
+    target_share / actual_share with target = 1/n_sources) — how a
+    pre-training pipeline turns a skewed crawl into a target mixture.
+
+    The unpartitioned window runs over the per-source AGGREGATE (a
+    bounded, sources-sized frame — fine at any corpus scale; the
+    corpus-sized work is the partial-agg'd groupBy before it).
+    Exactness: integer totals; each share/weight is a single
+    BIGINT-arithmetic -> DOUBLE division.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("src_tokens"),
+    )
+    w = W.partitionBy()
+    total = F.sum("src_tokens").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        (F.col("src_tokens").cast("double") / total).alias("actual_share"),
+        (
+            total.cast("double") / (n_sources * F.col("src_tokens"))
+        ).alias("sampling_weight"),
+    )

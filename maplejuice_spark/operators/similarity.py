@@ -602,3 +602,101 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[_proj_weight_expr(vec, j).alias(f"p{j}") for j in range(PROJ_DIM)],
     )
+
+
+_SQL_EXACT_TOPK = f"""
+    pairs_x AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.vn AS qv, c.vn AS cv
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     {_sql_fold_dot('qv', 'cv')} AS cos_sim
+              FROM pairs_x))
+      WHERE rank <= {TOP_K}
+    )"""
+
+_SQL_IVF_TOPK = f"""
+    cent AS (
+      SELECT vec_id AS cid, vn AS cv FROM normed WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, vn, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rnk
+      FROM (
+        SELECT x.vec_id, x.vn, c.cid, {_sql_fold_dot('vn', 'cv')} AS cos_c
+        FROM normed x CROSS JOIN cent c
+      )
+    ),
+    lists AS (SELECT vec_id, vn, cid FROM assign WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id, vn, cid FROM assign
+      WHERE rnk <= {N_PROBE} AND vec_id % {QUERY_MOD} = 0
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id,
+                 {_sql_fold_dot('q.vn', 'l.vn')} AS cos_sim
+          FROM probes q JOIN lists l ON l.cid = q.cid AND l.vec_id <> q.vec_id
+        ))
+      WHERE rank <= {TOP_K}
+    )"""
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
+    ),
+    {_SQL_EXACT_TOPK},
+    {_SQL_IVF_TOPK}
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "ann", "ivf", "recall"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF approximate path against the exact brute-force
+    baseline, per query — the quality metric that decides whether an ANN
+    configuration (N_CENTROIDS lists, N_PROBE probes) is deployable. The
+    judge of the speed/quality trade lives IN the engine, over the same
+    deterministic arithmetic, so the number is reproducible cross-engine.
+
+    Scale: the expensive side is the exact baseline (|q|x|corpus|),
+    which at 100 TB runs on a hash-sampled query subset — recall is a
+    statistic, not a per-corpus product; the IVF side stays the cheap
+    equi-join plan.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    n_hits = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        n_hits.cast("bigint").alias("n_hits"),
+        (n_hits.cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+    )
