@@ -152,3 +152,19 @@ def test_runtime_bloom_filter_conf(spark):
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
         == "true"
     )
+
+
+def test_dataset_manifest(spark, sf_dir, tmp_path):
+    """Manifest rows cover every data file with correct totals: sum of
+    per-file row counts == table rows; every file sits in a partition
+    dir; sizes positive."""
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.sources import dataset_manifest, write_partitioned
+
+    dest = str(tmp_path / "lake")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, dest, ["o_orderpriority"])
+    man = dataset_manifest(spark, dest).collect()
+    assert sum(r["n_rows"] for r in man) == orders.count()
+    assert all(r["n_bytes"] > 0 for r in man)
+    assert all(r["partition"].startswith("o_orderpriority=") for r in man)
