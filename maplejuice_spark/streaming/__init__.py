@@ -568,3 +568,115 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total").alias("n_events"),
         )
     )
+
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("min_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_minmax_processor():
+    """Build the StatefulProcessor lazily (import only when the query
+    runs, so batch-only environments never touch the streaming state
+    API)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("min_v", T.DoubleType()),
+            T.StructField("max_v", T.DoubleType()),
+        ]
+    )
+
+    class MinMaxProcessor(StatefulProcessor):
+        """Per-user running (count, min, max) — min/max/count need no
+        arithmetic reassociation, so the replayed final state is exactly
+        the batch GROUP BY."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("mm", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = 0, None, None
+            if self._state.exists():
+                n, mn, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                lo, hi = float(pdf["value"].min()), float(pdf["value"].max())
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            self._state.update((n, mn, mx))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "n_events": [n],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return MinMaxProcessor()
+
+
+def has_tws_support() -> bool:
+    """transformWithStateInPandas needs a working protobuf install for
+    its state-server protocol; this container ships a broken one
+    (``cannot import name 'descriptor' from 'google.protobuf'``), so the
+    TWS operator is a LIBRARY function gated on this check rather than a
+    registered gate query (same policy as the codec-less multimodal
+    decode stub)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_user_minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via transformWithStateInPandas — the
+    Spark 4 successor to applyInPandasWithState (typed state handles,
+    timers, RocksDB-backed state store): per-user running count/min/max.
+    Equivalent batch semantics: ``SELECT user_id, COUNT(*), MIN(value),
+    MAX(value) FROM events GROUP BY user_id`` (min/max/count are
+    replay-exact under one availableNow pass).
+
+    ENVIRONMENT-GATED: call ``has_tws_support()`` first — see its
+    docstring. The applyInPandasWithState twin (`stream_user_stats`) is
+    the registered, oracle-checked stateful operator.
+
+    Scale: value state is O(1) per user, partitioned by the grouping
+    key and persisted in the RocksDB state store (changelog-checkpointed
+    at cluster scale).
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_minmax_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_user_minmax_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(out, name, mode="update")
+    return spark.table(name)

@@ -57,3 +57,37 @@ def test_watermark_present(events_stream):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_tws_user_minmax(spark, sf_dir):
+    """transformWithStateInPandas per-user min/max/count equals the
+    batch GROUP BY. Skipped where protobuf (the TWS state-server
+    protocol dependency) is broken/absent."""
+    import pytest
+
+    from maplejuice_spark.streaming import (
+        has_tws_support,
+        stream_user_minmax_tws,
+    )
+
+    if not has_tws_support():
+        pytest.skip("protobuf descriptor unavailable; TWS state server cannot start")
+    from maplejuice_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["min_value"], r["max_value"])
+        for r in stream_user_minmax_tws(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["mn"], r["mx"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
