@@ -148,3 +148,44 @@ def grep_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "grep_icase_fixed_count",
+    oracle="""
+    SELECT source, COUNT(*) AS n_matches
+    FROM documents WHERE contains(lower(text), 'spark join')
+    GROUP BY source
+    """,
+    tags=("reference-parity", "grep", "flags"),
+)
+def grep_icase_fixed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -i -F over documents: case-insensitive fixed-string match
+    (no regex engine in the loop — a substring scan, the cheap path a
+    100 TB log grep wants when the pattern is literal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.lower(F.col("text")).contains("spark join"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@register(
+    "grep_invert_count",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_unmatched
+    FROM documents WHERE NOT regexp_matches(text, '{GREP_PATTERN}')
+    GROUP BY source
+    """,
+    tags=("reference-parity", "grep", "flags"),
+)
+def grep_invert_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -v over documents: per-source count of NON-matching lines
+    (the complement of grep_count_by_source under the same pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(~F.col("text").rlike(GREP_PATTERN))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unmatched"))
+    )
