@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import tokens, TOKEN_CLASS
+from maplejuice_spark.functions import materialize, tokens, TOKEN_CLASS
 from maplejuice_spark.registry import register
 
 _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
@@ -271,6 +271,10 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # Materialize the shingle explode once — both join sides derive from
+    # it, and re-deriving would double the corpus-scale tokenize+md5
+    # stage (same pattern as term_relevance/minhash shared subtrees).
+    sh = materialize(sh)
     ev = sh.filter(F.col("split") == "eval").select("h").distinct()
     tr = (
         sh.filter(F.col("split") == "train")

@@ -72,56 +72,52 @@ def write_partitioned(
     """
     if fmt == "binaryFile":
         raise ValueError("binaryFile is read-only")
-    out = df.sortWithinPartitions(*sort_within) if sort_within else df
+    out = df
+    if sort_within:
+        # The partitioned writer requires task rows ordered by the
+        # partition columns and inserts its own (non-stable) sort if
+        # they are not — which would scramble a bare sort_within order.
+        # Sorting by (partition_cols, sort_within) satisfies the
+        # writer's required ordering, so the in-file order survives;
+        # repartition first so each partition value lands in one task.
+        out = df.repartition(*partition_cols).sortWithinPartitions(
+            *partition_cols, *sort_within
+        )
     out.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
 def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
-    """Manifest of a written dataset: one row per data file with its
-    partition directory, size, and row count — the reproducibility
-    artifact a training run pins (which files, how many rows) instead of
-    re-listing a mutable lake.
+    """Manifest of a written parquet dataset: one row per data file with
+    its partition directory, byte size, and row count — the
+    reproducibility artifact a training run pins (which files, how many
+    rows) instead of re-listing a mutable lake.
 
-    Row counts come from one metadata-cheap Spark scan grouped by
-    ``input_file_name`` (parquet footers make this a count-only read);
-    file sizes from a driver-side listing, which is O(#files) metadata,
-    never data.
+    Row counts come straight from each file's parquet FOOTER (pyarrow
+    metadata read — O(#files) footer reads, never data). This sidesteps
+    joining back through ``input_file_name`` URIs, whose percent-encoding
+    and reused per-task basenames make path matching fragile. Works on
+    flat and Hive-partitioned layouts alike.
     """
-    sizes = []
+    import pyarrow.parquet as pq
+
+    rows = []
     root = os.path.abspath(path)
     for dirpath, _dirnames, filenames in os.walk(root):
         for fn in filenames:
-            if fn.startswith((".", "_")):
+            if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
                 continue
             full = os.path.join(dirpath, fn)
             rel = os.path.relpath(full, root)
-            part = os.path.dirname(rel)
-            sizes.append((rel, part, os.path.getsize(full)))
-    size_df = spark.createDataFrame(
-        sizes, "file string, partition string, n_bytes long"
-    )
-    from pyspark.sql import functions as F
-
-    # input_file_name yields a file:// URI. One task writing N partition
-    # values emits the SAME part-file basename under N partition dirs,
-    # so the join key is the last two path components (dir + basename).
-    def _tail2(col):
-        parts = F.split(col, "/")
-        return F.concat_ws(
-            "/", F.element_at(parts, -2), F.element_at(parts, -1)
-        )
-
-    counts = (
-        spark.read.parquet(path)
-        .groupBy(F.input_file_name().alias("uri"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        # the URI is percent-encoded (e.g. '%20' for a space in a
-        # partition value) — decode before matching filesystem paths
-        .select(_tail2(F.url_decode(F.col("uri"))).alias("base"), "n_rows")
-    )
-    keyed = size_df.withColumn("base", _tail2(F.col("file")))
-    return keyed.join(counts, "base", "left").select(
-        "file", "partition", "n_bytes", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+            rows.append(
+                (
+                    rel,
+                    os.path.dirname(rel),
+                    os.path.getsize(full),
+                    pq.ParquetFile(full).metadata.num_rows,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "file string, partition string, n_bytes long, n_rows long"
     )
 
 

@@ -80,8 +80,14 @@ def _canon(pdf: pd.DataFrame):
     # Driver-identical: sort_values over every column — unhashable cells
     # (lists/arrays) raise TypeError here, same as the gate.
     pdf = pdf.sort_values(cols).reset_index(drop=True)
+    # Column-wise extraction, NOT iterrows: iterrows() coerces each row
+    # to a common dtype, silently upcasting int64 cells to float64 in
+    # all-numeric frames — which would mask exactly the int-vs-float
+    # mismatches this script exists to catch.
+    col_vals = [list(pdf[c]) for c in cols]
     return [
-        tuple(_norm_cell(row[c]) for c in cols) for _, row in pdf.iterrows()
+        tuple(_norm_cell(v) for v in row_cells)
+        for row_cells in zip(*col_vals)
     ]
 
 

@@ -168,3 +168,62 @@ def test_dataset_manifest(spark, sf_dir, tmp_path):
     assert sum(r["n_rows"] for r in man) == orders.count()
     assert all(r["n_bytes"] > 0 for r in man)
     assert all(r["partition"].startswith("o_orderpriority=") for r in man)
+
+
+def test_dataset_manifest_multicol_and_flat(spark, sf_dir, tmp_path):
+    """Two layouts that break URI-join approaches: multi-column
+    partitioning (one task reuses its part-file basename under many
+    partition dirs) and a flat non-partitioned dataset. Footer-based
+    counts must stay exact for both."""
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.sources import (
+        dataset_manifest,
+        write_any,
+        write_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").limit(400)
+    n = orders.count()
+
+    multi = str(tmp_path / "multi")
+    write_partitioned(orders, multi, ["o_orderpriority", "o_orderstatus"])
+    man = dataset_manifest(spark, multi).collect()
+    assert sum(r["n_rows"] for r in man) == n
+    assert len(man) == len({r["file"] for r in man})  # no duplicate rows
+
+    flat = str(tmp_path / "flat")
+    write_any(orders, flat)
+    man_flat = dataset_manifest(spark, flat).collect()
+    assert sum(r["n_rows"] for r in man_flat) == n
+    assert all(r["partition"] == "" for r in man_flat)
+
+
+def test_partitioned_sink_sort_within(spark, sf_dir, tmp_path):
+    """sort_within must survive the partitioned writer (the writer's own
+    partition-column sort requirement would otherwise scramble it):
+    every written file's rows are ordered by the sort column."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.sources import write_partitioned
+
+    dest = str(tmp_path / "sorted_lake")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(
+        orders, dest, ["o_orderpriority"], sort_within=["o_orderdate"]
+    )
+    checked = 0
+    for dirpath, _d, files in _os.walk(dest):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            vals = (
+                pq.ParquetFile(_os.path.join(dirpath, fn))
+                .read(columns=["o_orderdate"])
+                .column("o_orderdate")
+                .to_pylist()
+            )
+            assert vals == sorted(vals)
+            checked += 1
+    assert checked > 0
