@@ -110,3 +110,42 @@ def test_pagerank_invariant_under_parallelism(spark, sf_dir):
         )
 
     assert run(2) == run(13)
+
+
+def test_curation_operator_invariants(spark, sf_dir):
+    """Cross-operator invariants of the round-2 curation surface (cheap
+    full-result checks at sf0.001, complementing the value-level
+    oracles):
+    - repetition ratios live in [0, 1] and bigram counts are consistent;
+    - packing buckets dominate their real token counts and waste in [0, 1);
+    - mixture shares sum to 1 and weight * actual_share == 1/n_sources;
+    - decontamination counts are bounded by doc counts."""
+    from maplejuice_spark.operators.pipeline import (
+        ngram_decontamination,
+        packing_efficiency,
+        source_mixture_weights,
+    )
+    from maplejuice_spark.operators.text import repetition_signals
+
+    rep = repetition_signals(spark, sf_dir).collect()
+    assert rep, "repetition_signals returned no rows"
+    for r in rep:
+        assert r["n_bigrams"] == r["n_tokens"] - 1
+        assert 0 <= r["distinct_bigrams"] <= r["n_bigrams"]
+        assert 0.0 <= r["dup_bigram_ratio"] <= 1.0
+        assert 0.0 < r["top_token_frac"] <= 1.0
+
+    pack = packing_efficiency(spark, sf_dir).collect()
+    for r in pack:
+        assert r["real_tokens"] <= r["padded_tokens"] == r["bucket"] * r["n_docs"]
+        assert 0.0 <= r["pad_waste"] < 1.0
+
+    mix = source_mixture_weights(spark, sf_dir).collect()
+    n_sources = len(mix)
+    assert abs(sum(r["actual_share"] for r in mix) - 1.0) < 1e-12
+    for r in mix:
+        assert abs(r["sampling_weight"] * r["actual_share"] - 1.0 / n_sources) < 1e-12
+
+    dec = ngram_decontamination(spark, sf_dir).collect()
+    for r in dec:
+        assert 0 <= r["n_contaminated"] <= r["n_train_docs"]
