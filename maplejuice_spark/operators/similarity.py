@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import dot, l2norm, to_double_vec
+from maplejuice_spark.functions import dot, l2norm, materialize, to_double_vec
 from maplejuice_spark.registry import register
 
 DIM = 64
@@ -67,8 +67,15 @@ _SQL_NORM = f"list_transform(v, x -> x / sqrt({_sql_fold_dot('v', 'v')}))"
 
 def _normed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, vn) with vn = v/|v|; the norm is materialized in its own
-    projection so the transform lambda doesn't re-fold per element."""
-    return (
+    projection so the transform lambda doesn't re-fold per element.
+
+    The result is ``materialize``d: every ANN query branches this
+    subtree (query side + corpus side, or centroids + assignment), and
+    Spark would re-run the fold-heavy normalization once per branch —
+    checkpointing computes it once. At 100 TB this is the persisted
+    normalized-embedding table every ANN system maintains anyway.
+    """
+    return materialize(
         load_table(spark, sf_dir, "embeddings")
         # single-file input -> one partition; spread the fold-heavy
         # vector math across all cores (no-op on pre-partitioned lakes)
