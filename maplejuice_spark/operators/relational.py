@@ -971,3 +971,29 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p.k")).alias("sum_k"),
         F.countDistinct(F.col("p.k")).alias("n_distinct_k"),
     )
+
+
+@register(
+    "variant_json_events",
+    oracle="""
+    SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY k_mod
+    """,
+    tags=("functions", "json", "variant"),
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction — the modern engine's answer to
+    string-re-parsing JSON per path (one parse, columnar binary access
+    after; shredding-friendly at the storage layer). NULL props parse to
+    NULL variants and group as a NULL key in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+    )
