@@ -11,14 +11,17 @@ what table formats compile MERGE INTO down to.
 The change set here is derived deterministically from the base table
 itself (no extra fixtures): every 7th order is touched (delete if
 key % 3 = 0, else update doubling the price) and every 11th order
-spawns an insert under a shifted key.
+spawns an insert under the NEGATED key — negative keys can never
+collide with real (positive) order keys at any scale, so the change
+set is key-unique by construction. That uniqueness is the precondition
+a real MERGE enforces (multiple change rows matching one base row is an
+error in ANSI MERGE); the full-outer join below assumes it.
 
 Scale (100 TB mindset): MERGE = one shuffle of base ∪ changes on the
 key. Change sets are normally tiny relative to base — at scale the
 right plan is a *broadcast* of changes + left join for updates/deletes
 plus a union of inserts, or storage-level copy-on-write; the
 full-outer form here is the general case when changes are also large.
-The anti-join dedup guard keeps the operation idempotent.
 """
 
 from __future__ import annotations
@@ -32,11 +35,11 @@ from maplejuice_spark.registry import register
 _CHANGES_SQL = """
     SELECT o_orderkey AS key,
            CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
-           o_totalprice * 2 AS new_price
+           o_totalprice * 2 AS new_value
     FROM orders WHERE o_orderkey % 7 = 0
     UNION ALL
-    SELECT o_orderkey + 100000000 AS key, 'I' AS op,
-           o_totalprice AS new_price
+    SELECT -o_orderkey AS key, 'I' AS op,
+           o_totalprice AS new_value
     FROM orders WHERE o_orderkey % 11 = 0
 """
 
@@ -48,28 +51,32 @@ def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 3 == 0, F.lit("D"))
         .otherwise(F.lit("U"))
         .alias("op"),
-        (F.col("o_totalprice") * 2).alias("new_price"),
+        (F.col("o_totalprice") * 2).alias("new_value"),
     )
     inserts = orders.where(F.col("o_orderkey") % 11 == 0).select(
-        (F.col("o_orderkey") + 100000000).alias("key"),
+        (-F.col("o_orderkey")).alias("key"),
         F.lit("I").alias("op"),
-        F.col("o_totalprice").alias("new_price"),
+        F.col("o_totalprice").alias("new_value"),
     )
     return touched.unionAll(inserts)
 
 
-def merge_apply(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+def merge_apply(
+    base: DataFrame, changes: DataFrame, key: str, value: str
+) -> DataFrame:
     """General MERGE: full-outer join base with changes on the key;
-    deletes drop, updates take the change row's values, inserts are
-    change rows with no base match. Returns
-    (key, price, merge_action)."""
+    deletes drop, updates take the change row's value, inserts are
+    change rows with no base match. ``changes`` must carry
+    (key, op in D/U/I, new_value) and be key-unique (ANSI MERGE's
+    multiple-match precondition — see module docstring). Returns
+    (key, value, merge_action) under the caller's column names."""
     b = base.select(
-        F.col(key).alias("key"), F.col("o_totalprice").alias("old_price")
+        F.col(key).alias("key"), F.col(value).alias("old_value")
     )
     j = b.join(changes, "key", "full_outer")
     return j.where((F.col("op").isNull()) | (F.col("op") != "D")).select(
-        F.col("key").alias("o_orderkey"),
-        F.coalesce("new_price", "old_price").alias("o_totalprice"),
+        F.col("key").alias(key),
+        F.coalesce("new_value", "old_value").alias(value),
         F.when(F.col("op").isNull(), F.lit("kept"))
         .when(F.col("op") == "U", F.lit("updated"))
         .otherwise(F.lit("inserted"))
@@ -82,7 +89,7 @@ def merge_apply(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     oracle=f"""
     WITH changes AS ({_CHANGES_SQL})
     SELECT COALESCE(b.o_orderkey, c.key) AS o_orderkey,
-           COALESCE(c.new_price, b.o_totalprice) AS o_totalprice,
+           COALESCE(c.new_value, b.o_totalprice) AS o_totalprice,
            CASE WHEN c.op IS NULL THEN 'kept'
                 WHEN c.op = 'U' THEN 'updated'
                 ELSE 'inserted' END AS merge_action
@@ -96,7 +103,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the reference's whole-file overwrite-put (SDFS.cpp:129-179).
     """
     base = load_table(spark, sf_dir, "orders")
-    return merge_apply(base, _changes(spark, sf_dir), "o_orderkey")
+    return merge_apply(base, _changes(spark, sf_dir), "o_orderkey", "o_totalprice")
 
 
 @register(

@@ -15,9 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import TOKEN_CLASS, tokens
+from maplejuice_spark.functions import TOKEN_CLASS, materialize, tokens
 from maplejuice_spark.registry import register
 
 # DuckDB-side twin of functions.tokens()
@@ -120,8 +121,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_docs",
     oracle=r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+           len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS n_pieces,
            LENGTH(text) AS n_chars_calc
     FROM documents
     """,
@@ -129,16 +130,26 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counting: whitespace tokens plus a BPE-ish
-    piece segmentation (letter runs | digit runs | single punct)."""
+    piece segmentation (letter runs | digit runs | single punct).
+
+    The whitespace class is spelled out explicitly instead of \\s / \\S:
+    Java regex (Spark) counts \\x0B as whitespace where RE2 (DuckDB)
+    does not, so the shorthand classes are not cross-engine stable.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    ws = " \t\n\f\r"
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(f"[^{ws}]+"), F.lit(0))
+        )
         .cast("bigint")
         .alias("n_ws_tokens"),
         F.size(
             F.regexp_extract_all(
-                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+                F.col("text"),
+                F.lit(f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{ws}]"),
+                F.lit(0),
             )
         )
         .cast("bigint")
@@ -151,7 +162,7 @@ def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, n_chars,
+      SELECT doc_id,
              len({_SQL_TOKENS}) AS n_tokens,
              LENGTH(text) AS n_chars_calc,
              LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
@@ -244,15 +255,25 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (n-gram heuristic class; deterministic
     argmax with a fixed tie-break order en>de>fr>es)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    def _hits(words: tuple[str, ...]):
-        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
+    # Materialize the token array in its own projection so the regex
+    # split runs once per row, not once per language column (same
+    # pitfall dedup._shingle_rows documents).
+    t = docs.select(
+        "doc_id", F.col("lang").alias("label_lang"), tokens("text").alias("toks")
+    )
 
-    hits = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
-    h = docs.select(
+    def _hits(words: tuple[str, ...]):
+        return F.size(
+            F.filter(F.col("toks"), lambda tok: tok.isin(*words))
+        ).cast("bigint")
+
+    h = t.select(
         "doc_id",
-        F.col("lang").alias("label_lang"),
-        *[hits[lang].alias(f"{lang}_hits") for lang in ("en", "de", "fr", "es")],
+        "label_lang",
+        *[
+            _hits(words).alias(f"{lang}_hits")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
     )
     en, de, fr, es = (F.col(f"{lang}_hits") for lang in ("en", "de", "fr", "es"))
     pred = (
@@ -343,8 +364,6 @@ def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens("text")).alias("t")
     ).select("doc_id", F.lower("t").alias("term"))
-    from maplejuice_spark.functions import materialize
-
     # tf feeds BOTH the score join and the df aggregation — materialize
     # so tokenize+agg runs once, not once per branch.
     tf = materialize(
@@ -361,8 +380,6 @@ def term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tf * n_docs) div df").alias("relevance"),
         )
     )
-    from pyspark.sql.window import Window
-
     w = (
         Window.partitionBy("doc_id")
         .orderBy(F.col("relevance").desc(), F.col("term"))
@@ -420,8 +437,14 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle).
     """
     docs = load_table(spark, sf_dir, "documents")
-    l = tokens("text")
-    tl = docs.select("doc_id", l.alias("l")).filter(F.size("l") >= 2)
+    # Tokenize ONCE: both the bigram stats and the term-frequency branch
+    # derive from this materialized array (1-token docs are dropped here;
+    # the oracle's inner join discards them identically).
+    tl = materialize(
+        docs.select("doc_id", tokens("text").alias("l")).filter(
+            F.size("l") >= 2
+        )
+    )
     # 1-arg HOF lambda: i is the sequence VALUE (1-based index); a 2-arg
     # lambda would receive the array position instead (round-1 pitfall).
     bl = F.transform(
@@ -433,11 +456,13 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bstat = tl.select(
         "doc_id",
         F.size("l").cast("bigint").alias("n_tokens"),
-        F.size(bl).cast("bigint").alias("n_bigrams"),
+        # == size(bl); the size>=2 filter makes this exact without
+        # building the bigram array a second time
+        (F.size("l") - 1).cast("bigint").alias("n_bigrams"),
         F.size(F.array_distinct(bl)).cast("bigint").alias("distinct_bigrams"),
     )
     tf = (
-        docs.select("doc_id", F.explode(l).alias("t"))
+        tl.select("doc_id", F.explode("l").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
