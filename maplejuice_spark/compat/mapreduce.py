@@ -27,6 +27,7 @@ driver actions underneath (Spark's own FIFO scheduler handles tasks).
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass, field
 
@@ -34,6 +35,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from maplejuice_spark.functions import TOKEN_CLASS
+
+# Arrow batch size for maple output: bounds Python-side memory on
+# partitions whose maple fn has no combiner (one KV per input line).
+_MAPLE_CHUNK = 1 << 16
 
 MapleFn = Callable[[Iterator[str]], Iterable[tuple[str, str]]]
 JuiceFn = Callable[[str, list[str]], Iterable[tuple[str, str]]]
@@ -69,10 +76,12 @@ def maple(lines: DataFrame, fn: MapleFn, num_tasks: int | None = None) -> DataFr
             for pdf in batches:
                 yield from pdf["value"].astype(str)
 
-        out = pd.DataFrame(list(fn(line_iter())), columns=["key", "value"])
-        yield out.astype(str) if len(out) else pd.DataFrame(
-            {"key": pd.Series(dtype=str), "value": pd.Series(dtype=str)}
-        )
+        # Stream the generator out in bounded chunks: a maple fn without
+        # a combiner emits O(partition) pairs, which must not be
+        # materialized as one Python list.
+        gen = iter(fn(line_iter()))
+        while chunk := list(itertools.islice(gen, _MAPLE_CHUNK)):
+            yield pd.DataFrame(chunk, columns=["key", "value"]).astype(str)
 
     return lines.mapInPandas(run, schema=KV_SCHEMA)
 
@@ -91,15 +100,23 @@ def juice(grouped: DataFrame, fn: JuiceFn) -> DataFrame:
     """Juice phase: run a user (key, values)->KV reducer per key group
     (MapleJuice.cpp:83-108; juice splits BY LINE of the grouped file =
     by key, MapleJuice.cpp:325 — i.e. every key's full group reaches
-    exactly one reducer, which is what applyInPandas guarantees)."""
+    exactly one reducer).
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows: list[tuple[str, str]] = []
-        for key, values in zip(pdf["key"], pdf["values"]):
-            rows.extend(fn(str(key), [str(v) for v in values]))
-        return pd.DataFrame(rows, columns=["key", "value"]).astype(str)
+    ``grouped`` already carries one self-contained row per key (the
+    group_keys shuffle or the grouped-text parse), so this is a pure
+    ``mapInPandas`` — a second groupBy here would re-shuffle every
+    collected values array for no semantic gain.
+    """
 
-    return grouped.groupBy("key").applyInPandas(run, schema=KV_SCHEMA)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[str, str]] = []
+            for key, values in zip(pdf["key"], pdf["values"]):
+                rows.extend(fn(str(key), [str(v) for v in values]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["key", "value"]).astype(str)
+
+    return grouped.mapInPandas(run, schema=KV_SCHEMA)
 
 
 def run_mapreduce(
@@ -197,7 +214,7 @@ def wordcount_maple(lines: Iterator[str]) -> Iterator[tuple[str, str]]:
     import re
 
     counts: dict[str, int] = {}
-    tok = re.compile(r"[A-Za-z0-9-]+")
+    tok = re.compile(TOKEN_CLASS)  # the single pinned reference tokenizer
     for line in lines:
         for word in tok.findall(line):
             counts[word] = counts.get(word, 0) + 1

@@ -54,10 +54,20 @@ def _plane_col(j: int):
     return F.array(*[F.lit(float(v)) for v in PLANES[j]])
 
 
-_SQL_COS = (
-    f"{_sql_fold_dot('qv', 'cv')} / "
-    f"(sqrt({_sql_fold_dot('qv', 'qv')}) * sqrt({_sql_fold_dot('cv', 'cv')}))"
-)
+def _bucket_col(vec: str = "v") -> F.Column:
+    """16-bit random-hyperplane signature of column ``vec`` — the Spark
+    twin of ``_SQL_BUCKET`` (bit j set iff dot(vec, plane_j) > 0; a zero
+    dot counts as unset in BOTH engines). Single definition so the three
+    LSH consumers cannot drift."""
+    return sum(
+        [
+            F.when(dot(F.col(vec), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(N_PLANES)
+        ],
+        start=F.lit(0),
+    ).cast("bigint")
 
 # Pre-normalization: cosine(a, b) == dot(a/|a|, b/|b|) — normalizing each
 # vector ONCE turns per-pair scoring into a single fold instead of three.
@@ -118,17 +128,25 @@ def _normed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "ann", "topk"),
 )
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
     the corpus, rank per query with a window. Vectors are normalized once
     so per-pair scoring is a single dot fold.
+
+    ``vecs`` lets a composing query (ann_ivf_recall) share one
+    materialized normalized-embedding table instead of checkpointing it
+    twice.
 
     Scale: cost is |queries| × |corpus| — the corpus is scanned once,
     never shuffled; only (query_id, cos) pairs reach the top-k window,
     and the per-query candidate stream is cut to k by the row_number
     filter. For large query sets, switch to ann_lsh_buckets.
     """
-    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    if vecs is None:
+        vecs = _normed_vecs(spark, sf_dir)
+    vecs = vecs.select("vec_id", "vn")
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
     )
@@ -183,17 +201,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", to_double_vec("embedding").alias("v"))
     )
-    bucket = sum(
-        [
-            F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-            for j in range(N_PLANES)
-        ],
-        start=F.lit(0),
-    )
+    bucket = _bucket_col("v")
     return (
-        vecs.select("vec_id", bucket.cast("bigint").alias("bucket"))
+        vecs.select("vec_id", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -265,16 +275,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only candidates.
     """
     vecs = _normed_vecs(spark, sf_dir)
-    bucket = sum(
-        [
-            F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-            for j in range(N_PLANES)
-        ],
-        start=F.lit(0),
-    ).cast("bigint")
-    bucketed = vecs.select("vec_id", "vn", bucket.alias("bucket"))
+    bucketed = vecs.select("vec_id", "vn", _bucket_col("v").alias("bucket"))
     bands = bucketed.select(
         "vec_id",
         "vn",
@@ -385,18 +386,22 @@ N_PROBE = 2  # query-side lists probed
     """,
     tags=("similarity", "ann", "ivf"),
 )
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
     """IVF (inverted-file) ANN: a fixed coarse quantizer (here the first
     N_CENTROIDS vectors — a real deployment k-means-trains these offline)
     partitions the corpus into inverted lists by nearest centroid; a
     query probes only its N_PROBE nearest lists and scores exact cosine
-    inside them.
+    inside them. ``vecs`` — see ann_cosine_topk.
 
     Scale: centroids are broadcast (tiny); list assignment is a narrow
     map; the search join is an equi-join on cid — the corpus is never
     cross-joined, and list size ~ n/N_CENTROIDS bounds per-query work.
     """
-    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    if vecs is None:
+        vecs = _normed_vecs(spark, sf_dir)
+    vecs = vecs.select("vec_id", "vn")
     cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
     )
@@ -481,15 +486,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from a band equi-join, never an all-pairs
     cross join; the exact cosine runs only on colliding pairs.
     """
-    bucket = sum(
-        [
-            F.when(dot(F.col("v"), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-            for j in range(N_PLANES)
-        ],
-        start=F.lit(0),
-    ).cast("bigint")
+    bucket = _bucket_col("v")
     # Normalized ONCE (see _normed_vecs); per-pair scoring is then a
     # single dot instead of dot + two norms.
     normed = _normed_vecs(spark, sf_dir).select(
@@ -549,7 +546,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PROJ_DIM = 8
-IN_DIM = 64
+IN_DIM = DIM  # projection input dim == the embedding dim
 
 
 def _proj_weight_expr(vec: F.Column, j: int) -> F.Column:
@@ -696,8 +693,11 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic, not a per-corpus product; the IVF side stays the cheap
     equi-join plan.
     """
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ann_ivf_topk(spark, sf_dir).select(
+    vecs = _normed_vecs(spark, sf_dir)  # checkpointed ONCE, shared by both paths
+    exact = ann_cosine_topk(spark, sf_dir, vecs=vecs).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir, vecs=vecs).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")

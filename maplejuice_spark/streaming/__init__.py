@@ -19,11 +19,13 @@ timestamp column for watermarks, so both layers convert via
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from maplejuice_spark.catalog import load_table, table_path
+from maplejuice_spark.catalog import load_table
 from maplejuice_spark.functions import dsum, ts_us_div
 from maplejuice_spark.registry import register
 
@@ -184,6 +186,8 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> No
 
 
 _STREAM_RUN_SEQ = [0]
+# stream_upsert_latest run dirs from THIS process, reclaimed on the next call
+_UPSERT_RUN_DIRS: list[str] = []
 
 
 @register(
@@ -529,28 +533,40 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state — which is why the single-replay result equals the
     batch oracle.
     """
+    import shutil
     import tempfile
 
     from pyspark.sql.window import Window
 
-    state_dir = tempfile.mkdtemp(prefix="mj_upsert_state_")
+    # One run directory per invocation; previous invocations' dirs (this
+    # process) are reclaimed here — the returned lazy DataFrame keeps
+    # only the CURRENT run's log alive.
+    while _UPSERT_RUN_DIRS:
+        shutil.rmtree(_UPSERT_RUN_DIRS.pop(), ignore_errors=True)
+    run_dir = tempfile.mkdtemp(prefix="mj_upsert_run_")
+    _UPSERT_RUN_DIRS.append(run_dir)
+    state_dir = os.path.join(run_dir, "state")
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        _latest_partials(batch).write.mode("append").parquet(state_dir)
+        # foreachBatch is at-least-once: keying the write by batch_id
+        # (overwrite of this batch's own directory) makes a replayed
+        # batch idempotent instead of double-appending its partials.
+        _latest_partials(batch).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
 
     ev = stream_events(spark, sf_dir)
     q = (
         ev.writeStream.foreachBatch(upsert)
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="mj_upsert_ckpt_"),
+            "checkpointLocation", os.path.join(run_dir, "ckpt")
         )
         .start()
     )
     q.awaitTermination()
 
-    log = spark.read.parquet(state_dir)
+    log = spark.read.parquet(state_dir).drop("batch_id")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts_us").desc(), F.col("event_id").desc()
     )
@@ -664,19 +680,30 @@ def stream_user_minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and persisted in the RocksDB state store (changelog-checkpointed
     at cluster scale).
     """
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    ev = stream_events(spark, sf_dir).select("user_id", "value")
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_make_minmax_processor(),
-        outputStructType=_TWS_OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"mj_stream_user_minmax_{_STREAM_RUN_SEQ[0]}"
-    run_stream_to_memory(out, name, mode="update")
-    return spark.table(name)
+    try:
+        ev = stream_events(spark, sf_dir).select("user_id", "value")
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_minmax_processor(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        _STREAM_RUN_SEQ[0] += 1
+        name = f"mj_stream_user_minmax_{_STREAM_RUN_SEQ[0]}"
+        run_stream_to_memory(out, name, mode="update")
+        return spark.table(name)
+    finally:
+        # TWS needs RocksDB, but the session is shared — restore the
+        # caller's provider so later stateful queries run on the store
+        # they were validated with.
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
