@@ -38,6 +38,15 @@ def dec(c: Column | str) -> Column:
     return c.cast(MONEY_DEC)
 
 
+def md5_key(c: Column | str) -> Column:
+    """md5 of the value's string form — THE portable hash key for
+    sampling, splitting, and sketches (DuckDB twin:
+    ``md5(CAST(x AS VARCHAR))``). Never xxhash/hash(): engine-specific.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.md5(c.cast("string").cast("binary"))
+
+
 def dsum(c: Column | str) -> Column:
     """Deterministic sum of a double column: exact decimal sum -> double."""
     return F.sum(dec(c)).cast("double")

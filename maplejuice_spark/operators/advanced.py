@@ -364,8 +364,9 @@ def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths and equi-joins on ``length(b.s_name)`` — an O(n·bucket) band
     join, not the O(n²) cross join the (small-input) DuckDB oracle
     states. Same blocking idea as the SimHash/MinHash band joins."""
-    register_testdata(spark, sf_dir)
-    return spark.sql(
+    return _sql(
+        spark,
+        sf_dir,
         """
         WITH a AS (
           SELECT s_suppkey, s_name,
@@ -378,7 +379,7 @@ def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM a JOIN supplier b
           ON a.cand_len = length(b.s_name) AND a.s_suppkey < b.s_suppkey
         WHERE levenshtein(a.s_name, b.s_name) <= 2
-        """
+        """,
     )
 
 
@@ -632,17 +633,20 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines.
     """
     from maplejuice_spark.catalog import load_table
-    from maplejuice_spark.functions import ts_us_div
+    from maplejuice_spark.functions import materialize, ts_us_div
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", ts_us_div("ts").alias("t")
     )
-    v = (
+    # v feeds both the next step's join and its own funnel count (and c
+    # likewise) — materialize each step once instead of re-deriving the
+    # events scan + per-user min per branch.
+    v = materialize(
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("t").alias("t1"))
     )
-    c = (
+    c = materialize(
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where((F.col("t") > F.col("t1")) & (F.col("t") <= F.col("t1") + _HOUR_US))
@@ -777,6 +781,30 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 64
 
 
+def _kmv_sketch(df: DataFrame, col: str) -> DataFrame:
+    """KMV sketch of a key column: the k smallest distinct md5 hashes —
+    the single definition both sketch queries (and their merge) share."""
+    from maplejuice_spark.functions import md5_key
+
+    return (
+        df.select(md5_key(col).alias("h")).distinct().orderBy("h").limit(_KMV_K)
+    )
+
+
+def _kmv_agg(smallest: DataFrame, est_name: str) -> DataFrame:
+    """Collapse a k-row sketch to (k, kth_hash, estimate): est =
+    (k-1) / (first 15 hex chars of the k-th minimum as a fraction of
+    16^15)."""
+    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    return smallest.agg(
+        F.lit(_KMV_K).alias("k"),
+        F.max("h").alias("kth_hash"),
+        ((F.lit(_KMV_K) - 1) / frac).alias(est_name),
+    )
+
+
 @register(
     "kmv_distinct_estimate",
     oracle=f"""
@@ -810,18 +838,7 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maplejuice_spark.catalog import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    hashed = li.select(
-        F.md5(F.col("l_partkey").cast("string").cast("binary")).alias("h")
-    ).distinct()
-    smallest = hashed.orderBy("h").limit(_KMV_K)
-    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast(
-        "double"
-    ) / F.lit(float(16**15))
-    return smallest.agg(
-        F.lit(_KMV_K).alias("k"),
-        F.max("h").alias("kth_hash"),
-        ((F.lit(_KMV_K) - 1) / frac).alias("est_distinct"),
-    )
+    return _kmv_agg(_kmv_sketch(li, "l_partkey"), "est_distinct")
 
 
 @register(
@@ -857,24 +874,7 @@ def kmv_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-exact."""
     from maplejuice_spark.catalog import load_table
 
-    def sketch(df: DataFrame, col: str) -> DataFrame:
-        return (
-            df.select(
-                F.md5(F.col(col).cast("string").cast("binary")).alias("h")
-            )
-            .distinct()
-            .orderBy("h")
-            .limit(_KMV_K)
-        )
-
-    a = sketch(load_table(spark, sf_dir, "orders"), "o_custkey")
-    b = sketch(load_table(spark, sf_dir, "customer"), "c_custkey")
+    a = _kmv_sketch(load_table(spark, sf_dir, "orders"), "o_custkey")
+    b = _kmv_sketch(load_table(spark, sf_dir, "customer"), "c_custkey")
     merged = a.union(b).distinct().orderBy("h").limit(_KMV_K)
-    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast(
-        "double"
-    ) / F.lit(float(16**15))
-    return merged.agg(
-        F.lit(_KMV_K).alias("k"),
-        F.max("h").alias("kth_hash"),
-        ((F.lit(_KMV_K) - 1) / frac).alias("est_union_distinct"),
-    )
+    return _kmv_agg(merged, "est_union_distinct")

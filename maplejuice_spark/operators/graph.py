@@ -160,7 +160,10 @@ def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a partial-aggregated expand. Bucketing the edge table on
     (src) makes hop joins exchange-free at 100 TB.
     """
-    edges = _edges(spark, sf_dir)
+    # Both join sides derive from the same edge subtree; materialize so
+    # the orders scan + distinct-edge derivation runs once (same reason
+    # pagerank materializes its loop-invariant edges above).
+    edges = materialize(_edges(spark, sf_dir))
     a = edges.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
     b = edges.select(F.col("src").alias("mid"), F.col("dst").alias("two"))
     return (

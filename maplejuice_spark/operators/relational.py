@@ -417,21 +417,31 @@ def join_range_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tus
                FROM events WHERE event_type = 'purchase'),
          c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS tus
-               FROM events WHERE event_type = 'click')
-    SELECT p.purchase_id, c.click_id
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus > c.tus
+               FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.purchase_id, c.click_id,
+                  ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                     ORDER BY c.tus DESC NULLS LAST,
+                                              c.click_id DESC NULLS LAST)
+                    AS rk
+           FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.tus < p.tus
+         )
+    SELECT purchase_id, click_id FROM j WHERE rk = 1
     """,
     tags=("join", "asof"),
 )
 def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest strictly-earlier click
-    by the same user.
+    by the same user; ties on the click timestamp break to the highest
+    click_id.
 
     Spark lacks a native ASOF JOIN; the scalable composition is
     union-both-sides + one window pass (last non-null over an ordered,
     user-partitioned frame) — a single shuffle on user_id, no range
-    explosion, no per-group pandas. (The DuckDB oracle uses its native
-    ASOF LEFT JOIN.)
+    explosion, no per-group pandas. The oracle deliberately avoids
+    DuckDB's native ASOF JOIN: its tie order among equal-timestamp
+    clicks is insertion-order-dependent, so it states the same
+    rank-based rule instead (deterministic in both engines).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", ts_us_div("ts").alias("tus"), "event_type"

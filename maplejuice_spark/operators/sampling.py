@@ -22,16 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import md5_key as _hash_key
 from maplejuice_spark.registry import register
 
 # First two hex chars of md5 < '1a' keeps 26/256 ~ 10.2% of rows.
 _PREFIX_LT = "1a"
 QUOTA = 50
-
-
-def _hash_key(c: F.Column | str) -> F.Column:
-    c = F.col(c) if isinstance(c, str) else c
-    return F.md5(c.cast("string").cast("binary"))
 
 
 @register(
@@ -68,8 +64,8 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "window"),
 )
 def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed quota of {QUOTA} docs per source stratum, chosen by hash
-    order — a deterministic reservoir sample. One shuffle on the
+    """Fixed quota (QUOTA = 50) of docs per source stratum, chosen by
+    hash order — a deterministic reservoir sample. One shuffle on the
     stratum key; the quota prunes via per-partition rank limit."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(_hash_key("doc_id"), "doc_id")
