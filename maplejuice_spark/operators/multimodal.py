@@ -8,7 +8,8 @@ ingest). The decode/feature-extract steps run as Arrow-batched
 partition-parallel.
 
 The container has no image/audio codecs, so the decode kernel is a
-clearly-marked deterministic STUB (seeded by content digest); the Spark
+clearly-marked deterministic STUB (fake dimensions from the first two
+payload bytes, one formula shared by meta/frames/resize); the Spark
 plumbing — schema, batching, partition parallelism, UDF signature — is
 real and tested (tests/test_multimodal.py).
 """
@@ -33,30 +34,32 @@ from maplejuice_spark.registry import register
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS content_md5,
-           256 + CAST(ascii(substr(md5(text), 1, 1)) AS BIGINT) % 16 * 64 AS fake_width,
-           256 + CAST(ascii(substr(md5(text), 2, 1)) AS BIGINT) % 16 * 64 AS fake_height
+           256 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 16 * 64 AS fake_width,
+           256 + CAST(ascii(substr(text, 2, 1)) AS BIGINT) % 16 * 64 AS fake_height
     FROM documents
     """,
     tags=("multimodal",),
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata extraction: payload size, content digest,
-    and (stubbed) decoded dimensions derived deterministically from the
-    digest. Pure column expressions — the binary payload never leaves
-    the JVM."""
+    and (stubbed) decoded dimensions — the SAME first-two-payload-bytes
+    formula as ``_stub_decode``, so meta, frames, and resize report one
+    consistent geometry per document. Pure column expressions — the
+    binary payload never leaves the JVM."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
-    h = F.md5(payload)
     return docs.select(
         "doc_id",
         F.length(payload).cast("bigint").alias("n_bytes"),
-        h.alias("content_md5"),
-        (F.lit(256) + F.ascii(F.substring(h, 1, 1)).cast("bigint") % 16 * 64).alias(
-            "fake_width"
-        ),
-        (F.lit(256) + F.ascii(F.substring(h, 2, 1)).cast("bigint") % 16 * 64).alias(
-            "fake_height"
-        ),
+        F.md5(payload).alias("content_md5"),
+        (
+            F.lit(256)
+            + F.ascii(F.substring("text", 1, 1)).cast("bigint") % 16 * 64
+        ).alias("fake_width"),
+        (
+            F.lit(256)
+            + F.ascii(F.substring("text", 2, 1)).cast("bigint") % 16 * 64
+        ).alias("fake_height"),
     )
 
 
@@ -113,7 +116,9 @@ def _stub_decode(payload: bytes) -> tuple[int, int]:
     if not payload:
         raise NotImplementedError("real media decode requires codec libraries")
     w = 256 + (payload[0] % 16) * 64
-    h = 256 + (payload[1 % len(payload)] % 16) * 64
+    # second byte, or 0 when absent — matches the SQL restatement's
+    # ascii(substr(text, 2, 1)) which is 0 for 1-byte payloads
+    h = 256 + ((payload[1] if len(payload) > 1 else 0) % 16) * 64
     return w, h
 
 
@@ -150,7 +155,7 @@ def decode_frames(media: DataFrame, frames_per_item: int = 2) -> DataFrame:
     WITH f AS (
       SELECT doc_id, text,
              unnest(generate_series(0, 1)) AS frame_idx
-      FROM documents WHERE doc_id % 10 = 0
+      FROM documents WHERE doc_id % 10 = 0 AND LENGTH(text) >= 1
     ),
     ex AS (
       SELECT doc_id, frame_idx, text,
@@ -184,7 +189,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake; the mapInPandas stage is a pure map — no shuffle, parallel in
     input splits, Arrow batch transfer.
     """
-    media = as_media_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    media = as_media_table(spark, sf_dir).filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("payload") >= 1)
+    )
     frames = decode_frames(media, frames_per_item=2)
     return frames.select(
         "doc_id",
@@ -264,7 +271,7 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
       SELECT doc_id, text,
              256 + (ascii(substr(text, 1, 1)) % 16) * 64 AS width,
              256 + (ascii(substr(text, 2, 1)) % 16) * 64 AS height
-      FROM documents WHERE doc_id % 10 = 0
+      FROM documents WHERE doc_id % 10 = 0 AND LENGTH(text) >= 1
     ),
     scaled AS (
       SELECT doc_id, text, width, height,
@@ -287,5 +294,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas plumbing, oracle-checked via integer geometry and a
     digest of the tagged payload (ASCII payloads make the Python bytes
     and SQL string md5 agree)."""
-    media = as_media_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    media = as_media_table(spark, sf_dir).filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("payload") >= 1)
+    )
     return resize_media(media)

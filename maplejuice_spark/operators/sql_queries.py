@@ -23,9 +23,7 @@ def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
-@register(
-    "q6_forecast_revenue",
-    oracle="""
+_Q_Q6_FORECAST_REVENUE = """
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_rows
@@ -34,62 +32,50 @@ def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.02 AND 0.04
       AND l_quantity < 24
-    """,
+    """
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=_Q_Q6_FORECAST_REVENUE,
     tags=("sql", "tpch", "agg"),
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly-selective scan-filter-agg; every predicate
     must reach the parquet scan (PushedFilters)."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
-                 AS revenue,
-               COUNT(*) AS n_rows
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-          AND l_discount BETWEEN 0.02 AND 0.04
-          AND l_quantity < 24
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_Q6_FORECAST_REVENUE)
 
 
-@register(
-    "q18_large_orders",
-    oracle="""
+_Q_Q18_LARGE_ORDERS = """
     SELECT o_orderkey, o_custkey,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_custkey
     HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
-    """,
+    """
+
+
+@register(
+    "q18_large_orders",
+    oracle=_Q_Q18_LARGE_ORDERS,
     tags=("sql", "tpch", "having"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: join + group + HAVING on the aggregate."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT o_orderkey, o_custkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        GROUP BY o_orderkey, o_custkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_Q18_LARGE_ORDERS)
 
 
-@register(
-    "q17_scalar_subquery",
-    oracle="""
+_Q_Q17_SCALAR_SUBQUERY = """
     SELECT p_brand, COUNT(*) AS n_small
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem)
     GROUP BY p_brand
-    """,
+    """
+
+
+@register(
+    "q17_scalar_subquery",
+    oracle=_Q_Q17_SCALAR_SUBQUERY,
     tags=("sql", "subquery"),
 )
 def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,42 +85,26 @@ def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold* only flips rows sitting within 1e-10 of it — l_quantity
     values are integers, so the predicate is engine-stable.
     """
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT p_brand, COUNT(*) AS n_small
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem)
-        GROUP BY p_brand
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_Q17_SCALAR_SUBQUERY)
 
 
-@register(
-    "correlated_exists",
-    oracle="""
+_Q_CORRELATED_EXISTS = """
     SELECT s_suppkey, s_name FROM supplier s
     WHERE EXISTS (
       SELECT 1 FROM lineitem l
       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
     )
-    """,
+    """
+
+
+@register(
+    "correlated_exists",
+    oracle=_Q_CORRELATED_EXISTS,
     tags=("sql", "subquery", "semi"),
 )
 def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS — Catalyst rewrites it to a left-semi join."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT s_suppkey, s_name FROM supplier s
-        WHERE EXISTS (
-          SELECT 1 FROM lineitem l
-          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
-        )
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_CORRELATED_EXISTS)
 
 
 @register(
@@ -163,27 +133,22 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "union_all_events_orders",
-    oracle="""
+_Q_UNION_ALL_EVENTS_ORDERS = """
     SELECT 'order' AS kind, o_orderkey AS id FROM orders
     UNION ALL
     SELECT 'event' AS kind, event_id AS id FROM events
-    """,
+    """
+
+
+@register(
+    "union_all_events_orders",
+    oracle=_Q_UNION_ALL_EVENTS_ORDERS,
     tags=("sql", "setop"),
 )
 def union_all_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL (bag union — the reference's implicit directory-merge,
     MapleJuice.cpp:217-224, without the dedup of UNION)."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT 'order' AS kind, o_orderkey AS id FROM orders
-        UNION ALL
-        SELECT 'event' AS kind, event_id AS id FROM events
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_UNION_ALL_EVENTS_ORDERS)
 
 
 @register(
@@ -240,9 +205,7 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_null_safe",
-    oracle="""
+_Q_JOIN_NULL_SAFE = """
     WITH g AS (
       SELECT nullif(c_custkey % 3, 0) AS cgroup, c_nationkey FROM customer
     )
@@ -251,27 +214,19 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.cgroup IS NOT DISTINCT FROM b.cgroup
      AND a.c_nationkey = b.c_nationkey
     GROUP BY a.cgroup
-    """,
+    """
+
+
+@register(
+    "join_null_safe",
+    oracle=_Q_JOIN_NULL_SAFE,
     tags=("sql", "join", "null-safe"),
 )
 def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (IS NOT DISTINCT FROM / <=>): NULL keys
     match each other instead of vanishing — still plans as a hash
     equi-join (EqualNullSafe is a valid hash key), not an NLJ."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        WITH g AS (
-          SELECT nullif(c_custkey % 3, 0) AS cgroup, c_nationkey FROM customer
-        )
-        SELECT a.cgroup, COUNT(*) AS n_pairs
-        FROM g a JOIN g b
-          ON a.cgroup IS NOT DISTINCT FROM b.cgroup
-         AND a.c_nationkey = b.c_nationkey
-        GROUP BY a.cgroup
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_JOIN_NULL_SAFE)
 
 
 @register(
@@ -309,49 +264,39 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "set_except_all_orders",
-    oracle="""
+_Q_SET_EXCEPT_ALL_ORDERS = """
     SELECT o_orderstatus FROM orders
     EXCEPT ALL
     SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
-    """,
+    """
+
+
+@register(
+    "set_except_all_orders",
+    oracle=_Q_SET_EXCEPT_ALL_ORDERS,
     tags=("sql", "setop", "bag"),
 )
 def set_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (multiset difference — keeps surplus multiplicities,
     unlike the distinct-ing EXCEPT in set_except_nations)."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT o_orderstatus FROM orders
-        EXCEPT ALL
-        SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_SET_EXCEPT_ALL_ORDERS)
+
+
+_Q_SET_INTERSECT_ALL_ORDERS = """
+    SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    """
 
 
 @register(
     "set_intersect_all_orders",
-    oracle="""
-    SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
-    INTERSECT ALL
-    SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
-    """,
+    oracle=_Q_SET_INTERSECT_ALL_ORDERS,
     tags=("sql", "setop", "bag"),
 )
 def set_intersect_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL (multiset intersection: min of the two counts)."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
-        INTERSECT ALL
-        SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
-        """,
-    )
+    return _sql(spark, sf_dir, _Q_SET_INTERSECT_ALL_ORDERS)
 
 
 @register(

@@ -34,11 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from maplejuice_spark.catalog import register_testdata
 from maplejuice_spark.registry import register
 
-_DOC = {}
-
-
 def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str) -> None:
-    """Register one dual-engine SQL query (same text on both sides)."""
+    """Register one dual-engine SQL query (same text on both sides —
+    the oracle IS the query, so the differential test cannot drift)."""
 
     def fn(spark: SparkSession, sf_dir: str, _q: str = sql) -> DataFrame:
         register_testdata(spark, sf_dir)
@@ -47,7 +45,6 @@ def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str) -> None:
     fn.__name__ = name
     fn.__doc__ = doc
     register(name, oracle=sql, tags=tags)(fn)
-    _DOC[name] = doc
 
 
 _REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"

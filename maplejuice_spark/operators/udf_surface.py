@@ -44,7 +44,7 @@ class TokenExplodeUDTF:
     def eval(self, text: str):  # noqa: D102 — contract fixed by Spark
         import re
 
-        for i, w in enumerate(re.findall(r"[A-Za-z0-9-]+", text or ""), 1):
+        for i, w in enumerate(re.findall(TOKEN_CLASS, text or ""), 1):
             yield (w, i)
 
 
@@ -103,7 +103,7 @@ def _qty_udafs():
     "pandas_udaf_qty",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -119,8 +119,11 @@ def pandas_udaf_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why the hot paths use built-in aggregates instead.
     """
     register_testdata(spark, sf_dir)
+    # floor-then-cast on BOTH sides: DuckDB's double->BIGINT cast ROUNDS
+    # while Spark's truncates — floor pins one semantics (no-op on the
+    # integer-valued fixture).
     li = spark.table("lineitem").withColumn(
-        "qty_int", F.col("l_quantity").cast("long")
+        "qty_int", F.floor("l_quantity").cast("long")
     )
     qty_sum, row_count = _qty_udafs()
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -131,10 +134,11 @@ def pandas_udaf_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pandas_scalar_tokens",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9-]+')) AS n_tokens,
-           LENGTH(text) AS n_chars
+           len(regexp_extract_all(COALESCE(text, ''), '{TOKEN_CLASS}'))
+             AS n_tokens,
+           LENGTH(COALESCE(text, '')) AS n_chars
     FROM documents
     """,
     tags=("udf-surface", "pandas-udf", "scalar"),
@@ -148,14 +152,17 @@ def pandas_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle and token_count_docs state — the point here is the surface).
 
     Scale: Arrow transfers columns in batches (10-100x row-at-a-time
-    Python UDFs); the UDF is a narrow transformation — no shuffle, and
-    columns not referenced are pruned before transfer.
+    Python UDFs); the repartition spreads the Python work across cores
+    for single-file local inputs (a no-op on pre-partitioned lakes), and
+    columns not referenced are pruned before transfer. NULL text counts
+    as the empty string on BOTH sides (the str.count/astype path would
+    otherwise raise on NaN).
     """
     register_testdata(spark, sf_dir)
 
     @pandas_udf("long")
     def tok_count(s: pd.Series) -> pd.Series:
-        return s.str.count(r"[A-Za-z0-9-]+").astype("int64")
+        return s.fillna("").str.count(TOKEN_CLASS).astype("int64")
 
     docs = spark.table("documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -163,5 +170,5 @@ def pandas_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         tok_count(F.col("text")).alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias("n_chars"),
     )
