@@ -547,3 +547,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             md5(text) AS h_exact,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS h_norm
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT h_exact) AS n_exact_distinct,
+           COUNT(DISTINCT h_norm) AS n_norm_distinct,
+           COUNT(DISTINCT h_exact) - COUNT(DISTINCT h_norm)
+             AS n_extra_norm_dups
+    FROM n GROUP BY source
+    """,
+    tags=("dedup", "normalized", "pipeline"),
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup accounting: exact content digests vs digests of
+    NORMALIZED text (lowercase, non-alphanumeric runs collapsed to one
+    space, trimmed) — the standard cheap pass between byte-exact dedup
+    and MinHash that catches case/punctuation/whitespace near-copies.
+
+    Scale: both digests are pure projections; the per-source distinct
+    counts shuffle 16-byte digests only — same shape as dedup_exact.
+    The regex uses explicit classes (no \\s shorthand — Java and RE2
+    disagree on its membership).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    n = docs.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h_exact"),
+        F.md5(norm.cast("binary")).alias("h_norm"),
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h_exact").alias("n_exact_distinct"),
+        F.countDistinct("h_norm").alias("n_norm_distinct"),
+        (F.countDistinct("h_exact") - F.countDistinct("h_norm")).alias(
+            "n_extra_norm_dups"
+        ),
+    )
