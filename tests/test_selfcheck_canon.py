@@ -1,0 +1,80 @@
+"""The selfcheck's canonicalizer IS the correctness gate's local twin —
+these tests pin its failure modes so a regression there can't silently
+re-open the round-1 selfcheck/gate divergence."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pandas as pd
+import pytest
+
+_SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "selfcheck_sf001.py",
+)
+
+spec = importlib.util.spec_from_file_location("selfcheck_sf001", _SCRIPT)
+sc = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(sc)
+
+
+def test_int_vs_float_is_strict():
+    """int64 64 vs float64 64.0 must NOT canonicalize equal (the DuckDB
+    HUGEINT-widening failure class)."""
+    a = sc._canon(pd.DataFrame({"x": pd.Series([64], dtype="int64")}))
+    b = sc._canon(pd.DataFrame({"x": pd.Series([64.0], dtype="float64")}))
+    assert a != b
+
+
+def test_int_width_insensitive():
+    """int8/int32/int64 of the same value canonicalize equal (the driver
+    hash is integer-width-insensitive — proven by simhash_pairs passing
+    with Spark int32 vs DuckDB int8)."""
+    frames = [
+        pd.DataFrame({"x": pd.Series([7], dtype=dt)})
+        for dt in ("int8", "int32", "int64")
+    ]
+    canons = [sc._canon(f) for f in frames]
+    assert canons[0] == canons[1] == canons[2]
+
+
+def test_all_numeric_frame_keeps_dtypes():
+    """Regression for the iterrows upcast: an int64 column next to a
+    float64 column must stay int-typed cell-wise."""
+    pdf = pd.DataFrame(
+        {
+            "n": pd.Series([3, 1], dtype="int64"),
+            "r": pd.Series([0.5, 0.25], dtype="float64"),
+        }
+    )
+    rows = sc._canon(pdf)
+    # sorted by n: (1, 0.25) first; the n cell must be tagged "i"
+    assert rows[0][0][0] == "i" and rows[0][1][0] == "f"
+
+
+def test_array_cells_raise():
+    """List/array cells must raise (the gate's canonicalizer cannot sort
+    them) — a registered query emitting arrays has to fail HERE."""
+    pdf = pd.DataFrame({"a": [[1, 2], [3]], "b": [1, 2]})
+    with pytest.raises(TypeError):
+        sc._canon(pdf)
+
+
+def test_floats_compare_byte_exact():
+    """Floats differing by one ULP must not canonicalize equal."""
+    x = 0.1
+    y = float.fromhex(hex_next(x))
+    a = sc._canon(pd.DataFrame({"x": [x]}))
+    b = sc._canon(pd.DataFrame({"x": [y]}))
+    assert a != b
+
+
+def hex_next(v: float) -> str:
+    import math
+    import struct
+
+    (bits,) = struct.unpack("<q", struct.pack("<d", v))
+    return struct.unpack("<d", struct.pack("<q", bits + 1))[0].hex()
