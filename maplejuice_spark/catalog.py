@@ -82,12 +82,26 @@ def _ensure_read_confs(spark: SparkSession) -> None:
     Session timezone is pinned to UTC for the same reason: epoch /
     date_trunc('week') / date_format over naive timestamps must agree
     with the DuckDB oracle regardless of the host JVM default zone.
+
+    NOTE this MUTATES the caller's session (both confs are session-
+    scoped). An embedding application that set its own session timezone
+    can opt out via ``MJ_NO_SESSION_TZ_PIN=1`` — its datetime queries
+    then carry the host zone, diverging from the UTC oracle, which is
+    that host's informed choice.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not os.environ.get("MJ_NO_SESSION_TZ_PIN"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table.
+
+    Side effect (deliberate, documented): pins session timezone to UTC
+    and enables legacy nanos-as-long parquet reads on the CALLER's
+    session — see :func:`_ensure_read_confs`. Hosts sharing a session
+    mid-run can set ``MJ_NO_SESSION_TZ_PIN=1`` to keep their timezone.
+    """
     _ensure_read_confs(spark)
     return spark.read.parquet(table_path(sf_dir, name))
 

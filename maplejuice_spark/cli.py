@@ -158,10 +158,18 @@ def cmd_store(args: argparse.Namespace) -> None:
 
 
 def cmd_grep(args: argparse.Namespace) -> None:
-    """Distributed grep (logger.cpp:193-224). Flags -i/-v/-c/-F mirror
-    the reference's raw-grep-command surface (logger.cpp:50-56)."""
+    """Distributed grep (logger.cpp:193-224). Flags -i/-v/-c/-F/-E/-n
+    and -A/-B/-C mirror the reference's raw-grep-command surface
+    (logger.cpp:50-56 executes whatever grep flags the user typed).
+
+    Output is STREAMED to the driver (toLocalIterator), never
+    collect()ed — a broad pattern over a 100 TB store must not require
+    every matching line to fit in driver memory at once.
+    """
     from maplejuice_spark.compat.grep import grep_command
 
+    before = max(args.before_context, args.context)
+    after = max(args.after_context, args.context)
     spark = _spark()
     res = grep_command(
         spark,
@@ -171,16 +179,41 @@ def cmd_grep(args: argparse.Namespace) -> None:
         invert=args.invert,
         count_only=args.count,
         fixed_string=args.fixed,
+        extended=args.extended,
+        line_numbers=args.line_numbers,
+        before_context=before,
+        after_context=after,
     )
-    rows = res.collect()
     if args.count:
-        for row in rows:
+        total = 0
+        for row in res.toLocalIterator():
             print(f"{row['file']}: {row['n_matches']}")
-        print(f"Line_count: {sum(r['n_matches'] for r in rows)}")
+            total += row["n_matches"]
+        print(f"Line_count: {total}")
+    elif args.line_numbers or before or after:
+        # GNU grep formatting: N:line for matches, N-line for context,
+        # "--" between non-adjacent groups. Rows arrive (file, line_no)-
+        # sorted, so the group break is a simple gap check while
+        # streaming.
+        n_matches = 0
+        prev: tuple[str, int] | None = None
+        for row in res.orderBy("file", "line_no").toLocalIterator():
+            if prev is not None and (
+                row["file"] != prev[0] or row["line_no"] > prev[1] + 1
+            ):
+                print("--")
+            sep = ":" if row["is_match"] else "-"
+            prefix = f"{row['line_no']}{sep}" if args.line_numbers else ""
+            print(f"{prefix}{row['line']}")
+            prev = (row["file"], row["line_no"])
+            n_matches += bool(row["is_match"])
+        print(f"Line_count: {n_matches}")
     else:
-        for row in rows:
+        n = 0
+        for row in res.toLocalIterator():
             print(row["line"])
-        print(f"Line_count: {len(rows)}")
+            n += 1
+        print(f"Line_count: {n}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -216,6 +249,11 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("-v", dest="invert", action="store_true")
     g.add_argument("-c", dest="count", action="store_true")
     g.add_argument("-F", dest="fixed", action="store_true")
+    g.add_argument("-E", dest="extended", action="store_true")
+    g.add_argument("-n", dest="line_numbers", action="store_true")
+    g.add_argument("-A", dest="after_context", type=int, default=0)
+    g.add_argument("-B", dest="before_context", type=int, default=0)
+    g.add_argument("-C", dest="context", type=int, default=0)
     g.add_argument("pattern"), g.add_argument("sdfs")
     g.set_defaults(fn=cmd_grep)
 

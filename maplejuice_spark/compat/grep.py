@@ -27,15 +27,16 @@ def grep_files(spark: SparkSession, path: str, pattern: str) -> DataFrame:
     """grep over a directory of text files: per-file match counts.
 
     Equivalent of logger.cpp's per-node output: one row per source file
-    with its matched-line count (logger.cpp:73-74).
-    Scale: filter is evaluated in the scan stage; per-file counts are a
-    partial-agg'd groupBy on input_file_name().
+    with its matched-line count (logger.cpp:73-74). Like ``grep -c``,
+    files with ZERO matches still get a row (``file:0``) — the count is
+    a conditional sum over every file's lines, not a filter-then-count
+    (which would silently drop empty-match files from the report).
+    Scale: one scan, partial-agg'd groupBy on input_file_name(); no
+    second pass or join needed to recover the zero-match files.
     """
     lines = spark.read.text(path)
-    return (
-        lines.filter(F.col("value").rlike(pattern))
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(F.count(F.lit(1)).alias("n_matches"))
+    return lines.groupBy(F.input_file_name().alias("file")).agg(
+        F.sum(F.col("value").rlike(pattern).cast("long")).alias("n_matches")
     )
 
 
@@ -45,22 +46,53 @@ def grep_total(spark: SparkSession, path: str, pattern: str) -> int:
 
 
 def _match_cond(
-    pattern: str, *, ignore_case: bool = False, fixed_string: bool = False
+    pattern: str,
+    *,
+    ignore_case: bool = False,
+    fixed_string: bool = False,
+    col: str = "value",
 ) -> F.Column:
     """Build the line-match predicate for one grep pattern.
 
     ``-F`` (fixed string) compiles to a substring ``contains`` — no regex
     engine in the hot loop; ``-i`` prefixes ``(?i)`` (regex) or lowers
-    both sides (fixed). Patterns are Java regex — a superset of grep -E;
-    the reference shells out to the node's own grep (logger.cpp:50-56) so
-    exact BRE quirks were never part of its contract.
+    both sides (fixed). Patterns are Java regex — a superset of grep -E
+    (so ``-E`` is accepted and a no-op: alternation, ``+``, ``?``, and
+    ``{m,n}`` already work unescaped); the reference shells out to the
+    node's own grep (logger.cpp:50-56) so exact BRE quirks were never
+    part of its contract.
     """
-    col = F.col("value")
+    c = F.col(col)
     if fixed_string:
         if ignore_case:
-            return F.lower(col).contains(pattern.lower())
-        return col.contains(pattern)
-    return col.rlike(f"(?i){pattern}" if ignore_case else pattern)
+            return F.lower(c).contains(pattern.lower())
+        return c.contains(pattern)
+    return c.rlike(f"(?i){pattern}" if ignore_case else pattern)
+
+
+def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
+    """``(file, line_no, line)`` with exact 1-based per-file line numbers.
+
+    Line numbers need whole-file ordering, so this path reads each file
+    as ONE row (``wholetext``) and posexplodes its lines — exact and
+    deterministic, at the cost of holding a full file per task. That is
+    the right trade for the reference's use case (node log files, tens
+    of MB); for multi-GB single files, number lines at ingest instead
+    (the partitioned sink can persist a ``line_no`` column once).
+    A trailing newline does not create a phantom empty last line,
+    matching GNU grep's line accounting.
+    """
+    parts = F.split(F.col("value"), "\n", -1)
+    parts = F.when(
+        (F.size(parts) > 0) & (F.element_at(parts, -1) == ""),
+        F.slice(parts, 1, F.size(parts) - 1),
+    ).otherwise(parts)
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("file"), parts.alias("lines"))
+        .select("file", F.posexplode("lines").alias("idx", "line"))
+        .select("file", (F.col("idx") + 1).alias("line_no"), "line")
+    )
 
 
 def grep_command(
@@ -72,28 +104,73 @@ def grep_command(
     invert: bool = False,
     count_only: bool = False,
     fixed_string: bool = False,
+    extended: bool = False,
+    line_numbers: bool = False,
+    before_context: int = 0,
+    after_context: int = 0,
 ) -> DataFrame:
     """The reference's arbitrary-grep-command surface (logger.cpp:50-56
     runs ``system("<raw grep cmd> ./log.txt")``), translated to a Spark
-    plan: flags -i / -v / -c / -F map onto the filter expression.
+    plan: flags -i / -v / -c / -F / -E / -n / -A / -B map onto the
+    filter expression (``-E`` is a no-op by construction — patterns are
+    Java regex, a superset of ERE).
 
-    Returns matching lines ``(file, line)`` — or per-file counts
-    ``(file, n_matches)`` under ``-c`` (one count row per file, the
-    per-node view of logger.cpp:216-223).
+    Returns matching lines ``(file, line)``; per-file counts
+    ``(file, n_matches)`` under ``-c`` — including ``file:0`` rows for
+    zero-match files, like GNU ``grep -c`` over multiple inputs; or
+    ``(file, line_no, line, is_match)`` under ``-n``/``-A``/``-B``,
+    where ``is_match`` distinguishes true matches from context lines
+    (GNU grep's ``:`` vs ``-`` separator).
 
-    Scale: the predicate evaluates in the scan stage; ``-c`` adds only a
-    partial-agg'd groupBy on input_file_name().
+    Scale: the plain path evaluates the predicate in the scan stage;
+    ``-c`` is one conditional-sum groupBy over input_file_name(); the
+    ``-n``/context path numbers lines via :func:`_numbered_lines` and
+    selects context with ONE range window per file — no self-join, no
+    per-match explosion.
     """
+    del extended  # accepted for CLI parity; Java regex already ⊇ ERE
+    if count_only:
+        cond = _match_cond(
+            pattern, ignore_case=ignore_case, fixed_string=fixed_string
+        )
+        if invert:
+            cond = ~cond
+        return (
+            spark.read.text(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(F.sum(cond.cast("long")).alias("n_matches"))
+        )
+    if line_numbers or before_context or after_context:
+        from pyspark.sql.window import Window
+
+        cond = _match_cond(
+            pattern, ignore_case=ignore_case, fixed_string=fixed_string,
+            col="line",
+        )
+        if invert:
+            cond = ~cond
+        flagged = _numbered_lines(spark, path).withColumn("is_match", cond)
+        if before_context or after_context:
+            # keep line L iff a match exists in [L-A, L+B]: one range
+            # window over (file, line_no) — after-context lines see the
+            # match at offset -A..0, before-context at 0..+B.
+            w = (
+                Window.partitionBy("file")
+                .orderBy("line_no")
+                .rangeBetween(-after_context, before_context)
+            )
+            flagged = flagged.where(
+                F.max(F.col("is_match").cast("int")).over(w) == 1
+            )
+        else:
+            flagged = flagged.where("is_match")
+        return flagged.select("file", "line_no", "line", "is_match")
     cond = _match_cond(
         pattern, ignore_case=ignore_case, fixed_string=fixed_string
     )
     if invert:
         cond = ~cond
     lines = spark.read.text(path).filter(cond)
-    if count_only:
-        return lines.groupBy(F.input_file_name().alias("file")).agg(
-            F.count(F.lit(1)).alias("n_matches")
-        )
     return lines.select(
         F.input_file_name().alias("file"), F.col("value").alias("line")
     )
@@ -168,6 +245,59 @@ def grep_icase_fixed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.lower(F.col("text")).contains("spark join"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@register(
+    "grep_context_lines",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS line_no,
+             CAST(regexp_matches(text, '{GREP_PATTERN}') AS INTEGER)
+               AS is_match
+      FROM documents
+    )
+    SELECT source, line_no, doc_id, is_match
+    FROM (
+      SELECT *, MAX(is_match) OVER (
+               PARTITION BY source ORDER BY line_no
+               RANGE BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS in_ctx
+      FROM numbered
+    ) WHERE in_ctx = 1
+    ORDER BY source, line_no
+    """,
+    tags=("reference-parity", "grep", "flags"),
+)
+def grep_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -n -A 1 -B 2 semantics over the documents table: each
+    source is a "file" whose lines are its docs in doc_id order; output
+    is every line within the context window of a match, line-numbered,
+    with ``is_match`` marking true matches vs context lines (GNU grep's
+    ``:`` vs ``-``).
+
+    Scale: two windows over the same (source, line_no) ordering — one
+    row_number, one range-max — a single sort per source partition, no
+    self-join, no per-match row explosion.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_num = Window.partitionBy("source").orderBy("doc_id")
+    w_ctx = (
+        Window.partitionBy("source").orderBy("line_no").rangeBetween(-1, 2)
+    )
+    numbered = docs.select(
+        "source",
+        "doc_id",
+        F.col("text").rlike(GREP_PATTERN).cast("int").alias("is_match"),
+    ).withColumn("line_no", F.row_number().over(w_num).cast("long"))
+    return (
+        numbered.withColumn("in_ctx", F.max("is_match").over(w_ctx))
+        .where(F.col("in_ctx") == 1)
+        .select("source", "line_no", "doc_id", "is_match")
+        .orderBy("source", "line_no")
     )
 
 

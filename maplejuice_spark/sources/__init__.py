@@ -100,6 +100,19 @@ def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
     """
     import pyarrow.parquet as pq
 
+    scheme, sep, rest = path.partition("://")
+    if sep and scheme != "file":
+        # os.walk on "s3://bucket/..." would silently return an EMPTY
+        # manifest — a lying reproducibility artifact. Fail loudly; a
+        # remote lake should route listing through the object store's
+        # own filesystem (pyarrow.fs / Hadoop FS) where that exists.
+        raise ValueError(
+            f"dataset_manifest walks a local filesystem; got scheme "
+            f"{scheme!r} ({path}). Mount the lake or use pyarrow.fs."
+        )
+    if sep:
+        path = rest if rest.startswith("/") else "/" + rest
+
     rows = []
     root = os.path.abspath(path)
     for dirpath, _dirnames, filenames in os.walk(root):

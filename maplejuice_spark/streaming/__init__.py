@@ -186,8 +186,6 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> No
 
 
 _STREAM_RUN_SEQ = [0]
-# stream_upsert_latest run dirs from THIS process, reclaimed on the next call
-_UPSERT_RUN_DIRS: list[str] = []
 
 
 @register(
@@ -538,13 +536,11 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    # One run directory per invocation; previous invocations' dirs (this
-    # process) are reclaimed here — the returned lazy DataFrame keeps
-    # only the CURRENT run's log alive.
-    while _UPSERT_RUN_DIRS:
-        shutil.rmtree(_UPSERT_RUN_DIRS.pop(), ignore_errors=True)
+    # One run directory per invocation, reclaimed before returning: the
+    # compacted result is eagerly localCheckpoint()ed below, so nothing
+    # lazy references the log afterwards — earlier invocations' results
+    # stay evaluable and no run dir outlives its call.
     run_dir = tempfile.mkdtemp(prefix="mj_upsert_run_")
-    _UPSERT_RUN_DIRS.append(run_dir)
     state_dir = os.path.join(run_dir, "state")
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
@@ -570,7 +566,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts_us").desc(), F.col("event_id").desc()
     )
-    return (
+    result = (
         log.withColumn(
             "n_total", F.sum("n_events").over(Window.partitionBy("user_id"))
         )
@@ -583,7 +579,13 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("latest_value"),
             F.col("n_total").alias("n_events"),
         )
+        # eager materialization (state is |users|-sized, tiny next to
+        # the stream) — after this the parquet log is dead weight and
+        # the run dir can be reclaimed NOW, not at some later call.
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return result
 
 
 _TWS_OUT_SCHEMA = T.StructType(

@@ -26,7 +26,8 @@ def log_dir(tmp_path_factory):
 def test_per_file_counts(spark, log_dir):
     res = grep_files(spark, str(log_dir), "JOIN")
     counts = {r["file"].rsplit("/", 1)[-1]: r["n_matches"] for r in res.collect()}
-    assert counts == {"node1.log": 2, "node3.log": 1}
+    # grep -c prints file:0 for zero-match inputs (node2 has no JOIN)
+    assert counts == {"node1.log": 2, "node2.log": 0, "node3.log": 1}
 
 
 def test_global_total(spark, log_dir):
@@ -57,12 +58,12 @@ def test_grep_flags(spark, log_dir):
     assert len(lines(pattern="join")) == 0
     # -v: invert (6 total lines, 3 match JOIN)
     assert len(lines(pattern="JOIN", invert=True)) == 3
-    # -c: per-file counts
+    # -c: per-file counts, including file:0 rows (GNU grep -c parity)
     counts = {
         r["file"].rsplit("/", 1)[-1]: r["n_matches"]
         for r in lines(pattern="JOIN", count_only=True)
     }
-    assert counts == {"node1.log": 2, "node3.log": 1}
+    assert counts == {"node1.log": 2, "node2.log": 0, "node3.log": 1}
     # -F: regex metachars are literal
     assert len(lines(pattern="PING|FAIL", fixed_string=True)) == 0
     assert len(lines(pattern="PING ok", fixed_string=True)) == 2
@@ -77,3 +78,100 @@ def test_cli_grep_flags(log_dir, capsys, monkeypatch, tmp_path):
     cli.main(["grep", "-c", "-i", "join", log_dir.name])
     out = capsys.readouterr().out
     assert "Line_count: 3" in out
+
+
+def _gnu_grep(args: list[str], files: list) -> str:
+    import subprocess
+
+    r = subprocess.run(
+        ["grep", *args, *map(str, files)], capture_output=True, text=True
+    )
+    assert r.returncode in (0, 1)  # 1 == no matches, still valid
+    return r.stdout
+
+
+def test_line_numbers_match_gnu_grep(spark, log_dir):
+    """grep -n parity: (line_no, line) pairs equal GNU grep -n's on the
+    same fixture file."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    f = log_dir / "node1.log"
+    ours = {
+        (r["line_no"], r["line"])
+        for r in grep_command(
+            spark, str(f), "JOIN", line_numbers=True
+        ).collect()
+    }
+    gnu = {
+        (int(line.split(":", 1)[0]), line.split(":", 1)[1])
+        for line in _gnu_grep(["-n", "JOIN"], [f]).splitlines()
+    }
+    assert ours == gnu == {(1, "<01-01-2024 10:00:00> JOIN node2"),
+                           (3, "<01-01-2024 10:00:02> JOIN node3")}
+
+
+def test_context_matches_gnu_grep(spark, log_dir):
+    """grep -n -A/-B parity vs GNU grep: same line set, same match-vs-
+    context split (the ':' / '-' separator)."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    f = log_dir / "node1.log"
+    for a, b in [(1, 0), (0, 1), (1, 1), (2, 2)]:
+        res = grep_command(
+            spark, str(f), "PING", line_numbers=True,
+            after_context=a, before_context=b,
+        ).collect()
+        ours = {(r["line_no"], bool(r["is_match"])) for r in res}
+        gnu = set()
+        for line in _gnu_grep(
+            ["-n", f"-A{a}", f"-B{b}", "PING"], [f]
+        ).splitlines():
+            if line == "--":
+                continue
+            # single-file grep -n prints "N:line" (match) / "N-line"
+            # (context); N is the leading digit run, then the separator
+            sep_i = next(i for i, ch in enumerate(line) if not ch.isdigit())
+            gnu.add((int(line[:sep_i]), line[sep_i] == ":"))
+        assert ours == gnu, (a, b)
+
+
+def test_cli_grep_context_format(log_dir, capsys, monkeypatch):
+    """CLI -n -A1 output: GNU-style N:match / N-context lines with a
+    Line_count trailer counting only true matches."""
+    from maplejuice_spark import cli
+
+    monkeypatch.setenv("MJ_STORE_ROOT", str(log_dir.parent))
+    cli.main(["grep", "-n", "-A", "1", "FAIL", log_dir.name])
+    out = capsys.readouterr().out.splitlines()
+    assert "2:<01-01-2024 10:00:05> FAIL node3" in out
+    assert out[-1] == "Line_count: 1"
+
+
+def test_grep_empty_and_trailing_newline_files(spark, tmp_path):
+    """Line accounting parity: trailing newline adds no phantom line;
+    an empty file contributes no rows but still counts under -c."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    d = tmp_path / "logs2"
+    d.mkdir()
+    (d / "a.log").write_text("x\ny\n")      # trailing newline
+    (d / "b.log").write_text("x")            # no trailing newline
+    (d / "c.log").write_text("")             # empty
+
+    numbered = grep_command(
+        spark, str(d), "x|y", line_numbers=True
+    ).collect()
+    by_file = {}
+    for r in numbered:
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(
+            r["line_no"]
+        )
+    assert by_file == {"a.log": [1, 2], "b.log": [1]}
+
+    counts = {
+        r["file"].rsplit("/", 1)[-1]: r["n_matches"]
+        for r in grep_command(
+            spark, str(d), "x", count_only=True
+        ).collect()
+    }
+    assert counts == {"a.log": 1, "b.log": 1, "c.log": 0}
