@@ -244,41 +244,31 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_topk",
-    oracle=f"""
-    WITH dsh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
-      )
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
-    inter AS (
-      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
-      FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id
-    )
-    SELECT i.d1, i.d2,
-           CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) AS jaccard
-    FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
-                 JOIN sizes s2 ON s2.doc_id = i.d2
-    ORDER BY jaccard DESC, i.d1, i.d2 LIMIT 20
-    """,
-    tags=("dedup", "ngram-jaccard"),
-)
-def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar document pairs by exact trigram-shingle
-    Jaccard, generated via the shared-shingle inverted-index join (a pair
-    is only materialized if it shares >= 1 shingle).
+# Stop-shingle cap: a shingle present in more than this many documents is
+# boilerplate and is dropped BEFORE the inverted-index self-join. Without
+# it a single hot shingle in k docs yields O(k^2) pairs in one task; with
+# it the pair space is bounded by MAX_SHINGLE_DF^2 per surviving shingle.
+MAX_SHINGLE_DF = 100
 
-    Scale: this is the exact-verification half of MinHash-LSH without
-    the banding prefilter — correct for moderate collision rates; at
-    100 TB the minhash_candidates path bounds the pair space first.
+
+def jaccard_topk_pairs(
+    dsh: DataFrame, k: int = 20, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Top-k document pairs by trigram-shingle Jaccard over a distinct
+    (doc_id, shingle) relation, with a document-frequency cap.
+
+    Shingles with df > ``max_df`` are removed from BOTH the intersection
+    join and the per-doc sizes, so the Jaccard is computed consistently
+    over the capped shingle space (mirrored in the oracle SQL). The
+    df-count groupBy and the self-join hash on the same key (shingle), so
+    the filter adds no extra shuffle of the large relation.
     """
-    dsh = materialize(_shingle_rows(spark, sf_dir).distinct())  # reused 3x
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = dsh.alias("x")
-    y = dsh.alias("y")
+    cnt = dsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = cnt.filter(F.col("df") <= max_df).select("shingle")
+    dshf = materialize(dsh.join(kept, "shingle"))  # reused 3x below
+    sizes = dshf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dshf.alias("x")
+    y = dshf.alias("y")
     inter = (
         x.join(
             y,
@@ -302,8 +292,49 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "d1", "d2")
-        .limit(20)
+        .limit(k)
     )
+
+
+@register(
+    "ngram_jaccard_topk",
+    oracle=f"""
+    WITH dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+      )
+    ),
+    kept AS (
+      SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    dshf AS (SELECT d.doc_id, d.shingle FROM dsh d JOIN kept USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dshf GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
+      FROM dshf x JOIN dshf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.d1, i.d2,
+           CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) AS jaccard
+    FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+                 JOIN sizes s2 ON s2.doc_id = i.d2
+    ORDER BY jaccard DESC, i.d1, i.d2 LIMIT 20
+    """,
+    tags=("dedup", "ngram-jaccard"),
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by exact trigram-shingle
+    Jaccard, generated via the shared-shingle inverted-index join (a pair
+    is only materialized if it shares >= 1 shingle), with stop-shingles
+    (df > MAX_SHINGLE_DF) dropped before the self-join.
+
+    Scale: the df cap bounds a hot shingle's pair blowup (a boilerplate
+    shingle in k docs would otherwise emit O(k^2) pairs into one task);
+    at 100 TB the minhash_candidates path additionally bounds the pair
+    space by banding first.
+    """
+    dsh = _shingle_rows(spark, sf_dir).distinct()
+    return jaccard_topk_pairs(dsh, k=20)
 
 
 _SIMHASH_BITS = 32
