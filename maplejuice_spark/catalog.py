@@ -71,25 +71,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _ensure_read_confs(spark: SparkSession) -> None:
-    """Make parquet reads work on ANY caller-supplied SparkSession.
+    """Make time semantics deterministic on ANY caller-supplied session.
 
-    ``events.parquet`` carries a TIMESTAMP(NANOS) column that Spark
-    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set; the
-    conf is runtime-settable, so set it here instead of relying on the
-    engine's own session factory. Queries must be self-sufficient on a
-    plain ``SparkSession.builder`` session (driver-gate contract).
+    The testdata's timestamp columns (``events.ts``, ``o_orderdate``,
+    ``l_shipdate``) are µs-precision TIMESTAMP_NTZ; every NTZ -> epoch
+    or NTZ -> LTZ conversion resolves through the session timezone, so
+    it is pinned to UTC here: epoch_us / date_trunc('week') /
+    date_format over naive timestamps must agree with the DuckDB oracle
+    regardless of the host JVM default zone. Queries must be
+    self-sufficient on a plain ``SparkSession.builder`` session
+    (driver-gate contract), hence set here, not in the session factory.
 
-    Session timezone is pinned to UTC for the same reason: epoch /
-    date_trunc('week') / date_format over naive timestamps must agree
-    with the DuckDB oracle regardless of the host JVM default zone.
-
-    NOTE this MUTATES the caller's session (both confs are session-
+    NOTE this MUTATES the caller's session (the conf is session-
     scoped). An embedding application that set its own session timezone
     can opt out via ``MJ_NO_SESSION_TZ_PIN=1`` — its datetime queries
     then carry the host zone, diverging from the UTC oracle, which is
     that host's informed choice.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if not os.environ.get("MJ_NO_SESSION_TZ_PIN"):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -98,9 +96,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table.
 
     Side effect (deliberate, documented): pins session timezone to UTC
-    and enables legacy nanos-as-long parquet reads on the CALLER's
-    session — see :func:`_ensure_read_confs`. Hosts sharing a session
-    mid-run can set ``MJ_NO_SESSION_TZ_PIN=1`` to keep their timezone.
+    on the CALLER's session — see :func:`_ensure_read_confs`. Hosts
+    sharing a session mid-run can set ``MJ_NO_SESSION_TZ_PIN=1`` to
+    keep their timezone.
     """
     _ensure_read_confs(spark)
     return spark.read.parquet(table_path(sf_dir, name))

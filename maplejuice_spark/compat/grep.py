@@ -70,6 +70,33 @@ def _match_cond(
     return c.rlike(f"(?i){pattern}" if ignore_case else pattern)
 
 
+def _norm_file(c: F.Column) -> F.Column:
+    """Normalize a file URI to a plain path: ``input_file_name()`` yields
+    ``file:///p`` while Hadoop FS statuses yield ``file:/p`` — strip
+    the scheme so the two listings join."""
+    return F.regexp_replace(c, "^file:/+", "/")
+
+
+def _list_files(spark: SparkSession, path: str) -> DataFrame:
+    """``(file)`` rows for every regular file ``spark.read.text(path)``
+    would target — INCLUDING zero-length ones, which no Spark file
+    source emits rows for. Same dir/glob expansion the file-source
+    planner runs (driver-side metadata, one FS round-trip)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[str] = []
+    for st in fs.globStatus(hpath) or []:
+        if st.isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                if child.isFile():
+                    out.append(child.getPath().toString())
+        elif st.isFile():
+            out.append(st.getPath().toString())
+    df = spark.createDataFrame([(p,) for p in out], "file string")
+    return df.select(_norm_file(F.col("file")).alias("file"))
+
+
 def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
     """``(file, line_no, line)`` with exact 1-based per-file line numbers.
 
@@ -135,10 +162,20 @@ def grep_command(
         )
         if invert:
             cond = ~cond
-        return (
+        counts = (
             spark.read.text(path)
-            .groupBy(F.input_file_name().alias("file"))
+            .groupBy(_norm_file(F.input_file_name()).alias("file"))
             .agg(F.sum(cond.cast("long")).alias("n_matches"))
+        )
+        # GNU grep -c prints file:0 even for EMPTY files, which produce
+        # no text rows at all (every Spark file source skips zero-length
+        # splits) — left-join the Hadoop FS listing. Listing is driver-
+        # side metadata work, exactly what Spark's own file-source
+        # planner does; the listing side is file-count-sized, the counts
+        # side broadcasts.
+        listing = _list_files(spark, path)
+        return listing.join(F.broadcast(counts), "file", "left").select(
+            "file", F.coalesce("n_matches", F.lit(0)).alias("n_matches")
         )
     if line_numbers or before_context or after_context:
         from pyspark.sql.window import Window
@@ -159,9 +196,11 @@ def grep_command(
                 .orderBy("line_no")
                 .rangeBetween(-after_context, before_context)
             )
-            flagged = flagged.where(
-                F.max(F.col("is_match").cast("int")).over(w) == 1
-            )
+            # window result must be projected before filtering (Spark
+            # rejects window functions inside WHERE)
+            flagged = flagged.withColumn(
+                "_ctx", F.max(F.col("is_match").cast("int")).over(w)
+            ).where(F.col("_ctx") == 1).drop("_ctx")
         else:
             flagged = flagged.where("is_match")
         return flagged.select("file", "line_no", "line", "is_match")

@@ -8,9 +8,10 @@ exist specifically so that the Spark plan and the DuckDB oracle compute
 - Money/double aggregation goes through DECIMAL (exact, order-independent)
   and is cast back to DOUBLE only at the end. Summing raw doubles is
   accumulation-order-dependent and can never hash-match across engines.
-- ``events.ts`` is a nanosecond BIGINT (see session.py); DuckDB truncates
-  the same parquet column to microseconds, so all time logic uses
-  ``ts div 1000`` (µs) as the common currency.
+- ``events.ts`` is a microsecond-precision TIMESTAMP_NTZ parquet column;
+  both engines reduce it to µs-since-epoch BIGINT (Spark ``unix_micros``
+  under the pinned UTC session zone, DuckDB ``epoch_us``) as the common
+  currency for all time arithmetic.
 - Tokenization is pinned to the reference's ASCII token class
   ``[A-Za-z0-9-]+`` (word_count_map.cpp:20: ``isalnum(c) or c=='-'``).
 """
@@ -28,7 +29,6 @@ TOKEN_DELIM = "[^A-Za-z0-9-]+"
 # Exact-arithmetic decimal used for cross-engine deterministic aggregation.
 MONEY_DEC = "decimal(18,6)"
 
-NS_PER_US = 1_000
 US_PER_DAY = 86_400_000_000
 
 
@@ -63,13 +63,16 @@ def tokens(c: Column | str) -> Column:
 
 
 def ts_us_div(c: Column | str = "ts") -> Column:
-    """events.ts (ns BIGINT) -> µs BIGINT, DuckDB-comparable (epoch_us).
+    """events.ts (TIMESTAMP_NTZ, µs parquet) -> µs-epoch BIGINT,
+    DuckDB-comparable (``epoch_us(ts)``).
 
-    Integer division must stay exact: ns values (~1.7e18) exceed 2^53,
-    so double division would round — go through decimal, not `/`.
+    The NTZ -> LTZ cast resolves through the session timezone, which
+    ``catalog._ensure_read_confs`` pins to UTC, so ``unix_micros`` is
+    the naive value's literal UTC epoch on every host — bit-identical
+    to DuckDB's ``epoch_us`` over the same parquet column.
     """
     c = F.col(c) if isinstance(c, str) else c
-    return F.floor(c.cast("decimal(38,0)") / F.lit(NS_PER_US)).cast("long")
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

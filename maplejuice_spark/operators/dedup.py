@@ -263,6 +263,10 @@ def jaccard_topk_pairs(
     df-count groupBy and the self-join hash on the same key (shingle), so
     the filter adds no extra shuffle of the large relation.
     """
+    # dsh feeds both the df-count and the kept-join; materialize so the
+    # expensive shingle-distinct subtree runs once even if ReuseExchange
+    # fails to canonicalize the two shuffles identically.
+    dsh = materialize(dsh)
     cnt = dsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = cnt.filter(F.col("df") <= max_df).select("shingle")
     dshf = materialize(dsh.join(kept, "shingle"))  # reused 3x below
@@ -323,10 +327,18 @@ def jaccard_topk_pairs(
     tags=("dedup", "ngram-jaccard"),
 )
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar document pairs by exact trigram-shingle
-    Jaccard, generated via the shared-shingle inverted-index join (a pair
-    is only materialized if it shares >= 1 shingle), with stop-shingles
-    (df > MAX_SHINGLE_DF) dropped before the self-join.
+    """Top-20 most-similar document pairs by trigram-shingle Jaccard
+    computed over the df-capped shingle space: stop-shingles (df >
+    MAX_SHINGLE_DF) are dropped from BOTH the intersection and the
+    per-doc sizes before the inverted-index self-join (a pair is only
+    materialized if it shares >= 1 surviving shingle).
+
+    Semantics note: this is NOT the uncapped Jaccard that
+    minhash_candidates / dedup_clusters estimate — values diverge for
+    pairs touching stop-shingles, and a pair overlapping ONLY in
+    boilerplate shingles disappears from the ranking entirely rather
+    than being down-weighted. That recall trade-off is deliberate:
+    boilerplate-only overlap is noise for near-dup ranking.
 
     Scale: the df cap bounds a hot shingle's pair blowup (a boilerplate
     shingle in k docs would otherwise emit O(k^2) pairs into one task);

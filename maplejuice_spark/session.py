@@ -12,11 +12,11 @@ Scale notes (100 TB mindset):
 - ``spark.sql.shuffle.partitions`` defaults to the local core count here;
   on a real cluster AQE's coalescing makes the initial number mostly
   irrelevant as long as it is high enough.
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver testdata's
-  ``events.ts`` column is Parquet TIMESTAMP(NANOS), which Spark 4.x only
-  reads as a raw nanosecond BIGINT under this flag (verified against
-  /root/testdata/sf0.001/events.parquet). All engine code treats
-  ``events.ts`` as ns-since-epoch BIGINT and converts explicitly.
+- Session timezone pinned to UTC: the testdata's timestamp columns
+  (``events.ts``, ``o_orderdate``, ``l_shipdate``) are µs-precision
+  TIMESTAMP_NTZ; every NTZ->epoch conversion resolves through the
+  session zone, so pinning it makes time arithmetic host-independent
+  and DuckDB-comparable.
 """
 
 from __future__ import annotations
@@ -52,7 +52,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Split files at finer granularity so modest local files still
         # scan in parallel (openCost only affects small-file packing —
         # harmless on a real cluster, 3x scan parallelism here).

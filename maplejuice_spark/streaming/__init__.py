@@ -12,9 +12,9 @@ Two layers:
    with an availableNow trigger + memory sink: file source -> watermark ->
    windowed agg / dropDuplicatesWithinWatermark.
 
-events.ts is a nanosecond BIGINT (see session.py); streaming needs a real
-timestamp column for watermarks, so both layers convert via
-``timestamp_micros(ts div 1000)``.
+events.ts is a µs-precision TIMESTAMP_NTZ; streaming watermarks need a
+zoned timestamp, so both layers cast it to TIMESTAMP_LTZ under the
+UTC-pinned session zone (see catalog._ensure_read_confs).
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ from maplejuice_spark.registry import register
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -42,7 +42,9 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _event_time(df: DataFrame) -> DataFrame:
-    return df.withColumn("event_time", F.timestamp_micros(ts_us_div("ts")))
+    # ts is TIMESTAMP_NTZ; watermarks/windows want TIMESTAMP_LTZ. The
+    # cast resolves through the UTC-pinned session zone (catalog).
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +118,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources replay deterministically with availableNow triggers)."""
     from maplejuice_spark.catalog import _ensure_read_confs
 
-    _ensure_read_confs(spark)  # nanos ts + UTC on ANY caller session
+    _ensure_read_confs(spark)  # UTC session tz on ANY caller session
     # The file source requires a directory; glob-filter to the events
     # table inside the sf dir.
     raw = (

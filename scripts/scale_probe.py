@@ -1,0 +1,253 @@
+#!/usr/bin/env python3
+"""Measured scale-out probe: generate m-times-larger replicas of the
+sf0.1 testdata and time the heavy query families at each size, so the
+"work scales with collisions, not n^2" claims in SCALE.md are measured
+numbers, not arguments.
+
+Generation keeps the DUPLICATE STRUCTURE CONSTANT as n grows (the
+property that makes scaling exponents interpretable):
+
+- Key families get disjoint per-replica offsets (custkey/orderkey/
+  partkey/suppkey/event_id/user_id/doc_id/vec_id), so joins stay valid
+  and per-key group sizes do not grow with m.
+- Document text is Caesar-rotated per replica (``translate`` over
+  [a-z]), so replicas share NO shingles: near-dup candidate pairs grow
+  ~linearly in m, not quadratically. A generator that copied text
+  verbatim would conflate collision growth with corpus growth and make
+  every dedup exponent look like 2.
+- Embeddings are circularly shifted by k dimensions per replica
+  (norm-preserving, decorrelating), so LSH/IVF bucket occupancy grows
+  ~linearly, again keeping the collision rate constant.
+- Dimension tables (region/nation) stay fixed, as they would at 100 TB.
+
+Usage: scale_probe.py [m1,m2,...] (default ``1,3,10``; m=1 probes the
+source dir directly). Writes replicas under ``/tmp/mj_scale/x{m}`` once
+(reused if present) and prints one JSON report plus a markdown table to
+paste into SCALE.md. Run it ALONE — concurrent load skews timings.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = os.environ.get("MJ_SCALE_ROOT", "/tmp/mj_scale")
+
+# Disjoint key-offset per replica, far above any sf0.1 key range.
+OFF = 100_000_000
+
+PROBE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "minhash_candidates",
+    "simhash_pairs",
+    "ngram_jaccard_topk",
+    "term_relevance_topk",
+    "corpus_curation",
+    "dedup_clusters",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "sessionize_events",
+    "event_funnel",
+    "pagerank_3iter",
+]
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _caesar(col, k: int):
+    """Per-replica Caesar rotation of [a-z] AND [A-Z]: deterministic,
+    length/token-structure preserving, shares no shingles with k'!=k."""
+    k = k % 26
+    if k == 0:
+        return col
+    lo = ALPHA[k:] + ALPHA[:k]
+    return F.translate(col, ALPHA + ALPHA.upper(), lo + lo.upper())
+
+
+def _shift_vec(col, k: int, dim: int = 64):
+    """Circular shift of an array<float> by k dims (norm-preserving)."""
+    k = k % dim
+    if k == 0:
+        return col
+    return F.concat(F.slice(col, k + 1, dim - k), F.slice(col, 1, k))
+
+
+def _replicate(
+    df: DataFrame, m: int, build
+) -> DataFrame:
+    """Union of m transformed replicas: one crossJoin against the tiny
+    replica range (broadcast NLJ over an m-row side — this is the one
+    place a cross join is the right plan)."""
+    reps = df.sparkSession.range(m).select(F.col("id").cast("int").alias("rep"))
+    return build(df.crossJoin(F.broadcast(reps)))
+
+
+def generate(spark: SparkSession, src: str, out: str, m: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    rd = lambda t: spark.read.parquet(f"{src}/{t}.parquet")  # noqa: E731
+    k = F.col("rep").cast("long") * OFF
+
+    def wr(df: DataFrame, t: str) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    for t in ("region", "nation"):
+        wr(rd(t), t)
+    wr(
+        _replicate(rd("customer"), m, lambda d: d.select(
+            (F.col("c_custkey") + k).alias("c_custkey"),
+            *[c for c in rd("customer").columns if c != "c_custkey"],
+        )),
+        "customer",
+    )
+    wr(
+        _replicate(rd("supplier"), m, lambda d: d.select(
+            (F.col("s_suppkey") + k).alias("s_suppkey"),
+            *[c for c in rd("supplier").columns if c != "s_suppkey"],
+        )),
+        "supplier",
+    )
+    wr(
+        _replicate(rd("part"), m, lambda d: d.select(
+            (F.col("p_partkey") + k).alias("p_partkey"),
+            *[c for c in rd("part").columns if c != "p_partkey"],
+        )),
+        "part",
+    )
+    wr(
+        _replicate(rd("orders"), m, lambda d: d.select(
+            (F.col("o_orderkey") + k).alias("o_orderkey"),
+            (F.col("o_custkey") + k).alias("o_custkey"),
+            *[c for c in rd("orders").columns
+              if c not in ("o_orderkey", "o_custkey")],
+        )),
+        "orders",
+    )
+    wr(
+        _replicate(rd("lineitem"), m, lambda d: d.select(
+            (F.col("l_orderkey") + k).alias("l_orderkey"),
+            (F.col("l_partkey") + k).alias("l_partkey"),
+            (F.col("l_suppkey") + k).alias("l_suppkey"),
+            *[c for c in rd("lineitem").columns
+              if c not in ("l_orderkey", "l_partkey", "l_suppkey")],
+        )),
+        "lineitem",
+    )
+    wr(
+        _replicate(rd("events"), m, lambda d: d.select(
+            (F.col("event_id") + k).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k).alias("user_id"),
+            "event_type", "value", "props",
+        )),
+        "events",
+    )
+    # Caesar per replica: rep r uses rotation r — any two replicas have
+    # disjoint shingle spaces, keeping the near-dup rate constant in m.
+    doc_cols = rd("documents").columns
+    wr(
+        _replicate(rd("documents"), m, lambda d: d.select(
+            (F.col("doc_id") + k).alias("doc_id"),
+            _rot_by_rep(F.col("text")).alias("text"),
+            *[c for c in doc_cols if c not in ("doc_id", "text")],
+        )),
+        "documents",
+    )
+    wr(
+        _replicate(rd("embeddings"), m, lambda d: d.select(
+            (F.col("vec_id") + k).alias("vec_id"),
+            _shift_by_rep(F.col("embedding")).alias("embedding"),
+            "label",
+        )),
+        "embeddings",
+    )
+
+
+def _rot_by_rep(col):
+    """rep-indexed Caesar: CASE over the (tiny) replica domain keeps the
+    whole transform codegen'd — no UDF."""
+    expr = col
+    out = None
+    for r in range(26):
+        branch = _caesar(col, r)
+        out = F.when(F.col("rep") % 26 == r, branch) if out is None \
+            else out.when(F.col("rep") % 26 == r, branch)
+    return out.otherwise(expr)
+
+
+def _shift_by_rep(col, dim: int = 64):
+    out = None
+    for r in range(dim):
+        branch = _shift_vec(col, r, dim)
+        out = F.when(F.col("rep") % dim == r, branch) if out is None \
+            else out.when(F.col("rep") % dim == r, branch)
+    return out.otherwise(col)
+
+
+def probe(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from maplejuice_spark.registry import queries
+
+    qs = queries()
+    # warm-up: parquet footers + codegen
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out: dict[str, float] = {}
+    for name in PROBE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ms = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,3,10").split(",")]
+    from maplejuice_spark.session import get_spark
+
+    spark = get_spark(app_name="mj_scale_probe")
+    results: dict[int, dict[str, float]] = {}
+    for m in ms:
+        if m == 1:
+            d = SRC
+        else:
+            d = f"{OUT_ROOT}/x{m}"
+            if not os.path.exists(f"{d}/embeddings.parquet"):
+                t0 = time.perf_counter()
+                generate(spark, SRC, d, m)
+                print(f"# generated x{m} in {time.perf_counter()-t0:.1f}s",
+                      file=sys.stderr)
+        results[m] = probe(spark, d)
+        print(f"# probed x{m}: total "
+              f"{sum(results[m].values()):.1f}s", file=sys.stderr)
+
+    lo, hi = min(ms), max(ms)
+    print("\n| query | " + " | ".join(f"x{m} (s)" for m in ms)
+          + " | exponent |")
+    print("|---" * (len(ms) + 2) + "|")
+    expo: dict[str, float] = {}
+    for name in PROBE:
+        row = [results[m][name] for m in ms]
+        e = (math.log(results[hi][name] / results[lo][name])
+             / math.log(hi / lo)) if hi > lo else float("nan")
+        expo[name] = round(e, 2)
+        print(f"| {name} | " + " | ".join(f"{t:.2f}" for t in row)
+              + f" | {e:.2f} |")
+    print(json.dumps({"sf_base": SRC, "multipliers": ms,
+                      "times": results, "exponent": expo}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Task-retry fault tolerance: the Spark analog of the reference's
+kill-and-reschedule loop (MapleJuice.cpp:167-190 — a worker that misses
+its 600 s deadline has its task reassigned to another node).
+
+On Spark, task re-execution is the scheduler's job; the engine only has
+to (a) not disable it and (b) keep tasks idempotent (pure DataFrame
+transforms are). Local mode defaults to ``maxFailures=1`` (fail fast for
+tests), so the retry demonstration builds its own ``local[2,2]`` context
+in a subprocess — a second SparkContext can't coexist with the session
+fixture's JVM.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+# A mapInPandas kernel that crashes on every FIRST attempt of each task
+# and succeeds on retry. TaskContext.attemptNumber() is the per-task
+# retry counter, so success proves the scheduler re-ran the failed task
+# — the modern form of the reference's reschedule loop.
+_RETRY_SCRIPT = r"""
+import sys
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+
+spark = (
+    SparkSession.builder
+    # local[threads, maxFailures]: allow one retry per task
+    .master("local[2,2]")
+    .appName("mj_retry_demo")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+def flaky(batches):
+    if TaskContext.get().attemptNumber() == 0:
+        raise RuntimeError("injected failure on first attempt")
+    for pdf in batches:
+        yield pdf
+
+df = spark.range(0, 1000, 1, 4)
+out = df.mapInPandas(flaky, df.schema)
+total = out.count()
+assert total == 1000, f"expected 1000 rows after retry, got {total}"
+print("RETRY_OK", total)
+spark.stop()
+"""
+
+
+def test_task_retry_completes_job():
+    proc = subprocess.run(
+        [sys.executable, "-c", _RETRY_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "RETRY_OK 1000" in proc.stdout
+
+
+def test_task_fails_without_retry_budget():
+    """Control: with maxFailures=1 the same injected failure kills the
+    job — proving the success above is the retry machinery, not the
+    kernel silently passing."""
+    script = _RETRY_SCRIPT.replace('"local[2,2]"', '"local[2,1]"')
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "injected failure" in (proc.stderr + proc.stdout)

@@ -206,20 +206,18 @@ def test_session_scale_configs(spark):
     """Engine session carries the at-scale configs: AQE (runtime
     coalesce + skew-join), speculative execution (the Spark analog of
     the reference's 600 s task-timeout reschedule, MapleJuice.cpp:
-    139-144), and the nanos-parquet read flag."""
+    139-144)."""
     conf = spark.conf
     assert conf.get("spark.sql.adaptive.enabled") == "true"
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert conf.get("spark.speculation") == "true"
-    assert conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
 
 
 def test_load_table_sets_read_confs(spark, sf_dir):
-    """Driver-gate contract: catalog.load_table must set the read confs
-    (nanos parquet flag, UTC session tz) on whatever session it is
-    handed, so queries work on a bare SparkSession. (The full
-    plain-session check runs out-of-process in
-    scripts/selfcheck_sf001.py, which builds a config-free session.)"""
+    """Driver-gate contract: catalog.load_table must pin the UTC
+    session tz on whatever session it is handed, so time arithmetic
+    works identically on a bare SparkSession. (The full plain-session
+    check runs out-of-process in scripts/selfcheck_sf001.py, which
+    builds a config-free session.)"""
     assert load_table(spark, sf_dir, "events").limit(5).count() == 5
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
