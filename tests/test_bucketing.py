@@ -16,7 +16,10 @@ def warehouse(spark, tmp_path_factory):
     return spark
 
 
-def test_bucketed_join_no_shuffle(warehouse, spark, sf_dir):
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    """orders/lineitem bucketed+sorted on the join key, written once —
+    the layout a 100 TB deployment would persist for its fact tables."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
@@ -25,6 +28,10 @@ def test_bucketed_join_no_shuffle(warehouse, spark, sf_dir):
        .sortBy("o_orderkey").saveAsTable("b_orders"))
     (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
        .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    return "b_orders", "b_lineitem"
+
+
+def test_bucketed_join_no_shuffle(warehouse, spark, sf_dir, bucketed_tables):
     # at sf0.001 both sides fit the broadcast threshold; force the
     # shuffle-join path the bucket layout is designed to optimize
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -45,11 +52,62 @@ def test_bucketed_join_no_shuffle(warehouse, spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # and results are right
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     want = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
     )
     assert got == sorted(map(tuple, want.collect()))
+
+
+def test_bucketed_q3_exchange_free(spark, sf_dir, bucketed_tables):
+    """The real q3 shape (filtered fact-fact join -> agg -> top-k) over
+    the bucketed layout: the orders<->lineitem join must consume the
+    bucket partitioning with NO Exchange on either join key, and return
+    exactly what the parquet-scan q3 returns."""
+    from maplejuice_spark.operators.relational import q3_shipping_priority
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = spark.table("b_orders").filter(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+        )
+        li = spark.table("b_lineitem").filter(
+            F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+        )
+        revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        q3b = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(
+                "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.sum(revenue.cast("decimal(18,6)"))
+                .cast("double")
+                .alias("revenue")
+            )
+            .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+        )
+        plan = q3b._sc._jvm.PythonSQLUtils.explainString(
+            q3b._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        got = [tuple(r) for r in q3b.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = [tuple(r) for r in q3_shipping_priority(spark, sf_dir).collect()]
+    assert got == want
 
 
 def test_sorted_scalable_sink(spark, tmp_path):
