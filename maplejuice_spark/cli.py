@@ -183,14 +183,30 @@ def cmd_grep(args: argparse.Namespace) -> None:
         line_numbers=args.line_numbers,
         before_context=before,
         after_context=after,
+        word_regexp=args.word_regexp,
+        files_with_matches=args.files_with_matches,
+        files_without_match=args.files_without_match,
+        only_matching=args.only_matching,
+        max_count=args.max_count,
     )
+    if args.files_with_matches or args.files_without_match:
+        for row in res.orderBy("file").toLocalIterator():
+            print(row["file"])
+        return
+    if args.only_matching:
+        n = 0
+        for row in res.toLocalIterator():
+            print(row["match"])
+            n += 1
+        print(f"Line_count: {n}")
+        return
     if args.count:
         total = 0
         for row in res.toLocalIterator():
             print(f"{row['file']}: {row['n_matches']}")
             total += row["n_matches"]
         print(f"Line_count: {total}")
-    elif args.line_numbers or before or after:
+    elif args.line_numbers or before or after or args.max_count > 0:
         # GNU grep formatting: N:line for matches, N-line for context,
         # "--" between non-adjacent groups. Rows arrive (file, line_no)-
         # sorted, so the group break is a simple gap check while
@@ -254,6 +270,11 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("-A", dest="after_context", type=int, default=0)
     g.add_argument("-B", dest="before_context", type=int, default=0)
     g.add_argument("-C", dest="context", type=int, default=0)
+    g.add_argument("-w", dest="word_regexp", action="store_true")
+    g.add_argument("-l", dest="files_with_matches", action="store_true")
+    g.add_argument("-L", dest="files_without_match", action="store_true")
+    g.add_argument("-o", dest="only_matching", action="store_true")
+    g.add_argument("-m", dest="max_count", type=int, default=0)
     g.add_argument("pattern"), g.add_argument("sdfs")
     g.set_defaults(fn=cmd_grep)
 

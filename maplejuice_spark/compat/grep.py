@@ -45,6 +45,21 @@ def grep_total(spark: SparkSession, path: str, pattern: str) -> int:
     return spark.read.text(path).filter(F.col("value").rlike(pattern)).count()
 
 
+WORD_CLASS = "A-Za-z0-9_"
+
+
+def _sql_quote(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _word_wrap(pattern: str) -> str:
+    """GNU ``-w``: the match must not touch a word constituent on either
+    side — lookarounds, not ``\\b`` (identical here, but explicit about
+    the word class GNU uses)."""
+    return f"(?<![{WORD_CLASS}])(?:{pattern})(?![{WORD_CLASS}])"
+
+
 def _match_cond(
     pattern: str,
     *,
@@ -135,27 +150,81 @@ def grep_command(
     line_numbers: bool = False,
     before_context: int = 0,
     after_context: int = 0,
+    word_regexp: bool = False,
+    files_with_matches: bool = False,
+    files_without_match: bool = False,
+    only_matching: bool = False,
+    max_count: int = 0,
 ) -> DataFrame:
     """The reference's arbitrary-grep-command surface (logger.cpp:50-56
     runs ``system("<raw grep cmd> ./log.txt")``), translated to a Spark
-    plan: flags -i / -v / -c / -F / -E / -n / -A / -B map onto the
-    filter expression (``-E`` is a no-op by construction — patterns are
-    Java regex, a superset of ERE).
+    plan: flags -i / -v / -c / -F / -E / -n / -A / -B / -w / -l / -L /
+    -o / -m map onto the filter expression (``-E`` is a no-op by
+    construction — patterns are Java regex, a superset of ERE).
 
     Returns matching lines ``(file, line)``; per-file counts
     ``(file, n_matches)`` under ``-c`` — including ``file:0`` rows for
-    zero-match files, like GNU ``grep -c`` over multiple inputs; or
+    zero-match files, like GNU ``grep -c`` over multiple inputs;
     ``(file, line_no, line, is_match)`` under ``-n``/``-A``/``-B``,
     where ``is_match`` distinguishes true matches from context lines
-    (GNU grep's ``:`` vs ``-`` separator).
+    (GNU grep's ``:`` vs ``-`` separator); ``(file)`` under -l / -L;
+    ``(file, match)`` — one row per matched PART — under -o.
 
     Scale: the plain path evaluates the predicate in the scan stage;
     ``-c`` is one conditional-sum groupBy over input_file_name(); the
     ``-n``/context path numbers lines via :func:`_numbered_lines` and
     selects context with ONE range window per file — no self-join, no
-    per-match explosion.
+    per-match explosion; ``-l`` is a scan + distinct over file names;
+    ``-m`` is a per-file row_number cut (WindowGroupLimit shape).
     """
     del extended  # accepted for CLI parity; Java regex already ⊇ ERE
+    if word_regexp:
+        # -w composes with -F by quoting the literal into a regex first
+        if fixed_string:
+            import re as _re
+
+            pattern = _re.escape(pattern)
+            fixed_string = False
+        pattern = _word_wrap(pattern)
+    if files_with_matches or files_without_match:
+        cond = _match_cond(
+            pattern, ignore_case=ignore_case, fixed_string=fixed_string
+        )
+        if invert:
+            cond = ~cond
+        hits = (
+            spark.read.text(path)
+            .filter(cond)
+            .select(_norm_file(F.input_file_name()).alias("file"))
+            .distinct()
+        )
+        if files_with_matches:
+            return hits
+        # -L: every targeted file (incl. empty ones) minus the hits
+        return _list_files(spark, path).join(
+            F.broadcast(hits), "file", "left_anti"
+        )
+    if only_matching:
+        # one row per matched PART: regexp_extract_all on matching
+        # lines only (the filter prunes non-matching lines in the scan
+        # stage before the extraction runs)
+        pat = f"(?i){pattern}" if ignore_case else pattern
+        if fixed_string:
+            import re as _re
+
+            pat = ("(?i)" if ignore_case else "") + _re.escape(pattern)
+        cond = _match_cond(
+            pattern, ignore_case=ignore_case, fixed_string=fixed_string
+        )
+        lines = spark.read.text(path).filter(cond)
+        return lines.select(
+            _norm_file(F.input_file_name()).alias("file"),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(value, '{_sql_quote(pat)}', 0)"
+                )
+            ).alias("match"),
+        )
     if count_only:
         cond = _match_cond(
             pattern, ignore_case=ignore_case, fixed_string=fixed_string
@@ -177,7 +246,7 @@ def grep_command(
         return listing.join(F.broadcast(counts), "file", "left").select(
             "file", F.coalesce("n_matches", F.lit(0)).alias("n_matches")
         )
-    if line_numbers or before_context or after_context:
+    if line_numbers or before_context or after_context or max_count > 0:
         from pyspark.sql.window import Window
 
         cond = _match_cond(
@@ -187,6 +256,21 @@ def grep_command(
         if invert:
             cond = ~cond
         flagged = _numbered_lines(spark, path).withColumn("is_match", cond)
+        if max_count > 0:
+            # GNU -m N: only the first N matching lines per file count
+            # as matches (a cumulative-count window in line order; later
+            # matches are demoted before context expansion)
+            wm = (
+                Window.partitionBy("file")
+                .orderBy("line_no")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            flagged = flagged.withColumn(
+                "is_match",
+                F.col("is_match")
+                & (F.sum(F.col("is_match").cast("int")).over(wm)
+                   <= max_count),
+            )
         if before_context or after_context:
             # keep line L iff a match exists in [L-A, L+B]: one range
             # window over (file, line_no) — after-context lines see the

@@ -175,3 +175,86 @@ def test_grep_empty_and_trailing_newline_files(spark, tmp_path):
         ).collect()
     }
     assert counts == {"a.log": 1, "b.log": 1, "c.log": 0}
+
+
+def test_word_regexp_matches_gnu_grep(spark, log_dir):
+    """-w parity: 'node' never matches (always part of node2/node3);
+    'ok' matches as a standalone word; composes with -F."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    d = str(log_dir)
+    files = sorted(log_dir.iterdir())
+    for pat, fixed in [("node", False), ("ok", False), ("PING", True),
+                       ("10", True), ("JOIN node[0-9]", False)]:
+        ours = sorted(
+            r["line"]
+            for r in grep_command(
+                spark, d, pat, word_regexp=True, fixed_string=fixed
+            ).collect()
+        )
+        flags = ["-w", "-h"] + (["-F"] if fixed else [])
+        gnu = sorted(
+            ln for ln in _gnu_grep(flags + [pat], files).splitlines()
+        )
+        assert ours == gnu, pat
+
+
+def test_files_with_without_matches(spark, log_dir, tmp_path):
+    """-l lists files with >=1 match; -L lists the rest, including
+    empty files that produce no text rows at all."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    d = tmp_path / "logs_l"
+    d.mkdir()
+    (d / "a.log").write_text("JOIN x\nPING y\n")
+    (d / "b.log").write_text("PING z\n")
+    (d / "c.log").write_text("")
+
+    def names(**kw):
+        return sorted(
+            r["file"].rsplit("/", 1)[-1]
+            for r in grep_command(spark, str(d), "JOIN", **kw).collect()
+        )
+
+    assert names(files_with_matches=True) == ["a.log"]
+    assert names(files_without_match=True) == ["b.log", "c.log"]
+
+
+def test_only_matching_matches_gnu_grep(spark, log_dir):
+    """-o parity: one row per matched PART, equal to GNU grep -o's
+    output as a multiset."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    files = sorted(log_dir.iterdir())
+    for pat in ["node[0-9]", "JOIN", "10:00:0.", "PING ok"]:
+        ours = sorted(
+            r["match"]
+            for r in grep_command(
+                spark, str(log_dir), pat, only_matching=True
+            ).collect()
+        )
+        gnu = sorted(_gnu_grep(["-o", "-h", pat], files).splitlines())
+        assert ours == gnu, pat
+
+
+def test_max_count_matches_gnu_grep(spark, log_dir):
+    """-m parity: per-file cap on matching lines in line order."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    for m in (1, 2):
+        res = grep_command(
+            spark, str(log_dir), "JOIN|PING", line_numbers=True,
+            max_count=m,
+        ).collect()
+        ours = {}
+        for r in res:
+            ours.setdefault(r["file"].rsplit("/", 1)[-1], []).append(
+                r["line_no"]
+            )
+        want = {}
+        for f in sorted(log_dir.iterdir()):
+            out = _gnu_grep(["-n", "-m", str(m), "-E", "JOIN|PING"], [f])
+            nos = [int(ln.split(":", 1)[0]) for ln in out.splitlines()]
+            if nos:
+                want[f.name] = nos
+        assert {k: sorted(v) for k, v in ours.items()} == want
