@@ -92,6 +92,13 @@ def group_keys(kv: DataFrame) -> DataFrame:
     The reference materializes this on one master node (its scalability
     ceiling); here it is a hash-partitioned shuffle with map-side
     partials where Catalyst can inject them.
+
+    Skew caveat: ``collect_list`` lands one key's whole value list in
+    one task — faithful to the reference contract, but a hot key (one
+    with a meaningful fraction of all rows) will straggle or OOM that
+    task at 100 TB. For skewed workloads use the salted two-phase
+    pattern instead (``operators.skew.salted_adjacency``): pre-aggregate
+    on (key, salt), then merge the per-salt partials.
     """
     return kv.groupBy("key").agg(F.collect_list("value").alias("values"))
 

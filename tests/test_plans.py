@@ -221,3 +221,19 @@ def test_load_table_sets_read_confs(spark, sf_dir):
     builds a config-free session.)"""
     assert load_table(spark, sf_dir, "events").limit(5).count() == 5
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_q18_aggregates_below_join(spark, sf_dir):
+    """q18's Spark plan must aggregate lineitem BEFORE joining orders
+    (sql_queries._Q_Q18_SPARK): the only aggregate sits under the join,
+    so the join consumes ~4x fewer rows than the joined relation. A
+    regression to join-then-group would put an Aggregate above the
+    Join."""
+    from maplejuice_spark.operators.sql_queries import q18_large_orders
+
+    df = q18_large_orders(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # top-down tree print: the Join must be the parent (printed first),
+    # every Aggregate below it
+    assert "Join" in opt and "Aggregate" in opt
+    assert opt.index("Join") < opt.index("Aggregate")
