@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import dot, l2norm, materialize, to_double_vec
+from maplejuice_spark.functions import dot, dsum, l2norm, materialize, to_double_vec
 from maplejuice_spark.registry import register
 
 DIM = 64
@@ -706,4 +706,179 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_exact"),
         n_hits.cast("bigint").alias("n_hits"),
         (n_hits.cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the third production technique next to
+# LSH banding and IVF lists: vectors compress to M small codes; queries
+# score candidates through a per-query lookup table (ADC) instead of
+# touching raw vectors.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 8  # codewords per subspace ("trained" = first PQ_K corpus vectors,
+#           same fixed-quantizer convention as IVF's N_CENTROIDS)
+
+
+def _sql_fold_sub(expr_a: str, expr_b: str, op: str) -> str:
+    """DuckDB sequential fold over one PQ subspace (PQ_SUB dims):
+    op='dot' -> a·b; op='l2' -> |a-b|^2. Matches the Spark-side
+    F.aggregate fold element order exactly."""
+    if op == "dot":
+        body = f"{expr_a}[i] * {expr_b}[i]"
+    else:
+        body = f"({expr_a}[i] - {expr_b}[i]) * ({expr_a}[i] - {expr_b}[i])"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {PQ_SUB}), i -> {body})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sub_dot(a, b):
+    """Sequential-fold dot of two PQ_SUB-dim array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _sub_l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_PQ_SLICE = f"list_slice(vn, s * {PQ_SUB} + 1, s * {PQ_SUB} + {PQ_SUB})"
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
+    ),
+    subs AS (
+      SELECT vec_id, s, {_SQL_PQ_SLICE} AS sv
+      FROM normed, unnest(generate_series(0, {PQ_M - 1})) AS t(s)
+    ),
+    cb AS (
+      SELECT vec_id AS code, s, sv AS cw FROM subs WHERE vec_id < {PQ_K}
+    ),
+    assign AS (
+      SELECT x.vec_id, x.s, c.code,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                                ORDER BY {_sql_fold_sub('sv', 'cw', 'l2')},
+                                         c.code) AS rnk
+      FROM subs x JOIN cb c ON c.s = x.s
+    ),
+    codes AS (SELECT vec_id, s, code FROM assign WHERE rnk = 1),
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.s, c.code,
+             {_sql_fold_sub('sv', 'cw', 'dot')} AS part
+      FROM subs q JOIN cb c ON c.s = q.s
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT l.query_id, x.vec_id AS neighbor_id,
+             CAST(SUM(CAST(l.part AS DECIMAL(18,6))) AS DOUBLE) AS approx_sim
+      FROM codes x JOIN qlut l ON l.s = x.s AND l.code = x.code
+      WHERE x.vec_id <> l.query_id
+      GROUP BY l.query_id, x.vec_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, approx_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring:
+    each vector compresses to PQ_M codes (nearest codeword per subspace,
+    codebook = the first PQ_K corpus vectors' subvectors — a real
+    deployment k-means-trains these offline, exactly like IVF's
+    centroids); a query scores a candidate as the SUM of per-subspace
+    query-codeword dots looked up from a per-query table, never touching
+    the candidate's raw floats.
+
+    The per-part dots pass through DECIMAL(18,6) before the sum so the
+    4-way addition is order-independent and bit-identical to the oracle.
+
+    Scale: the corpus artifact is the codes table — PQ_M small ints per
+    vector (the 64x compression that lets a 100 TB corpus' index live in
+    memory); the LUT side is |Q| x PQ_M x PQ_K rows (broadcast); scoring
+    is an equi-join on (s, code) into a partial-aggregable sum — query
+    time never shuffles or even reads raw corpus vectors. Recall is the
+    PQ_K / PQ_M knob, refinable by exact re-ranking of the top candidates
+    (the ann_cosine_topk path) as real systems do.
+    """
+    normed = _normed_vecs(spark, sf_dir)
+    subs = normed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("vn"), s * PQ_SUB + 1, PQ_SUB).alias(
+                            "sv"
+                        ),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cw")
+    )
+    from pyspark.sql.window import Window
+
+    assign = (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("d", _sub_l2sq(F.col("sv"), F.col("cw")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy("d", "code")
+            ),
+        )
+    )
+    codes = assign.filter(F.col("rnk") == 1).select("vec_id", "s", "code")
+    qlut = (
+        subs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _sub_dot(F.col("sv"), F.col("cw")).alias("part"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qlut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(dsum("part").alias("approx_sim"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("approx_sim"), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_sim", "rank")
     )

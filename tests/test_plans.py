@@ -237,3 +237,29 @@ def test_q18_aggregates_below_join(spark, sf_dir):
     # every Aggregate below it
     assert "Join" in opt and "Aggregate" in opt
     assert opt.index("Join") < opt.index("Aggregate")
+
+
+def test_pq_scoring_is_equi_join_no_cartesian(spark, sf_dir):
+    """PQ/ADC scoring must be an equi-join on (subspace, code) with the
+    LUT side broadcast — query time never cross-joins or shuffles raw
+    corpus vectors."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["ann_pq_topk"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert not plans.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()  # ADC sum partial-aggregates
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both SCD2 windows partition on user_id: the whole history build
+    must cost exactly ONE hash exchange of the change log."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["scd2_user_value_history"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # formatted mode prints each Exchange's partitioning on its own
+    # Arguments line — exactly one, keyed on user_id
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
