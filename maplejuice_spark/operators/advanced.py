@@ -878,3 +878,115 @@ def kmv_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _kmv_sketch(load_table(spark, sf_dir, "customer"), "c_custkey")
     merged = a.union(b).distinct().orderBy("h").limit(_KMV_K)
     return _kmv_agg(merged, "est_union_distinct")
+
+
+_CM_ROWS = 4  # count-min depth (independent hash rows)
+_CM_TOPN = 10  # heavy-hitter candidates audited against the sketch
+
+# Row j's bucket = hex chars [2j+1, 2j+2] of md5(token): 256 buckets per
+# row, 4 independent rows from disjoint digest slices — the same
+# slice-the-digest trick the MinHash signatures use (dedup.py).
+_SQL_CM_BUCKET = "substr(md5(tok), {o}, 2)"
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9-]+')) AS tok
+      FROM documents
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok
+      ORDER BY n_exact DESC, tok LIMIT {_CM_TOPN}
+    ),
+    cells AS (
+      SELECT j, {'substr(md5(tok), 2*j + 1, 2)'} AS bucket,
+             COUNT(*) AS cnt
+      FROM toks, unnest(generate_series(0, {_CM_ROWS - 1})) AS t(j)
+      GROUP BY j, bucket
+    ),
+    probed AS (
+      SELECT e.tok, e.n_exact, c.cnt
+      FROM exact e JOIN cells c
+        ON c.j IN (SELECT unnest(generate_series(0, {_CM_ROWS - 1})))
+       AND c.bucket = substr(md5(e.tok), 2*c.j + 1, 2)
+    )
+    SELECT tok, n_exact, MIN(cnt) AS n_est,
+           MIN(cnt) - n_exact AS overcount
+    FROM probed GROUP BY tok, n_exact
+    """,
+    tags=("sketch", "approx", "heavy-hitters"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation audited against exact
+    counts: a 4x256 sketch (row j's bucket = md5 hex slice [2j+1,2j+2],
+    disjoint digest slices as independent hashes — the MinHash trick)
+    counts all tokens; the top-10 exact heavy hitters are then probed
+    and the sketch's min-over-rows estimate reported with its
+    overcount. n_est >= n_exact always (count-min never undercounts) —
+    the oracle checks the exact estimates, not just the invariant.
+
+    Scale: the sketch is the point — 1024 cells summarize any token
+    volume; cell counts are partial-aggregable (mergeable across
+    partitions/days, the streaming-sketch property); the probe join
+    broadcasts 10 candidate rows against 1024 cells. At 100 TB the
+    exact-count side would be replaced by the sketch's own candidate
+    stream; here it doubles as the audit oracle.
+    """
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(_CM_TOPN)
+    )
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.substring(F.md5(F.col("tok").cast("binary")),
+                                        2 * j + 1, 2).alias("bucket"),
+                        )
+                        for j in range(_CM_ROWS)
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.j", "x.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = exact.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.substring(F.md5(F.col("tok").cast("binary")),
+                                    2 * j + 1, 2).alias("bucket"),
+                    )
+                    for j in range(_CM_ROWS)
+                ]
+            )
+        ).alias("x"),
+    ).select("tok", "n_exact", "x.j", "x.bucket")
+    return (
+        cells.join(F.broadcast(probes), ["j", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(
+            F.min("cnt").alias("n_est"),
+            (F.min("cnt") - F.col("n_exact")).alias("overcount"),
+        )
+    )

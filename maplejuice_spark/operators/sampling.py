@@ -97,3 +97,49 @@ def sample_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count_if(in_sample).alias("n_sampled"),
     )
+
+
+# PPS (probability-proportional-to-size) Poisson sampling: include a doc
+# iff its 12-hex-digit md5 prefix — a uniform 48-bit integer — falls
+# under n_chars * _PPS_SCALE. Inclusion probability is min(1,
+# n_chars/_PPS_DENOM): pure integer arithmetic, no transcendentals, so
+# both engines agree bit-for-bit (a pow/log-based Efraimidis-Spirakis
+# key would be at the mercy of libm ulp differences).
+_PPS_DENOM = 3_000  # chars; mean n_chars ~300 -> ~10% expected rate
+_PPS_SCALE = (1 << 48) // _PPS_DENOM
+
+
+@register(
+    "sample_weighted_pps",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CASE WHEN n_chars >= {_PPS_DENOM} THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(n_chars AS DOUBLE) / {_PPS_DENOM} END AS p_incl
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+          < n_chars * {_PPS_SCALE}
+    """,
+    tags=("sampling", "weighted", "filter"),
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Poisson sample: longer documents are included
+    with proportionally higher probability (p = min(1, n_chars/3000)),
+    the standard size-biased draw for token-budgeted training mixes.
+    Deterministic by content hash — same sample under any partitioning,
+    engine, or cluster size — and each row carries its inclusion
+    probability so downstream estimators can Horvitz-Thompson reweight
+    (1/p) for unbiased corpus statistics.
+
+    Scale: a pure map-side filter on md5(doc_id) vs n_chars * scale —
+    48-bit integer compare, no shuffle, no state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h48 = F.conv(F.substring(_hash_key("doc_id"), 1, 12), 16, 10).cast(
+        "long"
+    )
+    p = F.when(
+        F.col("n_chars") >= _PPS_DENOM, F.lit(1.0)
+    ).otherwise(F.col("n_chars").cast("double") / F.lit(float(_PPS_DENOM)))
+    return docs.where(h48 < F.col("n_chars") * F.lit(_PPS_SCALE)).select(
+        "doc_id", "source", "n_chars", p.alias("p_incl")
+    )

@@ -149,3 +149,34 @@ def test_curation_operator_invariants(spark, sf_dir):
     dec = ngram_decontamination(spark, sf_dir).collect()
     for r in dec:
         assert 0 <= r["n_contaminated"] <= r["n_train_docs"]
+
+
+def test_pps_sample_properties(spark, sf_dir):
+    """Weighted PPS sample: (a) repartition-invariant (content-hash
+    draw), (b) size-biased — the sampled mean n_chars must exceed the
+    corpus mean, (c) p_incl matches min(1, n_chars/3000) exactly."""
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.operators.sampling import (
+        _PPS_DENOM,
+        sample_weighted_pps,
+    )
+
+    rows = sample_weighted_pps(spark, sf_dir).collect()
+    assert rows
+    base_ids = {r["doc_id"] for r in rows}
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean  # longer docs drawn more often
+    for r in rows:
+        assert r["p_incl"] == min(1.0, r["n_chars"] / _PPS_DENOM)
+    # physical-layout invariance: same draw at any partitioning
+    import maplejuice_spark.operators.sampling as smp
+
+    re_ids = {
+        r["doc_id"]
+        for r in smp.sample_weighted_pps(spark, sf_dir)
+        .repartition(7)
+        .collect()
+    }
+    assert re_ids == base_ids
