@@ -990,3 +990,115 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.col("n_exact")).alias("overcount"),
         )
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "interpolate_daily_values",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, d
+    ),
+    axis AS (
+      SELECT event_type, unnest(generate_series(MIN(d), MAX(d))) AS d
+      FROM daily GROUP BY event_type
+    ),
+    j AS (
+      SELECT a.event_type, a.d, daily.v
+      FROM axis a LEFT JOIN daily USING (event_type, d)
+    ),
+    br AS (
+      SELECT event_type, d, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_prev AS prev_d,
+             first_value(v IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_next AS next_d
+      FROM j
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, d,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                ELSE prev_v + (next_v - prev_v)
+                     * (d - prev_d) / (next_d - prev_d)
+           END AS v_filled,
+           CAST(v IS NULL AS BIGINT) AS is_interpolated
+    FROM br
+    """,
+    tags=("window", "gap-fill", "interpolation"),
+)
+def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type value series with missing days LINEARLY
+    interpolated between the nearest known neighbors (edges stay null) —
+    the time-series gap-fill a metrics pipeline runs after calendar
+    alignment; calendar_fill_days' zero-fill is the count flavor, this
+    is the value flavor.
+
+    Determinism: the day sums pass through DECIMAL, and the
+    interpolation itself is a single IEEE expression over those exact
+    values and integer day distances — no accumulation order anywhere,
+    so both engines agree bit-for-bit.
+
+    Scale: one shuffle keys the day aggregation; the axis explode and
+    both IGNORE NULLS bracket windows reuse the same event_type
+    partitioning; per-partition state is the series itself, bounded by
+    the date span, not the event volume.
+    """
+    from pyspark.sql.window import Window
+
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import dsum, ts_us_div
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(ts_us_div("ts") / F.lit(_DAY_US)).alias("d"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "d").agg(dsum("value").alias("v"))
+    axis = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+    )
+    j = axis.join(daily, ["event_type", "d"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    br = (
+        j.withColumn("prev_v", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("prev_d", F.last(known_d, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("next_d", F.first(known_d, ignorenulls=True).over(wn))
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.col("d") - F.col("prev_d")
+    ) / (F.col("next_d") - F.col("prev_d"))
+    return br.select(
+        "event_type",
+        "d",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(interp)
+        .alias("v_filled"),
+        F.col("v").isNull().cast("bigint").alias("is_interpolated"),
+    )
