@@ -173,3 +173,71 @@ class Store:
 
     def store(self) -> dict[str, str]:
         return self.catalog.store()
+
+
+def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
+    """Morton/Z-order key for two numeric columns: each value is min-max
+    scaled to ``bits`` bits, then the bits interleave — files clustered
+    by this key are simultaneously selective on BOTH dimensions, where a
+    plain sort is selective on its leading column only.
+
+    Pure column expression (16 shifts+masks, whole-stage-codegen'd);
+    min/max are layout-time scalars the writer computes once.
+    """
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        rng = float(hi - lo) if hi > lo else 1.0
+        return F.least(
+            F.lit(top),
+            F.floor((c.cast("double") - F.lit(float(lo)))
+                    / F.lit(rng) * F.lit(float(top))).cast("long"),
+        )
+
+    a, b = scaled(c1, min1, max1), scaled(c2, min2, max2)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet sink: range-partition + sort the rows
+    by the interleaved key of (col1, col2), so every output file covers
+    a small rectangle of the 2-D key space and parquet min/max stats
+    prune files for predicates on EITHER column — the multi-dimensional
+    upgrade of ``write_partitioned``'s single ``sort_within`` dimension,
+    and the layout move (Delta/Iceberg ``OPTIMIZE ZORDER BY``) that cuts
+    a 100 TB scan with two-dimensional predicates by orders of
+    magnitude.
+
+    The min/max layout scalars cost one tiny agg at write time (layout
+    jobs run offline); everything else is one range shuffle on the key.
+    """
+    from pyspark.sql import functions as F
+
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+    ).first()
+    z = zorder_value(F.col(col1), F.col(col2), lo1, hi1, lo2, hi2)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
