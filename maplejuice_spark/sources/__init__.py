@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from maplejuice_spark.catalog import Catalog
 
-READERS = ("text", "csv", "json", "parquet", "binaryFile")
+READERS = ("text", "csv", "json", "parquet", "orc", "binaryFile")
 
 
 def read_any(

@@ -44,7 +44,7 @@ def test_ls_store_verbs(store, spark, sf_dir):
     assert set(store.store()) == {"a", "b"}
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet", "orc"])
 def test_format_roundtrip(spark, tmp_path, sf_dir, fmt):
     region = load_table(spark, sf_dir, "region")
     path = str(tmp_path / f"region_{fmt}")
