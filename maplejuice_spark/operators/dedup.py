@@ -182,9 +182,15 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the join key is (band, hash); only documents colliding in a
     band are ever paired. Verification joins per-doc *distinct shingle*
     sets only for candidate pairs.
+
+    The signatures are computed FROM the distinct (doc_id, shingle)
+    relation: a min over duplicated shingles equals the min over the
+    distinct set, so pre-distincting shrinks the signature aggregation's
+    input and the whole pipeline shares ONE materialized subtree (the
+    oracle states sigs over raw shingles — same mins by construction).
     """
-    sh = materialize(_shingle_rows(spark, sf_dir))  # reused 3x below
-    sigs = sh.groupBy("doc_id").agg(*_sig_aggs())
+    dsh = materialize(_shingle_rows(spark, sf_dir).distinct())  # shared 3x
+    sigs = dsh.groupBy("doc_id").agg(*_sig_aggs())
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -213,7 +219,6 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    dsh = sh.distinct()
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = dsh.alias("x")
     y = dsh.alias("y")
