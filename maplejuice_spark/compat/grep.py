@@ -207,7 +207,17 @@ def grep_command(
     if only_matching:
         # one row per matched PART: regexp_extract_all on matching
         # lines only (the filter prunes non-matching lines in the scan
-        # stage before the extraction runs)
+        # stage before the extraction runs). GNU -v -o prints nothing
+        # (inverted-match lines contain no matching parts by definition)
+        if invert:
+            return (
+                spark.read.text(path)
+                .limit(0)
+                .select(
+                    F.input_file_name().alias("file"),
+                    F.col("value").alias("match"),
+                )
+            )
         pat = f"(?i){pattern}" if ignore_case else pattern
         if fixed_string:
             import re as _re

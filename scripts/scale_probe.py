@@ -63,6 +63,12 @@ PROBE = [
     "sessionize_events",
     "event_funnel",
     "pagerank_3iter",
+    # round-4 additions
+    "ann_pq_topk",
+    "countmin_heavy_hitters",
+    "scd2_user_value_history",
+    "interpolate_daily_values",
+    "sample_weighted_pps",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -258,3 +258,15 @@ def test_max_count_matches_gnu_grep(spark, log_dir):
             if nos:
                 want[f.name] = nos
         assert {k: sorted(v) for k, v in ours.items()} == want
+
+
+def test_only_matching_with_invert_is_empty(spark, log_dir):
+    """GNU grep -v -o prints nothing: inverted-match lines contain no
+    matching parts by definition."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    res = grep_command(
+        spark, str(log_dir), "JOIN", only_matching=True, invert=True
+    )
+    assert res.count() == 0
+    assert res.columns == ["file", "match"]
