@@ -65,6 +65,7 @@ PROBE = [
     "pagerank_3iter",
     # round-4 additions
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "countmin_heavy_hitters",
     "scd2_user_value_history",
     "interpolate_daily_values",

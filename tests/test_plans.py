@@ -263,3 +263,18 @@ def test_scd2_single_shuffle(spark, sf_dir):
     # formatted mode prints each Exchange's partitioning on its own
     # Arguments line — exactly one, keyed on user_id
     assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+
+
+def test_ivfpq_prunes_and_stays_equi(spark, sf_dir):
+    """IVF-PQ: the only nested loop is the broadcast corpus x centroids
+    assignment (as in plain IVF); candidate pruning and ADC scoring are
+    equi-joins with broadcast probe/LUT sides, and the 4-row ADC sum
+    partial-aggregates."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["ann_ivfpq_topk"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroid assignment only
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
