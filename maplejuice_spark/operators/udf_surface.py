@@ -172,3 +172,67 @@ def pandas_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_count(F.col("text")).alias("n_tokens"),
         F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "arrow_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           len(regexp_extract_all(text, '[A-Za-z0-9-]+')) AS n_tokens
+    FROM documents
+    """,
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch UDF surface (Spark 4 ``mapInArrow``): the
+    kernel receives raw ``pyarrow.RecordBatch``es — no pandas
+    conversion at all — and computes per-doc byte and token counts with
+    pyarrow.compute kernels. One step lower-level than the pandas_udf
+    path (pandas_scalar_tokens): zero-copy Arrow in, Arrow out, the
+    cheapest possible Python interop for columnar kernels.
+
+    Scale: pure map — no shuffle; batches stream through the Python
+    worker at Arrow batch granularity; untouched columns are pruned
+    before transfer.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = pc.coalesce(batch.column("text"), pa.scalar(""))
+            # no count-matches kernel in pyarrow.compute: strip leading/
+            # trailing delimiter runs, split on interior runs, count
+            stripped = pc.replace_substring_regex(
+                text, "^[^A-Za-z0-9-]+|[^A-Za-z0-9-]+$", ""
+            )
+            n_tok = pc.list_value_length(
+                pc.split_pattern_regex(stripped, "[^A-Za-z0-9-]+")
+            )
+            # a tokenless string splits to [''] (length 1) — zero it
+            n_tok = pc.if_else(
+                pc.equal(stripped, pa.scalar("")),
+                pa.scalar(0, pa.int32()),
+                n_tok,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.binary_length(pc.cast(text, pa.binary())).cast(
+                        pa.int64()
+                    ),
+                    n_tok.cast(pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_tokens"],
+            )
+
+    register_testdata(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+    )
+    return docs.mapInArrow(
+        stats, "doc_id long, n_bytes long, n_tokens long"
+    )
