@@ -43,6 +43,12 @@ HEADLINE = [
     "pagerank_3iter",
     "term_relevance_topk",
     "merge_upsert_orders",
+    # round-4 operators
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "scd2_user_value_history",
+    "countmin_heavy_hitters",
+    "interpolate_daily_values",
 ]
 
 
