@@ -171,3 +171,108 @@ def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.countDistinct("two").alias("n_two_hop"))
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS s,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS t
+      FROM pairs p JOIN deg du ON du.node = p.u
+                   JOIN deg dv ON dv.node = p.v
+    ),
+    wedges AS (
+      SELECT e1.s AS u, e1.t AS v, e2.t AS w
+      FROM oriented e1 JOIN oriented e2
+        ON e1.s = e2.s AND e1.t < e2.t
+    )
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT COUNT(*) FROM deg) AS n_nodes
+    FROM wedges wg
+    WHERE EXISTS (SELECT 1 FROM pairs p2
+                  WHERE (p2.u = LEAST(wg.v, wg.w)
+                     AND p2.v = GREATEST(wg.v, wg.w)))
+    """,
+    tags=("graph", "triangles"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts are adjacent iff they share an order), via the degree-ordered
+    node-iterator: orient every edge from its (degree, id)-smaller
+    endpoint, enumerate wedges between out-neighbors, and close them
+    against the edge set. The intersection-heavy graph workload that
+    PageRank (propagation) and dedup_clusters (components) don't
+    exercise.
+
+    Scale: degree orientation is THE standard trick — out-degrees are
+    bounded by ~sqrt(2m) for any graph, so the wedge self-join is
+    O(m^1.5) total instead of sum-of-squares of raw degrees (a hub with
+    degree k would otherwise emit k^2 wedges). All three stages are
+    equi-joins over (node) or (edge) keys; the counts are scalar
+    partial-agg sums. Edge generation per order is bounded by order
+    size squared (<= ~7 lineitems per order in this schema).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = materialize(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    p = pairs.alias("p")
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("p.u") < F.col("p.v"))
+    )
+    oriented = materialize(
+        p.join(du, F.col("du.node") == F.col("p.u"))
+        .join(dv, F.col("dv.node") == F.col("p.v"))
+        .select(
+            F.when(u_first, F.col("p.u")).otherwise(F.col("p.v")).alias("s"),
+            F.when(u_first, F.col("p.v")).otherwise(F.col("p.u")).alias("t"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(F.col("e1.t").alias("v"), F.col("e2.t").alias("w"))
+    closing = pairs.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("v", "w") == F.col("cu"))
+        & (F.greatest("v", "w") == F.col("cv")),
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
