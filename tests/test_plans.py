@@ -317,3 +317,19 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    """Every triangle-counting stage (pair generation, degree join,
+    wedge self-join, closing semi-join) must be an equi-join — no
+    cartesian, no nested loop — and the scalar counts partial-agg."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["triangle_count"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert not plans.has_cartesian(df)
+    # the only NLJs are the final 1-row scalar-assembly crossJoins
+    # (n_triangles x n_edges x n_nodes)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "LeftSemi" in plan
+    assert "partial" in plan.lower()
