@@ -329,7 +329,10 @@ def test_triangle_count_all_equi_joins(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert not plans.has_cartesian(df)
     # the only NLJs are the final 1-row scalar-assembly crossJoins
-    # (n_triangles x n_edges x n_nodes)
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # (n_triangles x n_edges x n_nodes); formatted mode prints each
+    # node twice (tree + details), so count the detail headers
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
     assert "LeftSemi" in plan
     assert "partial" in plan.lower()
