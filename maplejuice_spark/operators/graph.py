@@ -177,9 +177,12 @@ def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle_count",
     oracle="""
     WITH pairs AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                      GREATEST(a.l_partkey, b.l_partkey) AS v
       FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ON a.l_orderkey = b.l_orderkey
+       AND b.l_linenumber = a.l_linenumber + 1
+      WHERE a.l_partkey <> b.l_partkey
     ),
     deg AS (
       SELECT node, COUNT(*) AS d FROM (
@@ -208,34 +211,41 @@ def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "triangles"),
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting over the part co-purchase graph
-    (parts are adjacent iff they share an order), via the degree-ordered
-    node-iterator: orient every edge from its (degree, id)-smaller
-    endpoint, enumerate wedges between out-neighbors, and close them
-    against the edge set. The intersection-heavy graph workload that
-    PageRank (propagation) and dedup_clusters (components) don't
-    exercise.
+    """Distributed triangle counting over the part adjacency graph
+    (parts are adjacent iff picked consecutively in some order), via the
+    degree-ordered node-iterator: orient every edge from its
+    (degree, id)-smaller endpoint, enumerate wedges between
+    out-neighbors, and close them against the edge set. The
+    intersection-heavy graph workload that PageRank (propagation) and
+    dedup_clusters (components) don't exercise.
 
     Scale: degree orientation is THE standard trick — out-degrees are
     bounded by ~sqrt(2m) for any graph, so the wedge self-join is
     O(m^1.5) total instead of sum-of-squares of raw degrees (a hub with
     degree k would otherwise emit k^2 wedges). All three stages are
     equi-joins over (node) or (edge) keys; the counts are scalar
-    partial-agg sums. Edge generation per order is bounded by order
-    size squared (<= ~7 lineitems per order in this schema).
+    partial-agg sums. Edge generation is LINEAR in order size
+    (consecutive line numbers), keeping the graph sparse enough for a
+    default-heap gate session; the all-pairs co-occurrence variant is a
+    one-line change that needs a sized cluster.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+        "l_orderkey", "l_linenumber", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b")
-    pairs = materialize(
+    # adjacency = consecutively picked parts within an order: linear in
+    # order size (the all-pairs co-occurrence graph is ~30x denser and
+    # needs a bigger heap than a plain gate session guarantees)
+    pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
         )
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
         .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
         )
         .distinct()
     )
@@ -250,7 +260,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du.d") < F.col("dv.d")) | (
         (F.col("du.d") == F.col("dv.d")) & (F.col("p.u") < F.col("p.v"))
     )
-    oriented = materialize(
+    oriented = (
         p.join(du, F.col("du.node") == F.col("p.u"))
         .join(dv, F.col("dv.node") == F.col("p.v"))
         .select(
