@@ -35,6 +35,47 @@ N_MINHASH = 8  # signature width; banded 4 x 2 below (candidate P = J^2)
 
 
 @register(
+    "dedup_keep_best",
+    oracle="""
+    WITH keyed AS (
+      SELECT md5(lower(trim(text))) AS content_md5, doc_id, n_chars
+      FROM documents
+    ),
+    ranked AS (
+      SELECT content_md5, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY content_md5
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY content_md5) AS n_copies,
+             MAX(n_chars) OVER (PARTITION BY content_md5) AS keep_n_chars
+      FROM keyed
+    )
+    SELECT content_md5, n_copies, doc_id AS keep_id, keep_n_chars
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("dedup", "exact", "canonical"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each normalized-content
+    duplicate group keep the BEST copy — longest text, ties broken by
+    smallest doc_id — instead of an arbitrary first. This is the
+    pipeline-grade form of exact dedup: the survivor choice is a stated
+    quality policy (MAX_BY over (n_chars, -doc_id)), so reruns and
+    engines agree on WHICH duplicate survives, not just how many.
+
+    Scale: identical cost to dedup_exact — one hash shuffle of 16-byte
+    digests plus a max_by partial aggregate; text itself never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    best = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return docs.groupBy(key.alias("content_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max_by("doc_id", best).alias("keep_id"),
+        F.max("n_chars").alias("keep_n_chars"),
+    )
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
