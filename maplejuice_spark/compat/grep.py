@@ -85,18 +85,42 @@ def _match_cond(
     return c.rlike(f"(?i){pattern}" if ignore_case else pattern)
 
 
-def _norm_file(c: F.Column) -> F.Column:
+def _norm_file(c: F.Column, *, decode: bool = False) -> F.Column:
     """Normalize a file URI to a plain path: ``input_file_name()`` yields
     ``file:///p`` while Hadoop FS statuses yield ``file:/p`` — strip
-    the scheme so the two listings join."""
-    return F.regexp_replace(c, "^file:/+", "/")
+    the scheme so the two listings join.
+
+    ``decode=True`` additionally percent-decodes, for the
+    ``input_file_name()`` side ONLY: that function URI-escapes special
+    characters (space → ``%20``) while ``Path.toString`` on the listing
+    side does not, which would break the file-name equi-join for such
+    paths. Bare ``+`` is protected as ``%2B`` first because Java's
+    URLDecoder (backing ``url_decode``) turns unescaped ``+`` into a
+    space; ``try_url_decode`` + coalesce keeps an undecodable name
+    as-is rather than failing the whole query.
+    """
+    c = F.regexp_replace(c, "^file:/+", "/")
+    if decode:
+        protected = F.regexp_replace(c, r"\+", "%2B")
+        c = F.coalesce(F.try_url_decode(protected), c)
+    return c
+
+
+def _hidden(name: str) -> bool:
+    """Spark's file-source listing filter: names starting with ``_`` or
+    ``.`` (e.g. ``_SUCCESS``, ``.foo.crc``) are never read as data."""
+    return name.startswith(("_", "."))
 
 
 def _list_files(spark: SparkSession, path: str) -> DataFrame:
     """``(file)`` rows for every regular file ``spark.read.text(path)``
     would target — INCLUDING zero-length ones, which no Spark file
-    source emits rows for. Same dir/glob expansion the file-source
-    planner runs (driver-side metadata, one FS round-trip)."""
+    source emits rows for, but EXCLUDING hidden/metadata files
+    (``_SUCCESS``, ``.crc``) that the file-source planner skips; without
+    that filter ``-c`` would report ``file:0`` and ``-L`` 'no match'
+    for files Spark never reads. Same dir/glob expansion the
+    file-source planner runs (driver-side metadata, one FS
+    round-trip)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -104,9 +128,9 @@ def _list_files(spark: SparkSession, path: str) -> DataFrame:
     for st in fs.globStatus(hpath) or []:
         if st.isDirectory():
             for child in fs.listStatus(st.getPath()):
-                if child.isFile():
+                if child.isFile() and not _hidden(child.getPath().getName()):
                     out.append(child.getPath().toString())
-        elif st.isFile():
+        elif st.isFile() and not _hidden(st.getPath().getName()):
             out.append(st.getPath().toString())
     df = spark.createDataFrame([(p,) for p in out], "file string")
     return df.select(_norm_file(F.col("file")).alias("file"))
@@ -168,7 +192,9 @@ def grep_command(
     ``(file, line_no, line, is_match)`` under ``-n``/``-A``/``-B``,
     where ``is_match`` distinguishes true matches from context lines
     (GNU grep's ``:`` vs ``-`` separator); ``(file)`` under -l / -L;
-    ``(file, match)`` — one row per matched PART — under -o.
+    ``(file, match)`` — one row per matched PART — under -o. ``-m``
+    composes: it caps ``-c`` counts and the lines ``-o`` extracts from
+    (GNU parity); it leaves ``-l``/``-L`` unchanged by construction.
 
     Scale: the plain path evaluates the predicate in the scan stage;
     ``-c`` is one conditional-sum groupBy over input_file_name(); the
@@ -186,7 +212,42 @@ def grep_command(
             pattern = _re.escape(pattern)
             fixed_string = False
         pattern = _word_wrap(pattern)
+
+    def _capped_matches() -> DataFrame:
+        """Per-file first-``max_count`` matching lines, in line order —
+        the ``-m`` demotion shared by every mode it composes with
+        (``-c`` caps counts; ``-o`` extracts from capped lines only).
+        Needs exact line order, so it rides the wholetext numbered-lines
+        path like ``-n`` does."""
+        cond_l = _match_cond(
+            pattern, ignore_case=ignore_case, fixed_string=fixed_string,
+            col="line",
+        )
+        if invert:
+            cond_l = ~cond_l
+        from pyspark.sql.window import Window
+
+        wm = (
+            Window.partitionBy("file")
+            .orderBy("line_no")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            _numbered_lines(spark, path)
+            .withColumn("is_match", cond_l)
+            .withColumn(
+                "is_match",
+                F.col("is_match")
+                & (F.sum(F.col("is_match").cast("int")).over(wm)
+                   <= max_count),
+            )
+            .where("is_match")
+        )
+
     if files_with_matches or files_without_match:
+        # -m N (N >= 1) never changes -l / -L output: a file with any
+        # match still has >= 1 match after the cap — GNU stops reading
+        # early but lists the same files, so the fast path stands.
         cond = _match_cond(
             pattern, ignore_case=ignore_case, fixed_string=fixed_string
         )
@@ -195,7 +256,9 @@ def grep_command(
         hits = (
             spark.read.text(path)
             .filter(cond)
-            .select(_norm_file(F.input_file_name()).alias("file"))
+            .select(
+                _norm_file(F.input_file_name(), decode=True).alias("file")
+            )
             .distinct()
         )
         if files_with_matches:
@@ -223,12 +286,21 @@ def grep_command(
             import re as _re
 
             pat = ("(?i)" if ignore_case else "") + _re.escape(pattern)
-        cond = _match_cond(
-            pattern, ignore_case=ignore_case, fixed_string=fixed_string
-        )
-        lines = spark.read.text(path).filter(cond)
+        if max_count > 0:
+            # -o -m N: extract parts from the first N matching lines
+            # per file only (GNU counts LINES toward -m, not parts)
+            lines = _capped_matches().select(
+                "file", F.col("line").alias("value")
+            )
+        else:
+            cond = _match_cond(
+                pattern, ignore_case=ignore_case, fixed_string=fixed_string
+            )
+            lines = spark.read.text(path).filter(cond).select(
+                F.input_file_name().alias("file"), "value"
+            )
         return lines.select(
-            _norm_file(F.input_file_name()).alias("file"),
+            _norm_file(F.col("file"), decode=True).alias("file"),
             F.explode(
                 F.expr(
                     f"regexp_extract_all(value, '{_sql_quote(pat)}', 0)"
@@ -236,16 +308,25 @@ def grep_command(
             ).alias("match"),
         )
     if count_only:
-        cond = _match_cond(
-            pattern, ignore_case=ignore_case, fixed_string=fixed_string
-        )
-        if invert:
-            cond = ~cond
-        counts = (
-            spark.read.text(path)
-            .groupBy(_norm_file(F.input_file_name()).alias("file"))
-            .agg(F.sum(cond.cast("long")).alias("n_matches"))
-        )
+        if max_count > 0:
+            # -c -m N: GNU caps each file's reported count at N
+            counts = _capped_matches().groupBy(
+                _norm_file(F.col("file"), decode=True).alias("file")
+            ).agg(F.count(F.lit(1)).alias("n_matches"))
+        else:
+            cond = _match_cond(
+                pattern, ignore_case=ignore_case, fixed_string=fixed_string
+            )
+            if invert:
+                cond = ~cond
+            counts = (
+                spark.read.text(path)
+                .groupBy(
+                    _norm_file(F.input_file_name(), decode=True)
+                    .alias("file")
+                )
+                .agg(F.sum(cond.cast("long")).alias("n_matches"))
+            )
         # GNU grep -c prints file:0 even for EMPTY files, which produce
         # no text rows at all (every Spark file source skips zero-length
         # splits) — left-join the Hadoop FS listing. Listing is driver-

@@ -260,6 +260,85 @@ def test_max_count_matches_gnu_grep(spark, log_dir):
         assert {k: sorted(v) for k, v in ours.items()} == want
 
 
+def test_max_count_composes_with_count_only(spark, log_dir):
+    """-c -m N parity: GNU caps each file's reported count at N (it
+    stops reading after N matches) — previously -m was silently dropped
+    on the -c path."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    files = sorted(log_dir.iterdir())
+    for m in (1, 2):
+        ours = {
+            r["file"].rsplit("/", 1)[-1]: r["n_matches"]
+            for r in grep_command(
+                spark, str(log_dir), "JOIN|PING", count_only=True,
+                max_count=m,
+            ).collect()
+        }
+        want = {}
+        for f in files:
+            out = _gnu_grep(
+                ["-c", "-m", str(m), "-E", "JOIN|PING"], [f]
+            ).strip()
+            want[f.name] = int(out)
+        # GNU -c with -m omits nothing: zero-match files still print 0
+        assert {k: v for k, v in ours.items() if True} == want, m
+
+
+def test_max_count_composes_with_only_matching(spark, log_dir):
+    """-o -m N parity: parts are extracted only from the first N
+    matching LINES per file (GNU counts lines toward -m, not parts)."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    files = sorted(log_dir.iterdir())
+    for m in (1, 2):
+        ours = sorted(
+            r["match"]
+            for r in grep_command(
+                spark, str(log_dir), "node[0-9]", only_matching=True,
+                max_count=m,
+            ).collect()
+        )
+        gnu = sorted(
+            ln
+            for f in files
+            for ln in _gnu_grep(
+                ["-o", "-h", "-m", str(m), "node[0-9]"], [f]
+            ).splitlines()
+        )
+        assert ours == gnu, m
+
+
+def test_hidden_and_metadata_files_are_skipped(spark, tmp_path):
+    """Spark file sources never read names starting with '_' or '.'
+    (_SUCCESS, .crc) — the -c zero-fill and -L listings must skip them
+    too, or they'd report file:0 / 'no match' for files Spark ignores."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    d = tmp_path / "logs_h"
+    d.mkdir()
+    (d / "a.log").write_text("JOIN x\n")
+    (d / "b.log").write_text("PING y\n")
+    (d / "_SUCCESS").write_text("JOIN hidden\n")
+    (d / ".hidden.log").write_text("JOIN hidden\n")
+
+    counts = {
+        r["file"].rsplit("/", 1)[-1]: r["n_matches"]
+        for r in grep_command(
+            spark, str(d), "JOIN", count_only=True
+        ).collect()
+    }
+    assert counts == {"a.log": 1, "b.log": 0}
+
+    without = sorted(
+        r["file"].rsplit("/", 1)[-1]
+        for r in grep_command(
+            spark, str(d), "JOIN", files_without_match=True
+        ).collect()
+    )
+    assert without == ["b.log"]
+
+
 def test_only_matching_with_invert_is_empty(spark, log_dir):
     """GNU grep -v -o prints nothing: inverted-match lines contain no
     matching parts by definition."""
