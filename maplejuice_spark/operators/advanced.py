@@ -883,11 +883,6 @@ def kmv_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CM_ROWS = 4  # count-min depth (independent hash rows)
 _CM_TOPN = 10  # heavy-hitter candidates audited against the sketch
 
-# Row j's bucket = hex chars [2j+1, 2j+2] of md5(token): 256 buckets per
-# row, 4 independent rows from disjoint digest slices — the same
-# slice-the-digest trick the MinHash signatures use (dedup.py).
-_SQL_CM_BUCKET = "substr(md5(tok), {o}, 2)"
-
 
 @register(
     "countmin_heavy_hitters",

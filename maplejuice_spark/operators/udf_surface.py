@@ -178,8 +178,9 @@ def pandas_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrow_doc_stats",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           len(regexp_extract_all(text, '[A-Za-z0-9-]+')) AS n_tokens
+           octet_length(encode(coalesce(text, ''))) AS n_bytes,
+           len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9-]+'))
+             AS n_tokens
     FROM documents
     """,
     tags=("udf", "arrow", "mapInArrow"),

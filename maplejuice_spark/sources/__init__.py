@@ -232,6 +232,11 @@ def write_zordered(
     lo1, hi1, lo2, hi2 = df.agg(
         F.min(col1), F.max(col1), F.min(col2), F.max(col2)
     ).first()
+    if lo1 is None or lo2 is None:
+        # empty input (or all-NULL keys): nothing to cluster — emit a
+        # plain empty write so the sink still exists with the schema
+        df.write.mode(mode).parquet(path)
+        return
     z = zorder_value(F.col(col1), F.col(col2), lo1, hi1, lo2, hi2)
     (
         df.withColumn("_z", z)
