@@ -154,14 +154,28 @@ def write_sorted(df: DataFrame, dest: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").text(dest)
 
 
-def write_per_key(df: DataFrame, dest: str) -> None:
+def write_per_key(
+    df: DataFrame, dest: str, max_keys: int = 10_000
+) -> None:
     """E5 per-key export (maple option 1/3, MapleJuice.cpp:285-298):
     one directory per key via partitionBy.
 
-    100 TB guard: partitionBy on a high-cardinality key produces one
-    file per key per task — cap cardinality upstream (the reference has
-    the same failure mode, one FILE per key on the master's disk).
+    100 TB guard — ENFORCED: partitionBy on a high-cardinality key
+    produces one file per key per task (the reference has the same
+    failure mode, one FILE per key on the master's disk). The key
+    cardinality is counted first (one cheap distinct over the key
+    column) and the export refuses above ``max_keys`` instead of
+    melting the filesystem with millions of tiny files; raise the cap
+    explicitly if a job really wants more.
     """
+    n_keys = df.select("key").distinct().count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"write_per_key: {n_keys} distinct keys exceeds max_keys="
+            f"{max_keys}; a per-key file explosion at this cardinality "
+            "would overwhelm the filesystem — aggregate or bucket the "
+            "keys upstream, or pass a higher max_keys deliberately"
+        )
     writer = df.write.mode("overwrite").partitionBy("key")
     if set(df.columns) == {"key", "value"}:
         writer.text(dest)  # one text dir per key, value lines inside

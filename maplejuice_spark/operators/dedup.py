@@ -601,14 +601,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each iteration is one equi-join + one agg on (node, label)
     pairs — no transitive-closure materialization (the oracle's
-    reach-set IS quadratic; the label-propagation loop is not).
+    reach-set IS quadratic; the label-propagation loop is not). The
+    blocking convergence ``count()`` runs only every SECOND iteration
+    (propagation is monotone — labels only decrease — so overshooting
+    a fixpoint by one identity iteration is free, and the driver-side
+    barrier count is halved). Iterations are capped: min-label
+    propagation converges in <= the largest component's diameter, and
+    near-dup clusters are short-diameter by construction (docs in a
+    component share high-Jaccard neighbors), so the cap is generous —
+    hitting it means a pathology, and raising beats silently returning
+    half-merged clusters.
     """
+    max_iters = 50  # >> any plausible near-dup component diameter
     edges = materialize(_cluster_edges(spark, sf_dir))
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     labels = materialize(labels)
-    while True:
+    for it in range(1, max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.t == labels.node)
             .groupBy(F.col("s").alias("node"))
@@ -624,15 +634,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         new_labels = materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        if it % 2 == 0 or it == max_iters:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations "
+            "— component diameter exceeds the documented bound"
         )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

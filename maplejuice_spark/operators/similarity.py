@@ -30,6 +30,11 @@ DIM = 64
 N_PLANES = 16
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % QUERY_MOD == 0
+# brute-force guard: |queries| above this must use a bucketed ANN path
+# (at 128-dim float the broadcast is ~50 MB here — near the comfortable
+# executor-broadcast ceiling, and |Q|x|corpus| scoring dominates long
+# before memory does)
+MAX_BRUTE_FORCE_QUERIES = 100_000
 
 _rng = random.Random(4242)
 PLANES: list[list[float]] = [
@@ -142,7 +147,12 @@ def ann_cosine_topk(
     Scale: cost is |queries| × |corpus| — the corpus is scanned once,
     never shuffled; only (query_id, cos) pairs reach the top-k window,
     and the per-query candidate stream is cut to k by the row_number
-    filter. For large query sets, switch to ann_lsh_buckets.
+    filter. For large query sets, switch to ann_lsh_buckets. That
+    precondition is ENFORCED, not just documented: the query side is
+    counted (a cheap single-column scan) and the brute-force path
+    refuses above ``MAX_BRUTE_FORCE_QUERIES`` rather than silently
+    building a broadcast too large for executor memory and an
+    effectively quadratic scoring stage.
     """
     if vecs is None:
         vecs = _normed_vecs(spark, sf_dir)
@@ -150,6 +160,14 @@ def ann_cosine_topk(
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
     )
+    n_queries = q.count()
+    if n_queries > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"ann_cosine_topk is the broadcast-small-query baseline: "
+            f"{n_queries} queries exceeds MAX_BRUTE_FORCE_QUERIES="
+            f"{MAX_BRUTE_FORCE_QUERIES}; use ann_lsh_topk / "
+            f"ann_ivf_topk / ann_ivfpq_topk for large query sets"
+        )
     c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))

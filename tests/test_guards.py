@@ -1,0 +1,51 @@
+"""Documented operating limits must be enforced, not just described
+(round-4 advice): the brute-force ANN baseline refuses oversized query
+sets, and the E5 per-key export refuses key cardinalities that would
+explode into per-key file storms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ann_cosine_topk_refuses_large_query_set(spark, monkeypatch):
+    from maplejuice_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_BRUTE_FORCE_QUERIES", 2)
+    vecs = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("vn"),
+    )
+    # vec_id % 100 == 0 -> 10 queries > cap of 2
+    with pytest.raises(ValueError, match="MAX_BRUTE_FORCE_QUERIES"):
+        similarity.ann_cosine_topk(spark, sf_dir="", vecs=vecs)
+
+
+def test_ann_cosine_topk_runs_under_cap(spark, monkeypatch):
+    from maplejuice_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_BRUTE_FORCE_QUERIES", 10)
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), F.lit(1.0)
+        ).alias("vn"),
+    )
+    out = similarity.ann_cosine_topk(spark, sf_dir="", vecs=vecs)
+    assert out.count() > 0  # 3 queries, cap 10: runs
+
+
+def test_write_per_key_refuses_key_explosion(spark, tmp_path):
+    from maplejuice_spark.compat.mapreduce import write_per_key
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("key"),
+        F.lit("v").alias("value"),
+    )
+    with pytest.raises(ValueError, match="max_keys"):
+        write_per_key(df, str(tmp_path / "out"), max_keys=10)
+    # under the cap the export proceeds
+    write_per_key(df.filter(F.col("key").isin("1", "2")),
+                  str(tmp_path / "ok"), max_keys=10)
+    assert (tmp_path / "ok" / "key=1").is_dir()
