@@ -1,0 +1,134 @@
+"""Schema-drift canary: the driver regenerates /root/testdata between
+rounds, and twice now a silent dtype change (round 3/4: ``events.ts``
+nanosecond → microsecond TIMESTAMP_NTZ) burned gate queries before any
+functional test could name the culprit. This test asserts every fixture
+table's parquet schema against the committed snapshot below and fails
+FIRST, printing a readable per-column diff that names the table and
+column — run it at round start (it is cheap: footer reads only, no
+Spark session).
+
+If the driver legitimately changes a schema, update EXPECTED to match
+and re-audit every query touching the changed columns (the r3 lesson:
+drift broke 3 gate rows and the bench run).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+# table -> ordered (column, arrow-type-string) pairs; identical across
+# sf0.001 / sf0.01 / sf0.1 (snapshot taken 2026-08-14, round 5)
+EXPECTED: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int32"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int32"),
+        ("n_name", "string"),
+        ("n_regionkey", "int32"),
+    ],
+    "customer": [
+        ("c_custkey", "int64"),
+        ("c_name", "string"),
+        ("c_nationkey", "int32"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "int64"),
+        ("s_name", "string"),
+        ("s_nationkey", "int32"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "int64"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int32"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "int64"),
+        ("o_custkey", "int64"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp[us]"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int64"),
+        ("l_partkey", "int64"),
+        ("l_suppkey", "int64"),
+        ("l_linenumber", "int32"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp[us]"),
+    ],
+    "events": [
+        ("event_id", "int64"),
+        ("ts", "timestamp[us]"),
+        ("user_id", "int64"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "int64"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "int64"),
+    ],
+    "embeddings": [
+        ("vec_id", "int64"),
+        ("embedding", "list<element: float>"),
+        ("label", "int32"),
+    ],
+}
+
+SF_DIRS = [
+    d
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+              "/root/testdata/sf0.1")
+    if os.path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fixture_schemas_match_snapshot(sf_dir):
+    diffs: list[str] = []
+    for table, want in EXPECTED.items():
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if not os.path.exists(path):
+            diffs.append(f"{table}: parquet file MISSING at {path}")
+            continue
+        schema = pq.read_schema(path)
+        got = [(n, str(t)) for n, t in zip(schema.names, schema.types)]
+        if got == want:
+            continue
+        gm, wm = dict(got), dict(want)
+        for col in sorted(set(gm) | set(wm)):
+            if col not in gm:
+                diffs.append(f"{table}.{col}: MISSING (expected {wm[col]})")
+            elif col not in wm:
+                diffs.append(f"{table}.{col}: UNEXPECTED new column {gm[col]}")
+            elif gm[col] != wm[col]:
+                diffs.append(
+                    f"{table}.{col}: type drift {wm[col]} -> {gm[col]}"
+                )
+        if gm == wm:  # same columns/types, different order
+            diffs.append(
+                f"{table}: column ORDER changed: "
+                f"{[c for c, _ in want]} -> {[c for c, _ in got]}"
+            )
+    assert not diffs, (
+        "TESTDATA SCHEMA DRIFT (driver regenerated fixtures?) in "
+        f"{sf_dir} — audit every query touching these columns, then "
+        "update EXPECTED:\n  " + "\n  ".join(diffs)
+    )
