@@ -78,21 +78,28 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # min-of-2 per query: the first execution of a plan pays one-off
-    # whole-stage-codegen compilation and JIT warm-up that no steady-
-    # state deployment sees (measured: 2x on the dedup family); the min
-    # of two back-to-back runs reports the plan's actual cost. Both runs
-    # execute the full distributed plan through the noop sink.
+    # median-of-3 per query (round-4 verdict: n=1 couldn't separate 4
+    # apparent regressions from warmup/GC noise). The first execution
+    # of a plan pays one-off whole-stage-codegen compilation and JIT
+    # warm-up that no steady-state deployment sees, so each query gets
+    # one untimed warm-up run, then 3 timed runs; the MEDIAN is the
+    # headline number and the [min, max] spread is reported per query
+    # so a regression can be judged against run-to-run noise. Every run
+    # executes the full distributed plan through the noop sink.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for i in range(4):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            if i > 0:  # run 0 is the per-plan warm-up, untimed
+                runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -102,6 +109,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": 3,
                 "sf": sf,
             }
         )
