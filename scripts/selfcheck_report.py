@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Convert a selfcheck_sf001.py transcript into a committed markdown
+evidence table (SELFCHECK_r{N}.md): one row per registry query with its
+driver-identical oracle verdict and wall time at the gate scale.
+
+Usage: selfcheck_report.py TRANSCRIPT SF_DIR ROUND > SELFCHECK_r5.md
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import sys
+
+
+def main() -> None:
+    transcript, sf_dir, rnd = sys.argv[1], sys.argv[2], sys.argv[3]
+    rows: list[tuple[str, str, str]] = []  # (name, verdict, detail)
+    for line in open(transcript):
+        line = line.strip()
+        m = re.match(r"PASS (\S+) \(([\d.]+)s\)", line)
+        if m:
+            rows.append((m.group(1), "PASS", f"{m.group(2)} s"))
+            continue
+        m = re.match(r"ROWSONLY (\S+): (\d+) rows \(([\d.]+)s\)", line)
+        if m:
+            rows.append(
+                (m.group(1), "ROWSONLY",
+                 f"{m.group(2)} rows, {m.group(3)} s")
+            )
+            continue
+        m = re.match(r"FAIL (\S+): (.*)", line)
+        if m:
+            rows.append((m.group(1), "FAIL", m.group(2)[:200]))
+    n_pass = sum(1 for _, v, _ in rows if v == "PASS")
+    n_rows = sum(1 for _, v, _ in rows if v == "ROWSONLY")
+    n_fail = sum(1 for _, v, _ in rows if v == "FAIL")
+    today = datetime.date.today().isoformat()
+    print(f"# SELFCHECK — round {rnd} full-registry sweep")
+    print()
+    print(
+        f"Driver-identical dual-engine check of **all {len(rows)} "
+        f"registered queries** at the gate scale (`{sf_dir}`), run "
+        f"{today} via `scripts/selfcheck_sf001.py`: plain "
+        "`SparkSession.builder` session (no engine configs), dtype-"
+        "strict canonical compare against the DuckDB oracle — the same "
+        "harness the driver's CORRECTNESS gate uses, over the WHOLE "
+        "registry instead of the driver's 50-query sample. ROWSONLY = "
+        "genuinely non-SQL-expressible query (no oracle registered; "
+        "the driver applies the same weaker check)."
+    )
+    print()
+    print(f"**Result: {n_pass} PASS + {n_rows} ROWSONLY, {n_fail} FAIL.**")
+    print()
+    print("| query | verdict | detail |")
+    print("|---|---|---|")
+    for name, verdict, detail in sorted(rows):
+        mark = {"PASS": "pass", "ROWSONLY": "rows-only pass",
+                "FAIL": "**FAIL**"}[verdict]
+        print(f"| `{name}` | {mark} | {detail} |")
+
+
+if __name__ == "__main__":
+    main()
