@@ -1,0 +1,64 @@
+"""Registry-wide plan hygiene lint: the two classic 100 TB scale
+killers must stay out of EVERY registered query's physical plan, not
+just the individually pinned ones in test_plans.py —
+
+- ``CartesianProduct``: an un-broadcast cross join is quadratic
+  shuffle-side work; every intentional cross pairing in this repo is
+  either broadcast (BroadcastNestedLoopJoin over a tiny side) or a
+  1-row scalar combine, so a CartesianProduct node anywhere is a bug.
+- ``BatchEvalPython``: a row-at-a-time Python UDF in the plan means
+  per-row Python round-trips in the hot path (10-100x slower than the
+  Arrow-batched surfaces this repo uses). The deliberate UDTF-surface
+  query is the single allowed exception (Spark plans UDTFs through the
+  same batch-eval node family).
+
+This complements test_plans.py's per-query shape pins with a sweep that
+automatically covers every FUTURE query too: adding a registry entry
+with a stray cartesian or row-UDF fails here without anyone having to
+remember to pin it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from maplejuice_spark.plans import physical_plan
+from maplejuice_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose fn() runs a stream / iterative job at call time; their
+# returned DataFrame is a materialized sink table, so "plan" would lint
+# the sink read, not the interesting dataflow (which test_streaming.py
+# and the per-query pins cover instead)
+SKIP_TAGS = {"streaming"}
+
+# name -> rule it may violate, with the reason the exception is sound
+ALLOWED_PYTHON_EVAL = {
+    # the UDTF-surface query exists to exercise Spark's Python UDTF
+    # planner node; it is tagged and documented as the slow-path demo
+    "udtf_token_positions",
+}
+
+
+def _lintable():
+    for name, spec in sorted(all_queries().items()):
+        if SKIP_TAGS & set(spec.tags):
+            continue
+        yield name, spec
+
+
+@pytest.mark.parametrize(
+    "name,spec", list(_lintable()), ids=[n for n, _ in _lintable()]
+)
+def test_no_cartesian_no_row_python_udf(spark, name, spec):
+    plan = physical_plan(spec.fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in physical plan — broadcast the "
+        "small side or restructure to an equi-join"
+    )
+    if name not in ALLOWED_PYTHON_EVAL:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python eval in physical plan — use "
+            "pandas_udf / mapInPandas / mapInArrow instead"
+        )
