@@ -1,0 +1,52 @@
+"""bench.py contract smoke: the driver runs ``python3 bench.py`` once
+per round and records the output — a broken bench (import error, second
+stray print, malformed JSON, missing key) silently costs the round its
+performance record (round 3 lost its bench to an unrelated crash). This
+runs the real CLI as a subprocess at the smallest fixture scale and
+asserts the one-JSON-line contract and its schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_cli_prints_one_json_line_with_contract_keys():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # stdout may carry Spark/ivy noise on some setups; the contract is
+    # that the LAST line is the single JSON record
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    payload = json.loads(lines[-1])
+    json_lines = [
+        ln for ln in lines if ln.lstrip().startswith("{")
+    ]
+    assert len(json_lines) == 1, f"expected ONE JSON line, got {json_lines}"
+    assert payload["metric"] == "headline_queries_total_wall"
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    assert payload["value"] > 0
+    qs = payload["queries"]
+    assert len(qs) >= 28 and all(v >= 0 for v in qs.values())
+    assert abs(sum(qs.values()) - payload["value"]) < 0.01
+    # median must sit inside its own reported [min, max] spread
+    for name, med in qs.items():
+        lo, hi = payload["spread"][name]
+        assert lo <= med <= hi, (name, lo, med, hi)
