@@ -195,6 +195,9 @@ def grep_command(
     ``(file, match)`` — one row per matched PART — under -o. ``-m``
     composes: it caps ``-c`` counts and the lines ``-o`` extracts from
     (GNU parity); it leaves ``-l``/``-L`` unchanged by construction.
+    Every mode reports ``file`` in the SAME normalized form — plain
+    percent-decoded path, no URI scheme — so outputs of different
+    modes join against each other and against FS listings.
 
     Scale: the plain path evaluates the predicate in the scan stage;
     ``-c`` is one conditional-sum groupBy over input_file_name(); the
@@ -213,36 +216,41 @@ def grep_command(
             fixed_string = False
         pattern = _word_wrap(pattern)
 
-    def _capped_matches() -> DataFrame:
-        """Per-file first-``max_count`` matching lines, in line order —
-        the ``-m`` demotion shared by every mode it composes with
-        (``-c`` caps counts; ``-o`` extracts from capped lines only).
-        Needs exact line order, so it rides the wholetext numbered-lines
-        path like ``-n`` does."""
+    def _flagged_lines() -> DataFrame:
+        """Numbered lines with ``is_match``, ``-m``-demoted when
+        ``max_count`` is set — the ONE copy of the GNU ``-m`` rule
+        (only the first N matching lines per file count as matches, a
+        cumulative-count window in line order) shared by every mode it
+        composes with: ``-n``/context keep the full line set, ``-c``
+        and ``-o`` filter to the capped matches. Needs exact line
+        order, so it rides the wholetext numbered-lines path."""
         cond_l = _match_cond(
             pattern, ignore_case=ignore_case, fixed_string=fixed_string,
             col="line",
         )
         if invert:
             cond_l = ~cond_l
-        from pyspark.sql.window import Window
-
-        wm = (
-            Window.partitionBy("file")
-            .orderBy("line_no")
-            .rowsBetween(Window.unboundedPreceding, 0)
+        flagged = _numbered_lines(spark, path).withColumn(
+            "is_match", cond_l
         )
-        return (
-            _numbered_lines(spark, path)
-            .withColumn("is_match", cond_l)
-            .withColumn(
+        if max_count > 0:
+            from pyspark.sql.window import Window
+
+            wm = (
+                Window.partitionBy("file")
+                .orderBy("line_no")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            flagged = flagged.withColumn(
                 "is_match",
                 F.col("is_match")
                 & (F.sum(F.col("is_match").cast("int")).over(wm)
                    <= max_count),
             )
-            .where("is_match")
-        )
+        return flagged
+
+    def _capped_matches() -> DataFrame:
+        return _flagged_lines().where("is_match")
 
     if files_with_matches or files_without_match:
         # -m N (N >= 1) never changes -l / -L output: a file with any
@@ -340,28 +348,9 @@ def grep_command(
     if line_numbers or before_context or after_context or max_count > 0:
         from pyspark.sql.window import Window
 
-        cond = _match_cond(
-            pattern, ignore_case=ignore_case, fixed_string=fixed_string,
-            col="line",
-        )
-        if invert:
-            cond = ~cond
-        flagged = _numbered_lines(spark, path).withColumn("is_match", cond)
-        if max_count > 0:
-            # GNU -m N: only the first N matching lines per file count
-            # as matches (a cumulative-count window in line order; later
-            # matches are demoted before context expansion)
-            wm = (
-                Window.partitionBy("file")
-                .orderBy("line_no")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            flagged = flagged.withColumn(
-                "is_match",
-                F.col("is_match")
-                & (F.sum(F.col("is_match").cast("int")).over(wm)
-                   <= max_count),
-            )
+        # matches are -m-demoted (shared _flagged_lines rule) BEFORE
+        # context expansion, matching GNU's ordering
+        flagged = _flagged_lines()
         if before_context or after_context:
             # keep line L iff a match exists in [L-A, L+B]: one range
             # window over (file, line_no) — after-context lines see the
@@ -378,7 +367,10 @@ def grep_command(
             ).where(F.col("_ctx") == 1).drop("_ctx")
         else:
             flagged = flagged.where("is_match")
-        return flagged.select("file", "line_no", "line", "is_match")
+        return flagged.select(
+            _norm_file(F.col("file"), decode=True).alias("file"),
+            "line_no", "line", "is_match",
+        )
     cond = _match_cond(
         pattern, ignore_case=ignore_case, fixed_string=fixed_string
     )
@@ -386,7 +378,8 @@ def grep_command(
         cond = ~cond
     lines = spark.read.text(path).filter(cond)
     return lines.select(
-        F.input_file_name().alias("file"), F.col("value").alias("line")
+        _norm_file(F.input_file_name(), decode=True).alias("file"),
+        F.col("value").alias("line"),
     )
 
 

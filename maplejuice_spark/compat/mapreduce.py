@@ -163,18 +163,21 @@ def write_per_key(
     100 TB guard — ENFORCED: partitionBy on a high-cardinality key
     produces one file per key per task (the reference has the same
     failure mode, one FILE per key on the master's disk). The key
-    cardinality is counted first (one cheap distinct over the key
-    column) and the export refuses above ``max_keys`` instead of
-    melting the filesystem with millions of tiny files; raise the cap
-    explicitly if a job really wants more.
+    cardinality is probed first — ``distinct().limit(max_keys + 1)``,
+    so the aggregation is bounded at the cap rather than counting every
+    key — and the export refuses above ``max_keys`` instead of melting
+    the filesystem with millions of tiny files; raise the cap
+    explicitly if a job really wants more. (The probe does execute the
+    upstream lineage once before the write does; for an expensive
+    upstream, persist the frame before exporting.)
     """
-    n_keys = df.select("key").distinct().count()
+    n_keys = df.select("key").distinct().limit(max_keys + 1).count()
     if n_keys > max_keys:
         raise ValueError(
-            f"write_per_key: {n_keys} distinct keys exceeds max_keys="
-            f"{max_keys}; a per-key file explosion at this cardinality "
-            "would overwhelm the filesystem — aggregate or bucket the "
-            "keys upstream, or pass a higher max_keys deliberately"
+            f"write_per_key: more than max_keys={max_keys} distinct "
+            "keys; a per-key file explosion at this cardinality would "
+            "overwhelm the filesystem — aggregate or bucket the keys "
+            "upstream, or pass a higher max_keys deliberately"
         )
     writer = df.write.mode("overwrite").partitionBy("key")
     if set(df.columns) == {"key", "value"}:

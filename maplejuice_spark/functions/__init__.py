@@ -121,5 +121,24 @@ def materialize(df):
     computes the subtree once. Use on *narrow* intermediates
     (signatures, bucket ids) — never on raw 100 TB tables; on a real
     cluster a persisted table / `.persist(DISK_ONLY)` plays this role.
+
+    Checkpointing truncates lineage, which also HIDES the upstream plan
+    from any later ``explain`` — so the registry-wide plan lint
+    (tests/test_plan_lint.py) would be blind to a scale-killer upstream
+    of a materialize(). Under ``MJ_PLAN_LINT=1`` (set by the lint test)
+    the banned-node check therefore runs HERE, on the full pre-
+    checkpoint plan, before it disappears.
     """
+    import os
+
+    if os.environ.get("MJ_PLAN_LINT"):
+        from maplejuice_spark.plans import physical_plan
+
+        plan = physical_plan(df)
+        for banned in ("CartesianProduct", "BatchEvalPython"):
+            if banned in plan:
+                raise AssertionError(
+                    f"plan lint: {banned} upstream of materialize() — "
+                    "broadcast / restructure before checkpointing"
+                )
     return df.localCheckpoint(eager=True)

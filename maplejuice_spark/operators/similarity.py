@@ -31,9 +31,9 @@ N_PLANES = 16
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % QUERY_MOD == 0
 # brute-force guard: |queries| above this must use a bucketed ANN path
-# (at 128-dim float the broadcast is ~50 MB here — near the comfortable
-# executor-broadcast ceiling, and |Q|x|corpus| scoring dominates long
-# before memory does)
+# (100k of this module's DIM=64 double vectors is ~51 MB broadcast —
+# near the comfortable executor-broadcast ceiling, and |Q|x|corpus|
+# scoring dominates long before memory does)
 MAX_BRUTE_FORCE_QUERIES = 100_000
 
 _rng = random.Random(4242)
@@ -160,12 +160,14 @@ def ann_cosine_topk(
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
     )
-    n_queries = q.count()
-    if n_queries > MAX_BRUTE_FORCE_QUERIES:
+    # bounded probe, not a full count: limit(cap+1) lets the scan stop
+    # as soon as the cap is provably exceeded, so the guard costs O(cap)
+    # rows regardless of corpus size
+    if q.limit(MAX_BRUTE_FORCE_QUERIES + 1).count() > MAX_BRUTE_FORCE_QUERIES:
         raise ValueError(
             f"ann_cosine_topk is the broadcast-small-query baseline: "
-            f"{n_queries} queries exceeds MAX_BRUTE_FORCE_QUERIES="
-            f"{MAX_BRUTE_FORCE_QUERIES}; use ann_lsh_topk / "
+            f"more than MAX_BRUTE_FORCE_QUERIES="
+            f"{MAX_BRUTE_FORCE_QUERIES} queries; use ann_lsh_topk / "
             f"ann_ivf_topk / ann_ivfpq_topk for large query sets"
         )
     c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv"))

@@ -282,7 +282,7 @@ def test_max_count_composes_with_count_only(spark, log_dir):
             ).strip()
             want[f.name] = int(out)
         # GNU -c with -m omits nothing: zero-match files still print 0
-        assert {k: v for k, v in ours.items() if True} == want, m
+        assert ours == want, m
 
 
 def test_max_count_composes_with_only_matching(spark, log_dir):

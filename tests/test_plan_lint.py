@@ -16,6 +16,14 @@ This complements test_plans.py's per-query shape pins with a sweep that
 automatically covers every FUTURE query too: adding a registry entry
 with a stray cartesian or row-UDF fails here without anyone having to
 remember to pin it.
+
+Checkpoint blindness: ``materialize()`` (localCheckpoint) truncates
+lineage, so the final plan inspected here cannot see upstream of any
+checkpoint. The ``MJ_PLAN_LINT=1`` env set by the autouse fixture makes
+``materialize()`` itself lint the full pre-checkpoint plan before
+truncation, closing that hole for the ~16 checkpointing queries
+(iterative loops, shared subtrees) — a banned node upstream of a
+checkpoint raises inside the query call, which this test surfaces.
 """
 
 from __future__ import annotations
@@ -24,6 +32,11 @@ import pytest
 
 from maplejuice_spark.plans import physical_plan
 from maplejuice_spark.registry import all_queries
+
+
+@pytest.fixture(autouse=True)
+def _lint_through_checkpoints(monkeypatch):
+    monkeypatch.setenv("MJ_PLAN_LINT", "1")
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -92,16 +92,22 @@ EXPECTED: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
-SF_DIRS = [
-    d
-    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-              "/root/testdata/sf0.1")
-    if os.path.isdir(d)
-]
+# all three scales, unconditionally: a MISSING dir is itself the drift
+# event this canary exists to catch (filtering to existing dirs would
+# let a driver-side rename/delete silently skip the check)
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_fixture_schemas_match_snapshot(sf_dir):
+    assert os.path.isdir(sf_dir), (
+        f"TESTDATA DRIFT: fixture dir {sf_dir} is MISSING entirely — "
+        "did the driver move or rename the testdata layout?"
+    )
     diffs: list[str] = []
     for table, want in EXPECTED.items():
         path = os.path.join(sf_dir, f"{table}.parquet")
