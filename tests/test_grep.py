@@ -339,6 +339,76 @@ def test_hidden_and_metadata_files_are_skipped(spark, tmp_path):
     assert without == ["b.log"]
 
 
+@pytest.fixture(scope="module")
+def tricky_dir(tmp_path_factory):
+    """Corpus of classic grep edge cases: empty lines, regex metachars
+    as DATA, UTF-8 multibyte text, a very long line, tabs, and a file
+    with no trailing newline."""
+    d = tmp_path_factory.mktemp("tricky")
+    (d / "meta.log").write_text(
+        "a.b matches dot\n"
+        "a*b literal star\n"
+        "[bracket] line\n"
+        "(paren) line\n"
+        "price $5.00 end\n"
+        "^caret and dollar$\n"
+        "back\\slash line\n"
+    )
+    (d / "shape.log").write_text(
+        "\n"                       # empty line
+        "   \n"                    # whitespace-only
+        "\tTAB\tseparated\n"
+        "x" * 5000 + " needle\n"   # long line
+        "last line no newline"     # no trailing \n
+    )
+    (d / "utf8.log").write_text(
+        "café au lait\n"
+        "naïve résumé\n"
+        "日本語 text\n",
+        encoding="utf-8",
+    )
+    return d
+
+
+def test_tricky_corpus_matches_gnu_grep(spark, tricky_dir):
+    """Differential sweep over edge-case data: our matched-line sets
+    must equal GNU grep's for regex, fixed-string, inverted, and
+    anchored patterns (same files, same bytes)."""
+    from maplejuice_spark.compat.grep import grep_command
+
+    files = sorted(tricky_dir.iterdir())
+    cases = [
+        # (pattern, kwargs, gnu flags)
+        (r"a\.b", {}, []),                      # escaped dot
+        (r"a.b", {}, []),                       # wildcard dot
+        ("a*b", {"fixed_string": True}, ["-F"]),  # star as DATA
+        ("[bracket]", {"fixed_string": True}, ["-F"]),
+        ("$5.00", {"fixed_string": True}, ["-F"]),
+        (r"\$5\.00", {}, []),                   # escaped in regex mode
+        # NB a literal TAB byte, not the \t escape: GNU BRE/ERE has no
+        # \t escape (it means literal 't') while our documented pattern
+        # language is Java regex (where \t IS tab) — only the raw byte
+        # means the same thing to both engines
+        ("^\tTAB", {}, []),                     # anchored tab
+        (r"^$", {}, []),                        # empty-line match
+        ("needle", {}, []),                     # end of a 5000-char line
+        ("no newline", {}, []),                 # unterminated last line
+        ("café", {}, []),                  # multibyte UTF-8
+        (r"^日本語", {}, []),
+        (r"line$", {"invert": True}, ["-v"]),   # inverted anchor
+    ]
+    for pat, kw, gnu_flags in cases:
+        ours = sorted(
+            r["line"]
+            for r in grep_command(spark, str(tricky_dir), pat, **kw)
+            .collect()
+        )
+        gnu = sorted(
+            _gnu_grep(["-h", *gnu_flags, pat], files).splitlines()
+        )
+        assert ours == gnu, pat
+
+
 def test_only_matching_with_invert_is_empty(spark, log_dir):
     """GNU grep -v -o prints nothing: inverted-match lines contain no
     matching parts by definition."""
