@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import TOKEN_CLASS, materialize, tokens
+from maplejuice_spark.functions import TOKEN_CLASS, TOKEN_DELIM, materialize, tokens
 from maplejuice_spark.registry import register
 
 _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
@@ -132,13 +132,6 @@ _SIG_COLS = ", ".join(
 )
 
 
-def _sig_aggs():
-    h = F.md5(F.col("shingle").cast("binary"))
-    return [
-        F.min(F.substring(h, 4 * j + 1, 4)).alias(f"sig{j}") for j in range(N_MINHASH)
-    ]
-
-
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) rows, CPU-parallel.
 
@@ -160,6 +153,65 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, n): per-document DISTINCT trigram-shingle array and
+    its size, computed ROW-LOCALLY — tokenize -> shingle -> array_distinct
+    inside one projection, no explode, no shuffle.
+
+    This is the scale-defining choice for the sketch family: a document's
+    shingle set, MinHash signature, and set size are all functions of that
+    one row, so computing them via explode + groupBy (as the DuckDB oracle
+    states, lacking array aggregates over lambdas) would shuffle the
+    entire tokenized corpus — ~2-3x the input bytes at 100 TB — just to
+    bring each document's shingles back together. Row-local evaluation
+    keeps the whole sketch phase inside WholeStageCodegen with ZERO
+    exchanges; the only shuffles left in the LSH pipeline are the tiny
+    band-bucket self-join and the candidate-pair verification joins.
+
+    Documents with < 3 tokens have no trigrams and are dropped (the
+    oracle's unnest over an empty list drops them identically). That
+    predicate is stated on the RAW text column as "three token runs
+    exist" — a predicate on the computed array (filter(size(sh) > 0))
+    would be alias-substituted by predicate pushdown into a pre-shuffle
+    Filter whose inlined element_at(tokens-expression, i) re-runs the
+    regex split PER ELEMENT ACCESS: O(tokens^2) regex work per document
+    on the unpartitioned scan (measured 10x the whole pipeline). A cheap
+    rlike on text pushes down harmlessly instead.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # >= 3 maximal [A-Za-z0-9-]+ runs <=> >= 1 word-trigram shingle;
+        # class-based (not dot) so embedded newlines don't break it.
+        .filter(F.col("text").rlike(f"{TOKEN_CLASS}{TOKEN_DELIM}" * 2 + TOKEN_CLASS))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    return toks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
+    ).select("doc_id", "sh", F.size("sh").cast("long").alias("n"))
+
+
+def _sigs_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, sig0..sig7) derived row-locally from the shingle array:
+    one md5 per shingle (materialized once in its own projection — the
+    8 consumers stop CollapseProject from inlining it 8x), then each
+    signature is the array_min over one 4-hex slice. Min over the
+    distinct set equals min over raw shingles, so the oracle's
+    over-raw-rows aggregation states the same values.
+    """
+    dig = sets.select(
+        "doc_id",
+        F.transform("sh", lambda s: F.md5(s.cast("binary"))).alias("dig"),
+    )
+
+    def sig(j: int):
+        return F.array_min(
+            F.transform("dig", lambda d: F.substring(d, 4 * j + 1, 4))
+        ).alias(f"sig{j}")
+
+    return dig.select("doc_id", *[sig(j) for j in range(N_MINHASH)])
+
+
 @register(
     "minhash_signatures",
     oracle=f"""
@@ -172,10 +224,11 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (8 16-bit slice-min hashes over
-    word-trigram shingles, one md5 per shingle). One explode + one
-    hash-agg; signature is O(1) per doc regardless of document size."""
-    sh = _shingle_rows(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(*_sig_aggs())
+    word-trigram shingles, one md5 per shingle), computed row-locally
+    from the per-doc shingle array — no explode, no shuffle (see
+    _shingle_sets). The oracle states the same mins via explode +
+    GROUP BY, the only form DuckDB SQL can express."""
+    return _sigs_from_sets(_shingle_sets(spark, sf_dir))
 
 
 N_BANDS = N_MINHASH // 2  # 4 bands x 2 rows: P(candidate) = jaccard^2
@@ -220,18 +273,19 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     bucket-equi-join candidates -> exact Jaccard verification.
 
-    Scale: the join key is (band, hash); only documents colliding in a
-    band are ever paired. Verification joins per-doc *distinct shingle*
-    sets only for candidate pairs.
-
-    The signatures are computed FROM the distinct (doc_id, shingle)
-    relation: a min over duplicated shingles equals the min over the
-    distinct set, so pre-distincting shrinks the signature aggregation's
-    input and the whole pipeline shares ONE materialized subtree (the
-    oracle states sigs over raw shingles — same mins by construction).
+    Scale: the per-doc shingle sets, sizes, and signatures are all
+    computed row-locally (_shingle_sets) — the corpus is NEVER exploded
+    or shuffled at shingle granularity. The only shuffles are over
+    doc-level rows: the (band, hash) bucket self-join pairs only
+    documents colliding in a band, and verification joins the tiny
+    candidate-pair set back to the per-doc shingle arrays, computing the
+    exact intersection as a row-local array_intersect instead of a
+    shingle-level equi-join. The materialized subtree (shared by the
+    signature branch and both verification probes) holds one array row
+    per document — the same bytes a signature store would hold.
     """
-    dsh = materialize(_shingle_rows(spark, sf_dir).distinct())  # shared 3x
-    sigs = dsh.groupBy("doc_id").agg(*_sig_aggs())
+    sets = materialize(_shingle_sets(spark, sf_dir))  # shared 3x
+    sigs = _sigs_from_sets(sets)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -260,31 +314,29 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = dsh.alias("x")
-    y = dsh.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("d1"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("d2"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    s1 = sets.select(
+        F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), F.col("n").alias("n1")
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    s2 = sets.select(
+        F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), F.col("n").alias("n2")
+    )
     return (
-        inter.join(s1, F.col("s1.doc_id") == F.col("d1"))
-        .join(s2, F.col("s2.doc_id") == F.col("d2"))
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("sh1", "sh2")).cast("long").alias("n_common"),
+            "n1",
+            "n2",
+        )
         .select(
             "d1",
             "d2",
             "n_common",
             (
                 F.col("n_common").cast("double")
-                / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+                / (F.col("n1") + F.col("n2") - F.col("n_common"))
             ).alias("jaccard"),
         )
     )
@@ -424,30 +476,46 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit i of a token's hash = high bit of hex digit i of md5(token)
     (hex digit >= '8'), identical in both engines; per-doc bit i is the
-    sign of the +-1 vote sum. Explode + single hash-agg — linear, no
-    pairwise work.
+    sign of the +-1 vote sum over ALL token occurrences (multiplicity
+    counts).
+
+    Computed ROW-LOCALLY: the token digests are materialized once per
+    document (their 32 consumers stop CollapseProject from inlining the
+    md5 transform), then bit i's vote sum 2*c_i - n comes from a
+    filter-count over that array. No explode, no shuffle — the oracle's
+    explode + GROUP BY form would shuffle the whole tokenized corpus at
+    100 TB just to reunite each document's own tokens; here the entire
+    sketch runs inside one WholeStageCodegen stage with zero exchanges.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # >= 1 token exists, stated on raw text: a size(toks) predicate
+        # would be pushed below the repartition with the tokenizer
+        # inlined (see _shingle_sets for the measured cost of that).
+        .filter(F.col("text").rlike(TOKEN_CLASS))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    h = toks.withColumn("h", F.md5(F.col("tok").cast("binary")))
-    bitsums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(_SIMHASH_BITS)
-        ]
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    dig = toks.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.transform("toks", lambda t: F.md5(t.cast("binary"))).alias("dig"),
     )
+
+    def vote(i: int):
+        # count of tokens voting +1 on bit i
+        return F.size(
+            F.filter("dig", lambda d: F.substring(d, i + 1, 1) >= F.lit("8"))
+        )
+
     simhash = sum(
         [
-            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            F.when(2 * vote(i) - F.col("n") > 0, F.lit(1 << i)).otherwise(F.lit(0))
             for i in range(_SIMHASH_BITS)
         ],
         start=F.lit(0),
     )
-    return bitsums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    return dig.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 @register(
