@@ -290,39 +290,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed by the first-matching-band projection filter, not a
     distinct() of vector-carrying rows.
 
-    Scale: candidate generation is a band equi-join (shuffle on 4-bit
-    band values + band id), never a cross join; exact scoring touches
-    only candidates.
+    Scale: the banded QUERY side (|Q| x 4 band rows) is broadcast — the
+    vector-carrying corpus side is never shuffled at all, and the join
+    avoids hashing on the 64-distinct-value (band, bv) key space, which
+    a shuffle join would funnel into at most 64 skewed partitions. Only
+    (query_id, cos) candidate pairs reach the per-query top-k window.
+    The broadcast-small precondition is enforced with the same bounded
+    probe as ann_cosine_topk.
     """
     vecs = _normed_vecs(spark, sf_dir)
     bucketed = vecs.select("vec_id", "vn", _bucket_col("v").alias("bucket"))
-    bands = bucketed.select(
-        "vec_id",
-        "vn",
-        "bucket",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("bucket"), 4 * b)
-                        .bitwiseAND(F.lit(15))
-                        .cast("bigint")
-                        .alias("bv"),
-                    )
-                    for b in range(_N_COARSE)
-                ]
-            )
-        ).alias("x"),
-    ).select("vec_id", "vn", "bucket", "x.band", "x.bv")
-    q = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+
+    def _explode_bands(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            "vn",
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("bucket"), 4 * b)
+                            .bitwiseAND(F.lit(15))
+                            .cast("bigint")
+                            .alias("bv"),
+                        )
+                        for b in range(_N_COARSE)
+                    ]
+                )
+            ).alias("x"),
+        ).select("vec_id", "vn", "bucket", "x.band", "x.bv")
+
+    qvecs = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0)
+    if qvecs.limit(MAX_BRUTE_FORCE_QUERIES + 1).count() > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"ann_lsh_topk broadcasts the banded query set: more than "
+            f"MAX_BRUTE_FORCE_QUERIES={MAX_BRUTE_FORCE_QUERIES} queries; "
+            f"shrink the query set or shard it"
+        )
+    q = _explode_bands(qvecs).select(
         F.col("vec_id").alias("query_id"),
         F.col("vn").alias("qv"),
         F.col("bucket").alias("qbucket"),
         "band",
         "bv",
     )
-    c = bands.select(
+    c = _explode_bands(bucketed).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vn").alias("cv"),
         F.col("bucket").alias("cbucket"),
@@ -340,7 +354,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(_band_eq(j), F.lit(j)) for j in range(_N_COARSE)]
     )
     cand = (
-        q.join(c, ["band", "bv"])
+        c.join(F.broadcast(q), ["band", "bv"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .filter(F.col("band") == first_match)
         .select("query_id", "neighbor_id", "qv", "cv")
