@@ -518,7 +518,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.1% of pairs and one that touches 25%.
 
     Scale: candidates come from a band equi-join, never an all-pairs
-    cross join; the exact cosine runs only on colliding pairs.
+    cross join; the exact cosine runs only on colliding pairs. The band
+    join carries ONLY (vec_id, bucket) — 2 bands x 256 values is a
+    512-key join, and a shuffle on it funnels every row into at most
+    512 partitions, so vector payloads must not ride through it (that
+    exchange would cap parallelism at 512 tasks on a 1000-executor
+    cluster). Vectors are attached to the surviving id-pairs by two
+    high-cardinality vec_id joins, and each vector crosses the wire
+    once per side instead of once per (band, side).
     """
     bucket = _bucket_col("v")
     # Normalized ONCE (see _normed_vecs); per-pair scoring is then a
@@ -528,7 +535,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = normed.select(
         "vec_id",
-        "vn",
         "bucket",
         F.explode(
             F.array(
@@ -544,17 +550,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", "vn", "bucket", "x.band", "x.bv")
+    ).select("vec_id", "bucket", "x.band", "x.bv")
     a = bands.select(
         F.col("vec_id").alias("v1"),
-        F.col("vn").alias("av"),
         F.col("bucket").alias("abucket"),
         "band",
         "bv",
     )
     b = bands.select(
         F.col("vec_id").alias("v2"),
-        F.col("vn").alias("bvec"),
         F.col("bucket").alias("bbucket"),
         "band",
         "bv",
@@ -571,10 +575,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 != F.col("bbucket").bitwiseAND(F.lit(255))
             )
         )
-        .select("v1", "v2", "av", "bvec")
+        .select("v1", "v2")
     )
+    av = normed.select(F.col("vec_id").alias("v1"), F.col("vn").alias("av"))
+    bv = normed.select(F.col("vec_id").alias("v2"), F.col("vn").alias("bvec"))
     return (
-        cand.select("v1", "v2", dot("av", "bvec").alias("cos_sim"))
+        cand.join(av, "v1")
+        .join(bv, "v2")
+        .select("v1", "v2", dot("av", "bvec").alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_DUP_THRESHOLD)
     )
 
