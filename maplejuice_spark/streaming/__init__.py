@@ -20,6 +20,7 @@ UTC-pinned session zone (see catalog._ensure_read_confs).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -172,19 +173,45 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     ).dropDuplicatesWithinWatermark(["event_id"])
 
 
+@contextmanager
+def _sized_state_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to the cluster's core count
+    for the duration of one streaming run, then restore it.
+
+    The shuffle-partition count at ``start()`` is also the number of
+    STATE STORES per stateful operator, and it is pinned into the
+    checkpoint for the query's lifetime — so a production streaming job
+    always sizes it explicitly rather than inheriting a batch default.
+    On a plain session the default is 200: a stream-stream join then
+    instantiates 2 x 200 state stores (each with per-batch checkpoint
+    files) regardless of data volume — measured 29 s -> 6 s at sf0.01
+    for stream_stream_join by sizing to the actual core count.
+    defaultParallelism tracks cluster size, so on 1000 executors this
+    *raises* the state partition count instead of lowering it.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming DataFrame to completion synchronously (memory
     sink + availableNow) — the local test harness for streaming ops.
     ``mode``: "complete" for aggregations, "append" for dedup/stateless.
     """
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _sized_state_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 _STREAM_RUN_SEQ = [0]
@@ -554,15 +581,16 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = stream_events(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", os.path.join(run_dir, "ckpt")
+    with _sized_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(run_dir, "ckpt")
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
     log = spark.read.parquet(state_dir).drop("batch_id")
     w = Window.partitionBy("user_id").orderBy(
