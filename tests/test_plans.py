@@ -104,6 +104,32 @@ def test_embedding_dedup_no_cartesian(spark, sf_dir):
     assert not plans.has_cartesian(df)
 
 
+def test_embedding_dedup_band_exchange_carries_no_vectors(spark, sf_dir):
+    """The band candidate join hashes on a 512-key space: any exchange
+    feeding it must move only (vec_id, bucket) ids. A vector column
+    riding through that exchange would funnel the corpus into <=512
+    partitions — vectors may only cross exchanges keyed by the
+    high-cardinality vec_id (the av/bvec attachment joins)."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    exchange_blocks = [
+        seg
+        for seg in plan.split("\n(")
+        if "Exchange" in seg.split("\n")[0]
+    ]
+    assert exchange_blocks, plan[:2000]
+    band_blocks = [seg for seg in exchange_blocks if "band#" in seg]
+    assert band_blocks, plan[:2000]  # the band join must exchange ids
+    for seg in band_blocks:
+        input_line = next(
+            line for line in seg.splitlines() if line.startswith("Input")
+        )
+        for vec_col in ("vn#", "av#", "bvec#"):
+            assert vec_col not in input_line, seg[:500]
+
+
 def test_null_safe_join_is_hash_join(spark, sf_dir):
     """IS NOT DISTINCT FROM must still be a hash-join key (EqualNullSafe),
     never a nested-loop over the null-safe predicate."""
