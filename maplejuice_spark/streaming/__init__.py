@@ -174,28 +174,56 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 @contextmanager
+def _pinned_conf(spark: SparkSession, key: str, value: str):
+    """Set one session conf for the duration of a block, then restore
+    the caller's value (including restoring-to-unset)."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# Spark's stock spark.sql.shuffle.partitions — a session still carrying
+# it is treated as "never explicitly sized" (an explicit 200 is
+# indistinguishable and gets resized too; set any other value to opt
+# out).
+_STOCK_SHUFFLE_PARTITIONS = "200"
+
+
+@contextmanager
 def _sized_state_partitions(spark: SparkSession):
     """Pin ``spark.sql.shuffle.partitions`` to the cluster's core count
-    for the duration of one streaming run, then restore it.
+    for one streaming run IF the caller never sized it, then restore.
 
     The shuffle-partition count at ``start()`` is also the number of
     STATE STORES per stateful operator, and it is pinned into the
     checkpoint for the query's lifetime — so a production streaming job
-    always sizes it explicitly rather than inheriting a batch default.
-    On a plain session the default is 200: a stream-stream join then
-    instantiates 2 x 200 state stores (each with per-batch checkpoint
-    files) regardless of data volume — measured 29 s -> 6 s at sf0.01
-    for stream_stream_join by sizing to the actual core count.
-    defaultParallelism tracks cluster size, so on 1000 executors this
-    *raises* the state partition count instead of lowering it.
+    sizes it explicitly. An explicitly-sized session (anything but the
+    stock 200) is therefore honored untouched; the resize only rescues
+    sessions still on the batch default, where a stream-stream join
+    would instantiate 2 x 200 state stores (each with per-batch
+    checkpoint files) regardless of data volume — measured 29 s -> 6 s
+    at sf0.01 for stream_stream_join by sizing to the core count.
+
+    Cold-start caveat: defaultParallelism samples the executors
+    REGISTERED at start(), so under dynamic allocation it can read low
+    and get baked into a durable checkpoint. Fine here (local mode;
+    fresh per-run checkpoints), but a long-lived deployment should set
+    shuffle partitions explicitly — which this helper then respects.
     """
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
-    try:
+    if spark.conf.get(key) != _STOCK_SHUFFLE_PARTITIONS:
+        yield  # explicitly sized by the caller — honor it
+        return
+    with _pinned_conf(
+        spark, key, str(spark.sparkContext.defaultParallelism)
+    ):
         yield
-    finally:
-        spark.conf.set(key, prev)
 
 
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
@@ -712,14 +740,15 @@ def stream_user_minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and persisted in the RocksDB state store (changelog-checkpointed
     at cluster scale).
     """
-    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
-    spark.conf.set(
-        _PROVIDER_KEY,
+    # TWS needs RocksDB, but the session is shared — restore the
+    # caller's provider so later stateful queries run on the store
+    # they were validated with.
+    with _pinned_conf(
+        spark,
+        "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
-    )
-    try:
+    ):
         ev = stream_events(spark, sf_dir).select("user_id", "value")
         out = ev.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_make_minmax_processor(),
@@ -731,11 +760,3 @@ def stream_user_minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"mj_stream_user_minmax_{_STREAM_RUN_SEQ[0]}"
         run_stream_to_memory(out, name, mode="update")
         return spark.table(name)
-    finally:
-        # TWS needs RocksDB, but the session is shared — restore the
-        # caller's provider so later stateful queries run on the store
-        # they were validated with.
-        if prev_provider is None:
-            spark.conf.unset(_PROVIDER_KEY)
-        else:
-            spark.conf.set(_PROVIDER_KEY, prev_provider)

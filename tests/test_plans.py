@@ -123,11 +123,17 @@ def test_embedding_dedup_band_exchange_carries_no_vectors(spark, sf_dir):
     band_blocks = [seg for seg in exchange_blocks if "band#" in seg]
     assert band_blocks, plan[:2000]  # the band join must exchange ids
     for seg in band_blocks:
-        input_line = next(
-            line for line in seg.splitlines() if line.startswith("Input")
-        )
-        for vec_col in ("vn#", "av#", "bvec#"):
-            assert vec_col not in input_line, seg[:500]
+        # An Exchange block lists its columns on an Input line (Output
+        # on ReusedExchange) — check whichever is present.
+        col_lines = [
+            line
+            for line in seg.splitlines()
+            if line.startswith(("Input", "Output"))
+        ]
+        assert col_lines, seg[:500]
+        for line in col_lines:
+            for vec_col in ("vn#", "av#", "bvec#"):
+                assert vec_col not in line, seg[:500]
 
 
 def test_null_safe_join_is_hash_join(spark, sf_dir):
