@@ -330,6 +330,12 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
         )
+        # A band collision between docs sharing ZERO shingles is a
+        # hash false positive — exactly what exact verification exists
+        # to remove (the oracle's shingle-level inner join drops such
+        # pairs implicitly; the row-local array_intersect must drop
+        # them explicitly). Bit at sf0.1: 8 zero-overlap collisions.
+        .filter(F.col("n_common") > 0)
         .select(
             "d1",
             "d2",
