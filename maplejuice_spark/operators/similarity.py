@@ -42,6 +42,22 @@ PLANES: list[list[float]] = [
 ]
 
 
+def _require_broadcast_small(q: DataFrame, what: str, hint: str) -> None:
+    """Enforce the broadcast-small query-set precondition shared by
+    every ANN path that broadcasts a |Q|-derived relation (query
+    vectors, banded queries, PQ lookup tables).
+
+    Bounded probe, not a full count: limit(cap+1) lets the scan stop as
+    soon as the cap is provably exceeded, so the guard costs O(cap)
+    rows regardless of corpus size.
+    """
+    if q.limit(MAX_BRUTE_FORCE_QUERIES + 1).count() > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"{what}: more than MAX_BRUTE_FORCE_QUERIES="
+            f"{MAX_BRUTE_FORCE_QUERIES} queries; {hint}"
+        )
+
+
 def _sql_fold_dot(a: str, b: str) -> str:
     """DuckDB sequential-fold dot product matching functions.dot()."""
     return (
@@ -160,16 +176,12 @@ def ann_cosine_topk(
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
     )
-    # bounded probe, not a full count: limit(cap+1) lets the scan stop
-    # as soon as the cap is provably exceeded, so the guard costs O(cap)
-    # rows regardless of corpus size
-    if q.limit(MAX_BRUTE_FORCE_QUERIES + 1).count() > MAX_BRUTE_FORCE_QUERIES:
-        raise ValueError(
-            f"ann_cosine_topk is the broadcast-small-query baseline: "
-            f"more than MAX_BRUTE_FORCE_QUERIES="
-            f"{MAX_BRUTE_FORCE_QUERIES} queries; use ann_lsh_topk / "
-            f"ann_ivf_topk / ann_ivfpq_topk for large query sets"
-        )
+    _require_broadcast_small(
+        q,
+        "ann_cosine_topk is the broadcast-small-query baseline",
+        "use ann_lsh_topk / ann_ivf_topk / ann_ivfpq_topk for large "
+        "query sets",
+    )
     c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -323,12 +335,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("vec_id", "vn", "bucket", "x.band", "x.bv")
 
     qvecs = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0)
-    if qvecs.limit(MAX_BRUTE_FORCE_QUERIES + 1).count() > MAX_BRUTE_FORCE_QUERIES:
-        raise ValueError(
-            f"ann_lsh_topk broadcasts the banded query set: more than "
-            f"MAX_BRUTE_FORCE_QUERIES={MAX_BRUTE_FORCE_QUERIES} queries; "
-            f"shrink the query set or shard it"
-        )
+    _require_broadcast_small(
+        qvecs,
+        "ann_lsh_topk broadcasts the banded query set",
+        "shrink the query set or shard it",
+    )
     q = _explode_bands(qvecs).select(
         F.col("vec_id").alias("query_id"),
         F.col("vn").alias("qv"),
@@ -896,6 +907,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     codes = assign.filter(F.col("rnk") == 1).select("vec_id", "s", "code")
+    _require_broadcast_small(
+        normed.filter(F.col("vec_id") % QUERY_MOD == 0),
+        "ann_pq_topk broadcasts the per-query ADC lookup table "
+        "(|Q| x PQ_M x PQ_K rows) and its dense scoring is "
+        "O(corpus x |Q|)",
+        "shard the query set, or use ann_ivfpq_topk which prunes "
+        "candidate lists before ADC scoring",
+    )
     qlut = (
         subs.filter(F.col("vec_id") % QUERY_MOD == 0)
         .join(F.broadcast(cb), "s")
@@ -1027,6 +1046,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ivf.filter(
         (F.col("rnk") <= N_PROBE) & (F.col("vec_id") % QUERY_MOD == 0)
     ).select(F.col("vec_id").alias("query_id"), "cid")
+    _require_broadcast_small(
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
+        "ann_ivfpq_topk broadcasts the probe set and the per-query ADC "
+        "lookup table",
+        "shard the query set",
+    )
     subs = vecs.select(
         "vec_id",
         F.explode(

@@ -49,3 +49,20 @@ def test_write_per_key_refuses_key_explosion(spark, tmp_path):
     write_per_key(df.filter(F.col("key").isin("1", "2")),
                   str(tmp_path / "ok"), max_keys=10)
     assert (tmp_path / "ok" / "key=1").is_dir()
+
+
+@pytest.mark.parametrize(
+    "query_name",
+    ["ann_lsh_topk", "ann_pq_topk", "ann_ivfpq_topk"],
+)
+def test_ann_broadcast_paths_refuse_large_query_set(
+    spark, sf_dir, monkeypatch, query_name
+):
+    """Every ANN path that broadcasts a |Q|-derived relation (banded
+    queries, ADC lookup tables) enforces the broadcast-small
+    precondition instead of assuming it."""
+    from maplejuice_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_BRUTE_FORCE_QUERIES", 0)
+    with pytest.raises(ValueError, match="MAX_BRUTE_FORCE_QUERIES"):
+        getattr(similarity, query_name)(spark, sf_dir)

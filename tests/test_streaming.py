@@ -133,3 +133,44 @@ def test_checkpoint_exactly_once_resume(spark, sf_dir, tmp_path):
     shutil.copy(table_path(sf_dir, "nation"), src / "n1.parquet")
     run_once()
     assert spark.read.parquet(out).count() == n1 + 25  # nation rows
+
+
+def test_sized_state_partitions_resizes_stock_default(spark):
+    """A session still on Spark's stock 200 gets its streaming state
+    partitions resized to the core count — and restored afterwards."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "200")  # simulate the plain driver-gate session
+    try:
+        with st._sized_state_partitions(spark):
+            assert spark.conf.get(key) == str(
+                spark.sparkContext.defaultParallelism
+            )
+        assert spark.conf.get(key) == "200"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_sized_state_partitions_honors_explicit_sizing(spark):
+    """An explicitly-sized session (anything but stock 200) is honored:
+    the state-store count is checkpoint-pinned, so a deliberate sizing
+    must never be silently overridden."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        with st._sized_state_partitions(spark):
+            assert spark.conf.get(key) == "64"
+        assert spark.conf.get(key) == "64"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_pinned_conf_restores_unset_key(spark):
+    """_pinned_conf must restore-to-unset, not pin the temporary value
+    as the new session value (the provider-class pin relies on this)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    assert spark.conf.get(key, None) is None  # precondition: unset
+    with st._pinned_conf(spark, key, "com.example.FakeProvider"):
+        assert spark.conf.get(key) == "com.example.FakeProvider"
+    assert spark.conf.get(key, None) is None
