@@ -110,7 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
-                "runs_per_query": 3,
+                "runs_per_query": len(runs),
                 "sf": sf,
             }
         )

@@ -96,12 +96,22 @@ def cmd_maple(args: argparse.Namespace) -> None:
     spark = _spark()
     fn = _resolve(args.exe)
     lines = read_lines(spark, _path(args.sdfs_src))
-    kv = maple(lines, fn, num_tasks=args.num_maples or None)
-    grouped = group_keys(kv)
-    _write_grouped(grouped, args.prefix)
-    if args.opt % 2 == 1:  # option 1/3: per-key export (MapleJuice.cpp:285-298)
-        write_per_key(kv, _path(f"tmp_{args.prefix}"))
-    n = spark.read.text(_path(args.prefix)).count()
+    # persist: the Python maple stage feeds the grouped sink AND (opt
+    # 1/3) the per-key export's cardinality probe + write — without it
+    # the mapInPandas lineage re-executes once per consumer
+    kv = maple(lines, fn, num_tasks=args.num_maples or None).persist()
+    try:
+        grouped = group_keys(kv)
+        _write_grouped(grouped, args.prefix)
+        if args.opt % 2 == 1:  # option 1/3: per-key export
+            # (MapleJuice.cpp:285-298); --max-keys raises the enforced
+            # file-explosion cap for jobs that deliberately want more
+            write_per_key(
+                kv, _path(f"tmp_{args.prefix}"), max_keys=args.max_keys
+            )
+        n = spark.read.text(_path(args.prefix)).count()
+    finally:
+        kv.unpersist()
     print(f"maple done: {n} keys -> {args.prefix}")
 
 
@@ -240,6 +250,14 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("exe"), m.add_argument("num_maples", type=int)
     m.add_argument("prefix"), m.add_argument("sdfs_src")
     m.add_argument("opt", type=int, nargs="?", default=0)
+    m.add_argument(
+        "--max-keys",
+        dest="max_keys",
+        type=int,
+        default=10_000,
+        help="per-key export (opt 1/3) refuses above this many distinct "
+        "keys; raise deliberately for high-cardinality exports",
+    )
     m.set_defaults(fn=cmd_maple)
 
     j = sub.add_parser("juice", help="run a reduce job")

@@ -132,13 +132,11 @@ def materialize(df):
     import os
 
     if os.environ.get("MJ_PLAN_LINT"):
-        from maplejuice_spark.plans import physical_plan
+        from maplejuice_spark.plans import lint_plan, physical_plan
 
-        plan = physical_plan(df)
-        for banned in ("CartesianProduct", "BatchEvalPython"):
-            if banned in plan:
-                raise AssertionError(
-                    f"plan lint: {banned} upstream of materialize() — "
-                    "broadcast / restructure before checkpointing"
-                )
+        lint_plan(
+            physical_plan(df),
+            os.environ.get("MJ_PLAN_LINT_QUERY") or None,
+            "upstream of materialize()",
+        )
     return df.localCheckpoint(eager=True)

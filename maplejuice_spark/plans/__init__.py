@@ -67,6 +67,40 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in plan
 
 
+# --- shared plan-lint policy -------------------------------------------
+# One policy, two enforcement points: the registry-wide sweep
+# (tests/test_plan_lint.py) lints every query's FINAL plan, and
+# functions.materialize() lints the pre-checkpoint plan under
+# MJ_PLAN_LINT=1 (localCheckpoint truncates lineage, so the final plan
+# can't see upstream of it). Both consult THIS allowlist; the sweep
+# passes the query name directly, materialize reads it from
+# MJ_PLAN_LINT_QUERY (set per-query by the sweep).
+
+BANNED_NODES = ("CartesianProduct",)
+PYTHON_EVAL_NODE = "BatchEvalPython"
+# queries allowed to plan a row-at-a-time Python eval node, with why
+ALLOWED_PYTHON_EVAL = {
+    # the UDTF-surface query exists to exercise Spark's Python UDTF
+    # planner node; it is tagged and documented as the slow-path demo
+    "udtf_token_positions",
+}
+
+
+def lint_plan(plan: str, query_name: str | None, where: str) -> None:
+    """Raise if ``plan`` contains a scale-killer node. ``query_name``
+    (when known) exempts allowlisted Python-eval queries."""
+    banned = list(BANNED_NODES)
+    if query_name not in ALLOWED_PYTHON_EVAL:
+        banned.append(PYTHON_EVAL_NODE)
+    for node in banned:
+        if node in plan:
+            raise AssertionError(
+                f"plan lint ({where}): {node} in physical plan — "
+                "broadcast the small side / use an Arrow-batched "
+                "Python surface, or restructure"
+            )
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of Exchange operators in the physical plan (pre-AQE)."""
     return physical_plan(df).count("Exchange")

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import pytest
 
-from maplejuice_spark.plans import physical_plan
+from maplejuice_spark.plans import lint_plan, physical_plan
 from maplejuice_spark.registry import all_queries
 
 
@@ -46,13 +46,6 @@ SF_DIR = "/root/testdata/sf0.001"
 # and the per-query pins cover instead)
 SKIP_TAGS = {"streaming"}
 
-# name -> rule it may violate, with the reason the exception is sound
-ALLOWED_PYTHON_EVAL = {
-    # the UDTF-surface query exists to exercise Spark's Python UDTF
-    # planner node; it is tagged and documented as the slow-path demo
-    "udtf_token_positions",
-}
-
 
 def _lintable():
     for name, spec in sorted(all_queries().items()):
@@ -64,14 +57,8 @@ def _lintable():
 @pytest.mark.parametrize(
     "name,spec", list(_lintable()), ids=[n for n, _ in _lintable()]
 )
-def test_no_cartesian_no_row_python_udf(spark, name, spec):
-    plan = physical_plan(spec.fn(spark, SF_DIR))
-    assert "CartesianProduct" not in plan, (
-        f"{name}: CartesianProduct in physical plan — broadcast the "
-        "small side or restructure to an equi-join"
-    )
-    if name not in ALLOWED_PYTHON_EVAL:
-        assert "BatchEvalPython" not in plan, (
-            f"{name}: row-at-a-time Python eval in physical plan — use "
-            "pandas_udf / mapInPandas / mapInArrow instead"
-        )
+def test_no_cartesian_no_row_python_udf(spark, name, spec, monkeypatch):
+    # the query name rides along so materialize()'s pre-checkpoint lint
+    # applies the SAME allowlist as the final-plan check below
+    monkeypatch.setenv("MJ_PLAN_LINT_QUERY", name)
+    lint_plan(physical_plan(spec.fn(spark, SF_DIR)), name, f"{name} final plan")
