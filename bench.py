@@ -49,6 +49,12 @@ HEADLINE = [
     "scd2_user_value_history",
     "countmin_heavy_hitters",
     "interpolate_daily_values",
+    # round-5: the heavy iterative/self-join families, previously
+    # probed only by scripts/scale_probe.py, now in the per-round record
+    "dedup_clusters",
+    "triangle_count",
+    "ngram_jaccard_topk",
+    "levenshtein_similar_names",
 ]
 
 
