@@ -1,0 +1,122 @@
+"""Model-based differential test for the MinHash-LSH pipeline.
+
+A pure-Python reference model (hashlib.md5 — the same digest Spark's
+``md5`` computes) re-derives shingles, signatures, band buckets,
+candidates, and verified Jaccard for a synthetic corpus, and the
+registered ``minhash_candidates`` query must match it EXACTLY.
+
+Why this exists: the round-5 row-local sketch rework silently changed
+the verification semantics for zero-overlap band collisions — a
+divergence invisible at the sf0.01 gate (no 32-bit band collision
+exists there) and caught only by the sf0.1 sweep. This test pins the
+full pipeline semantics against an engine-independent model on a corpus
+small enough for pytest, so the next sketch refactor that bends
+semantics fails HERE, not at 10x scale. The corpus uses a tiny
+vocabulary so documents genuinely share shingles and band buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import pytest
+
+N_MINHASH = 8
+N_BANDS = 4
+
+_VOCAB = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+]
+
+
+def _corpus() -> list[tuple[int, str]]:
+    """~60 docs over an 8-word vocabulary: near-duplicate families (same
+    base sequence, small edits) plus short docs (< 3 tokens -> no
+    shingles, must be dropped) and punctuation-noise docs."""
+    rng = random.Random(77)
+    docs: list[tuple[int, str]] = []
+    doc_id = 0
+    for _fam in range(12):
+        base = [rng.choice(_VOCAB) for _ in range(rng.randint(6, 12))]
+        for _variant in range(rng.randint(2, 4)):
+            words = list(base)
+            if rng.random() < 0.7 and len(words) > 4:
+                words[rng.randrange(len(words))] = rng.choice(_VOCAB)
+            docs.append((doc_id, " ".join(words)))
+            doc_id += 1
+    docs.append((doc_id, "alpha beta")), docs.append((doc_id + 1, "zeta"))
+    docs.append((doc_id + 2, "!!! ... ???"))  # zero tokens
+    docs.append((doc_id + 3, "alpha, beta; gamma! delta."))  # punct delims
+    return docs
+
+
+def _model_candidates(docs: list[tuple[int, str]]):
+    """The pure-Python twin of minhash_candidates' semantics."""
+    sets: dict[int, set[str]] = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"[^A-Za-z0-9-]+", text) if t]
+        if len(toks) < 3:
+            continue  # no trigram shingles -> dropped
+        sets[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    sigs = {
+        d: [
+            min(
+                hashlib.md5(s.encode()).hexdigest()[4 * j : 4 * j + 4]
+                for s in sh
+            )
+            for j in range(N_MINHASH)
+        ]
+        for d, sh in sets.items()
+    }
+    buckets: dict[tuple[int, str], set[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(N_BANDS):
+            buckets.setdefault((b, sig[2 * b] + sig[2 * b + 1]), set()).add(d)
+    cand = {
+        (d1, d2)
+        for members in buckets.values()
+        for d1 in members
+        for d2 in members
+        if d1 < d2
+    }
+    out = {}
+    for d1, d2 in cand:
+        inter = len(sets[d1] & sets[d2])
+        if inter == 0:  # band-hash false positive: verification drops it
+            continue
+        out[(d1, d2)] = (
+            inter,
+            inter / (len(sets[d1]) + len(sets[d2]) - inter),
+        )
+    return out
+
+
+def test_minhash_candidates_match_python_model(spark, tmp_path):
+    import pandas as pd
+
+    from maplejuice_spark.operators.dedup import minhash_candidates
+
+    docs = _corpus()
+    pd.DataFrame(docs, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        (r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+        for r in minhash_candidates(spark, str(tmp_path)).collect()
+    }
+    want = _model_candidates(docs)
+
+    assert set(got) == set(want), (
+        f"pair sets differ: spark-only={sorted(set(got) - set(want))[:5]} "
+        f"model-only={sorted(set(want) - set(got))[:5]}"
+    )
+    for pair, (n_common, jaccard) in want.items():
+        assert got[pair][0] == n_common, (pair, got[pair], n_common)
+        assert got[pair][1] == pytest.approx(jaccard, abs=0, rel=0), pair
+    # the corpus must actually exercise the interesting paths
+    assert len(want) >= 10, "corpus produced too few candidate pairs"
