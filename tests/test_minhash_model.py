@@ -120,3 +120,55 @@ def test_minhash_candidates_match_python_model(spark, tmp_path):
         assert got[pair][1] == pytest.approx(jaccard, abs=0, rel=0), pair
     # the corpus must actually exercise the interesting paths
     assert len(want) >= 10, "corpus produced too few candidate pairs"
+
+
+def _model_simhash_pairs(docs: list[tuple[int, str]]):
+    """Pure-Python twin of simhash_docs + simhash_pairs: 32-bit
+    fingerprint from +-1 votes over ALL token occurrences (multiplicity
+    counts; bit i from hex digit i of md5(token), set iff vote sum > 0),
+    pairs sharing >= 1 of four 8-bit bands with hamming <= 3."""
+    fp: dict[int, int] = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"[^A-Za-z0-9-]+", text) if t]
+        if not toks:
+            continue
+        votes = [0] * 32
+        for t in toks:
+            dig = hashlib.md5(t.encode()).hexdigest()
+            for i in range(32):
+                votes[i] += 1 if dig[i] >= "8" else -1
+        fp[doc_id] = sum(1 << i for i in range(32) if votes[i] > 0)
+    out = {}
+    ids = sorted(fp)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            shares_band = any(
+                (fp[d1] >> (8 * b)) & 255 == (fp[d2] >> (8 * b)) & 255
+                for b in range(4)
+            )
+            ham = bin(fp[d1] ^ fp[d2]).count("1")
+            if shares_band and ham <= 3:
+                out[(d1, d2)] = ham
+    return out
+
+
+def test_simhash_pairs_match_python_model(spark, tmp_path):
+    import pandas as pd
+
+    from maplejuice_spark.operators.dedup import simhash_pairs
+
+    docs = _corpus()
+    pd.DataFrame(docs, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in simhash_pairs(spark, str(tmp_path)).collect()
+    }
+    want = _model_simhash_pairs(docs)
+    assert got == want, (
+        f"spark-only={sorted(set(got) - set(want))[:5]} "
+        f"model-only={sorted(set(want) - set(got))[:5]}"
+    )
+    assert len(want) >= 5, "corpus produced too few simhash pairs"
