@@ -172,3 +172,87 @@ def test_simhash_pairs_match_python_model(spark, tmp_path):
         f"model-only={sorted(set(want) - set(got))[:5]}"
     )
     assert len(want) >= 5, "corpus produced too few simhash pairs"
+
+
+def _fold_dot(a, b):
+    """Sequential left-fold f64 dot — the exact arithmetic of
+    functions.dot (F.aggregate with a left fold)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _model_embedding_dedup(vecs: list[tuple[int, list[float]]]):
+    """Pure-Python twin of dedup_embedding_cosine: 16-bit hyperplane
+    bucket on the RAW vector, 2x8-bit bands, exact cosine (fold dot of
+    the pre-normalized vectors) >= threshold on colliding pairs."""
+    import math
+
+    from maplejuice_spark.operators.similarity import (
+        COS_DUP_THRESHOLD,
+        PLANES,
+    )
+
+    norm = {i: [x / math.sqrt(_fold_dot(v, v)) for x in v] for i, v in vecs}
+    bucket = {
+        i: sum(1 << j for j in range(16) if _fold_dot(v, PLANES[j]) > 0)
+        for i, v in vecs
+    }
+    out = {}
+    ids = sorted(bucket)
+    for a_i, v1 in enumerate(ids):
+        for v2 in ids[a_i + 1 :]:
+            if not any(
+                (bucket[v1] >> (8 * b)) & 255 == (bucket[v2] >> (8 * b)) & 255
+                for b in range(2)
+            ):
+                continue
+            cos = _fold_dot(norm[v1], norm[v2])
+            if cos >= COS_DUP_THRESHOLD:
+                out[(v1, v2)] = cos
+    return out
+
+
+def test_embedding_dedup_matches_python_model(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from maplejuice_spark.operators.similarity import dedup_embedding_cosine
+
+    rng = np.random.default_rng(99)
+    vecs: list[tuple[int, list[float]]] = []
+    vec_id = 0
+    for _fam in range(8):  # near-dup families: base + small noise
+        base = rng.normal(size=64)
+        for _ in range(rng.integers(2, 4)):
+            v = base + rng.normal(scale=0.15, size=64)
+            # float32 round-trip exactly like the production
+            # array<float> column, THEN model in f64 on those values
+            vecs.append((vec_id, np.float32(v).astype(float).tolist()))
+            vec_id += 1
+    for _ in range(10):  # unrelated singletons
+        vecs.append(
+            (vec_id, np.float32(rng.normal(size=64)).astype(float).tolist())
+        )
+        vec_id += 1
+    pd.DataFrame(
+        {
+            "vec_id": np.array([i for i, _ in vecs], dtype="int64"),
+            "embedding": [np.float32(v) for _, v in vecs],
+            "label": np.zeros(len(vecs), dtype="int32"),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    got = {
+        (r["v1"], r["v2"]): r["cos_sim"]
+        for r in dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    }
+    want = _model_embedding_dedup(vecs)
+    assert set(got) == set(want), (
+        f"spark-only={sorted(set(got) - set(want))[:5]} "
+        f"model-only={sorted(set(want) - set(got))[:5]}"
+    )
+    for pair, cos in want.items():
+        assert got[pair] == cos, (pair, got[pair], cos)  # bit-identical
+    assert len(want) >= 5, "corpus produced too few near-dup pairs"
