@@ -1,9 +1,10 @@
-"""Model-based differential test for the MinHash-LSH pipeline.
+"""Model-based differential tests for the sketch pipelines: MinHash-LSH
+candidates, SimHash banded pairs, and embedding-cosine near-dup.
 
-A pure-Python reference model (hashlib.md5 — the same digest Spark's
-``md5`` computes) re-derives shingles, signatures, band buckets,
-candidates, and verified Jaccard for a synthetic corpus, and the
-registered ``minhash_candidates`` query must match it EXACTLY.
+A pure-Python reference model (hashlib.md5 / explicit f64 fold — the
+same primitives Spark computes) re-derives each pipeline end-to-end
+over a synthetic corpus, and the registered query must match it
+EXACTLY, floats included.
 
 Why this exists: the round-5 row-local sketch rework silently changed
 the verification semantics for zero-overlap band collisions — a
