@@ -257,3 +257,83 @@ def test_embedding_dedup_matches_python_model(spark, tmp_path):
     for pair, cos in want.items():
         assert got[pair] == cos, (pair, got[pair], cos)  # bit-identical
     assert len(want) >= 5, "corpus produced too few near-dup pairs"
+
+
+def _model_lsh_topk(vecs: list[tuple[int, list[float]]]):
+    """Pure-Python twin of ann_lsh_topk: 16-bit hyperplane bucket on the
+    raw vector, 4x4-bit bands, candidates = corpus rows sharing >= 1
+    band with a query (vec_id % 100 == 0), exact fold-cosine of the
+    normalized vectors, top-5 per query by (cos desc, neighbor_id)."""
+    import math
+
+    from maplejuice_spark.operators.similarity import (
+        PLANES,
+        QUERY_MOD,
+        TOP_K,
+    )
+
+    norm = {i: [x / math.sqrt(_fold_dot(v, v)) for x in v] for i, v in vecs}
+    bucket = {
+        i: sum(1 << j for j in range(16) if _fold_dot(v, PLANES[j]) > 0)
+        for i, v in vecs
+    }
+    out = {}
+    for q in sorted(bucket):
+        if q % QUERY_MOD != 0:
+            continue
+        cands = [
+            c
+            for c in sorted(bucket)
+            if c != q
+            and any(
+                (bucket[q] >> (4 * b)) & 15 == (bucket[c] >> (4 * b)) & 15
+                for b in range(4)
+            )
+        ]
+        ranked = sorted(
+            ((_fold_dot(norm[q], norm[c]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:TOP_K]
+        for rank, (cos, c) in enumerate(ranked, start=1):
+            out[(q, c)] = (cos, rank)
+    return out
+
+
+def test_ann_lsh_topk_matches_python_model(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from maplejuice_spark.operators.similarity import ann_lsh_topk
+
+    rng = np.random.default_rng(123)
+    vecs: list[tuple[int, list[float]]] = []
+    # query ids are % 100 == 0: interleave queries with clustered corpus
+    # vectors so each query has same-band neighbors
+    for q in range(4):
+        base = rng.normal(size=64)
+        vecs.append((q * 100, np.float32(base).astype(float).tolist()))
+        for k in range(12):
+            v = base + rng.normal(scale=0.4, size=64)
+            vecs.append(
+                (q * 100 + k + 1, np.float32(v).astype(float).tolist())
+            )
+    pd.DataFrame(
+        {
+            "vec_id": np.array([i for i, _ in vecs], dtype="int64"),
+            "embedding": [np.float32(v) for _, v in vecs],
+            "label": np.zeros(len(vecs), dtype="int32"),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cos_sim"], r["rank"])
+        for r in ann_lsh_topk(spark, str(tmp_path)).collect()
+    }
+    want = _model_lsh_topk(vecs)
+    assert set(got) == set(want), (
+        f"spark-only={sorted(set(got) - set(want))[:5]} "
+        f"model-only={sorted(set(want) - set(got))[:5]}"
+    )
+    for pair, (cos, rank) in want.items():
+        assert got[pair] == (cos, rank), (pair, got[pair], (cos, rank))
+    assert len(want) >= 10, "corpus produced too few top-k rows"
