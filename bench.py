@@ -57,6 +57,12 @@ HEADLINE = [
     "levenshtein_similar_names",
 ]
 
+# median-of-N timing: each query gets one untimed per-plan warm-up run,
+# then N_TIMED_RUNS timed runs; the reported number is the median and
+# the [min, max] spread rides along so regressions can be judged
+# against run-to-run noise (round-4 verdict: n=1 could not).
+N_TIMED_RUNS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,7 +102,7 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs: list[float] = []
-        for i in range(4):
+        for i in range(N_TIMED_RUNS + 1):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -116,7 +122,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
-                "runs_per_query": len(runs),
+                "runs_per_query": N_TIMED_RUNS,
                 "sf": sf,
             }
         )

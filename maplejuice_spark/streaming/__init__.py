@@ -20,6 +20,7 @@ UTC-pinned session zone (see catalog._ensure_read_confs).
 from __future__ import annotations
 
 import os
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -217,12 +218,30 @@ def _sized_state_partitions(spark: SparkSession):
     shuffle partitions explicitly — which this helper then respects.
     """
     key = "spark.sql.shuffle.partitions"
+    explicit = spark.conf.get("spark.maplejuice.streamStatePartitions", None)
+    if explicit is not None:
+        # dedicated conf: an unambiguous opt-in/out — a deliberate 200
+        # here is honored where the shared key could not distinguish it
+        # from the stock default
+        with _pinned_conf(spark, key, explicit):
+            yield
+        return
     if spark.conf.get(key) != _STOCK_SHUFFLE_PARTITIONS:
         yield  # explicitly sized by the caller — honor it
         return
-    with _pinned_conf(
-        spark, key, str(spark.sparkContext.defaultParallelism)
-    ):
+    sized = str(spark.sparkContext.defaultParallelism)
+    # the resized value gets pinned into any durable checkpoint, so the
+    # override must never be silent (a deliberate 200 is
+    # indistinguishable from the stock default on this key — set
+    # spark.maplejuice.streamStatePartitions to make it explicit)
+    warnings.warn(
+        f"streaming run: resizing {key} {_STOCK_SHUFFLE_PARTITIONS} -> "
+        f"{sized} (core count) for state-store sizing; set "
+        f"spark.maplejuice.streamStatePartitions to pin an explicit "
+        f"value",
+        stacklevel=3,
+    )
+    with _pinned_conf(spark, key, sized):
         yield
 
 
@@ -710,18 +729,33 @@ def _make_minmax_processor():
 
 
 def has_tws_support() -> bool:
-    """transformWithStateInPandas needs a working protobuf install for
-    its state-server protocol; this container ships a broken one
-    (``cannot import name 'descriptor' from 'google.protobuf'``), so the
-    TWS operator is a LIBRARY function gated on this check rather than a
-    registered gate query (same policy as the codec-less multimodal
-    decode stub)."""
+    """transformWithStateInPandas needs the ``protobuf`` Python package
+    for its state-server protocol (pyspark imports
+    ``google.protobuf``-generated message classes to frame every state
+    request). This container ships NO protobuf at all — the exact
+    failure is ``ModuleNotFoundError: No module named 'google'``
+    (verified round 6; ``pip install`` is unavailable, and the runtime
+    cannot be vendored as a shim because TWS's wire protocol needs real
+    protobuf (de)serialization). The TWS operator is therefore a
+    LIBRARY function gated on this check rather than a registered gate
+    query (same policy as the codec-less multimodal decode stub); the
+    applyInPandasWithState twin (``stream_user_stats``) is the
+    registered, oracle-checked stateful operator.
+
+    ``tws_import_error()`` reports the captured failure verbatim for
+    the test skip reason."""
+    return tws_import_error() is None
+
+
+def tws_import_error() -> str | None:
+    """The exact protobuf import failure blocking TWS, or None if the
+    environment supports it."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
-        return True
-    except ImportError:
-        return False
+        return None
+    except ImportError as e:
+        return f"{type(e).__name__}: {e}"
 
 
 def stream_user_minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

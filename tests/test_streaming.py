@@ -68,10 +68,15 @@ def test_tws_user_minmax(spark, sf_dir):
     from maplejuice_spark.streaming import (
         has_tws_support,
         stream_user_minmax_tws,
+        tws_import_error,
     )
 
     if not has_tws_support():
-        pytest.skip("protobuf descriptor unavailable; TWS state server cannot start")
+        pytest.skip(
+            "TWS state server cannot start — protobuf import fails "
+            f"with: {tws_import_error()} (no pip install available; "
+            "see has_tws_support docstring)"
+        )
     from maplejuice_spark.catalog import load_table
     from pyspark.sql import functions as F
 
