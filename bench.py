@@ -55,6 +55,8 @@ HEADLINE = [
     "triangle_count",
     "ngram_jaccard_topk",
     "levenshtein_similar_names",
+    # round-6: the prune -> compress -> refine production ANN shape
+    "ann_ivfpq_refined_topk",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

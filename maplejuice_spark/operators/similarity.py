@@ -1010,9 +1010,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivfpq_topk",
-    oracle=f"""
+# IVF-PQ approximate scoring CTE chain (through `scored`), shared
+# verbatim by the ann_ivfpq_topk oracle and the refined variant's — one
+# definition so the two stated plans cannot drift.
+_SQL_IVFPQ_SCORED_CTES = f"""
     WITH vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
@@ -1069,30 +1070,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN qlut l ON l.query_id = k.query_id
                              AND l.s = x.s AND l.code = x.code
       GROUP BY k.query_id, k.vec_id
-    )
-    SELECT * FROM (
-      SELECT query_id, neighbor_id, approx_sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY approx_sim DESC, neighbor_id) AS rank
-      FROM scored)
-    WHERE rank <= {TOP_K}
-    """,
-    tags=("similarity", "ann", "ivf", "pq"),
-)
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ — the production composition the scale probe motivates:
-    IVF list pruning bounds WHICH candidates a query touches
-    (N_PROBE/N_CENTROIDS of the corpus), PQ/ADC bounds WHAT each
-    candidate costs (4 code lookups, never the raw floats). The probe
-    measured dense ADC (ann_pq_topk) at O(n * |Q|); pruning cuts the
-    scored pairs by N_CENTROIDS/N_PROBE = 4x here and by the list count
-    in a real deployment where N_CENTROIDS ~ sqrt(n).
+    )"""
 
-    Scale: the per-query artifacts are the codes table (4 small ints
-    per vector) and the list assignment (1 int per vector) — both built
-    once offline; query time is two broadcast joins (probes, LUT) and
-    one equi-join chain with a partial-aggregable 4-row sum. No
-    cartesian, no raw-vector access after encode.
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF-PQ approximate scoring stage: every candidate that
+    survives IVF list pruning, ADC-scored — (query_id, neighbor_id,
+    approx_sim). Composed by ann_ivfpq_topk (ranks it directly) and
+    ann_ivfpq_refined_topk (exact re-rank of the per-query shortlist);
+    the oracle twin is ``_SQL_IVFPQ_SCORED_CTES``.
     """
     from pyspark.sql import Window as W
 
@@ -1113,12 +1099,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), "cid")
     _require_broadcast_small(
         vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
-        "ann_ivfpq_topk broadcasts the probe set and the per-query ADC "
+        "the IVF-PQ paths broadcast the probe set and the per-query ADC "
         "lookup table",
         "shard the query set",
         # N_PROBE tiny probe rows + 32 small LUT rows per query
         weight_per_query=2,
-        cache_key=f"ann_ivfpq_topk:{sf_dir}",
+        cache_key=f"ivfpq_scored:{sf_dir}",
     )
     subs = vecs.select(
         "vec_id",
@@ -1166,15 +1152,125 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    scored = (
+    return (
         cand.join(codes, "vec_id")
         .join(F.broadcast(qlut), ["query_id", "s", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(dsum("part").alias("approx_sim"))
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    {_SQL_IVFPQ_SCORED_CTES}
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, approx_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production composition the scale probe motivates:
+    IVF list pruning bounds WHICH candidates a query touches
+    (N_PROBE/N_CENTROIDS of the corpus), PQ/ADC bounds WHAT each
+    candidate costs (4 code lookups, never the raw floats). The probe
+    measured dense ADC (ann_pq_topk) at O(n * |Q|); pruning cuts the
+    scored pairs by N_CENTROIDS/N_PROBE = 4x here and by the list count
+    in a real deployment where N_CENTROIDS ~ sqrt(n).
+
+    Scale: the per-query artifacts are the codes table (4 small ints
+    per vector) and the list assignment (1 int per vector) — both built
+    once offline; query time is two broadcast joins (probes, LUT) and
+    one equi-join chain with a partial-aggregable 4-row sum. No
+    cartesian, no raw-vector access after encode.
+    """
+    from pyspark.sql import Window as W
+
+    scored = _ivfpq_scored(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_sim", "rank")
+    )
+
+
+RERANK_CAP = 4 * TOP_K  # approx-stage shortlist size per query
+
+
+@register(
+    "ann_ivfpq_refined_topk",
+    oracle=f"""
+    {_SQL_IVFPQ_SCORED_CTES},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_sim DESC, neighbor_id)
+                 AS arank
+        FROM scored)
+      WHERE arank <= {RERANK_CAP}
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id, qn.vn AS qv, cn.vn AS cv
+      FROM shortlist s
+      JOIN normed qn ON qn.vec_id = s.query_id
+      JOIN normed cn ON cn.vec_id = s.neighbor_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   {_sql_fold_dot('qv', 'cv')} AS cos_sim
+            FROM refined))
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "refine"),
+)
+def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN shape — prune (IVF lists), compress
+    (PQ/ADC scoring), refine (exact cosine re-rank of the per-query
+    shortlist). The ADC stage keeps only the top RERANK_CAP candidates
+    per query by approximate score; those (query_id, neighbor_id) pairs
+    — and ONLY those — get their raw-precision cosine recomputed and
+    re-ranked to the final top-k. This retires the dense-ADC caveat:
+    exact scoring touches O(|Q| x RERANK_CAP) vectors, never the corpus.
+
+    Scale: the shortlist is |Q| x RERANK_CAP id pairs (tiny) and is
+    broadcast into the corpus-side vector joins, so the refine stage
+    adds zero shuffles of vector-carrying rows; the approximate stage
+    is exactly ann_ivfpq_topk's plan. The window over approx_sim uses
+    the same DECIMAL-summed, neighbor-tie-broken ordering as the
+    oracle, so both engines refine the identical shortlist.
+    """
+    from pyspark.sql import Window as W
+
+    scored = _ivfpq_scored(spark, sf_dir)
+    aw = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= RERANK_CAP)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"))
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    refined = (
+        F.broadcast(shortlist)
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", dot("qv", "cv").alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

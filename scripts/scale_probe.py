@@ -66,6 +66,8 @@ PROBE = [
     # round-4 additions
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round-6: prune -> compress -> refine (retires the dense-ADC caveat)
+    "ann_ivfpq_refined_topk",
     "countmin_heavy_hitters",
     "scd2_user_value_history",
     "interpolate_daily_values",

@@ -53,7 +53,7 @@ def test_write_per_key_refuses_key_explosion(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "query_name",
-    ["ann_lsh_topk", "ann_pq_topk", "ann_ivfpq_topk"],
+    ["ann_lsh_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_refined_topk"],
 )
 def test_ann_broadcast_paths_refuse_large_query_set(
     spark, sf_dir, monkeypatch, query_name

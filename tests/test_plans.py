@@ -312,6 +312,34 @@ def test_ivfpq_prunes_and_stays_equi(spark, sf_dir):
     assert "partial" in plan.lower()
 
 
+def test_ivfpq_refined_broadcasts_shortlist(spark, sf_dir):
+    """The refine stage must stay shuffle-free on vector-carrying rows:
+    the |Q| x RERANK_CAP shortlist and the |Q| query-vector side join
+    the corpus as BROADCAST hash joins — an Exchange keyed on
+    neighbor_id/query_id downstream of the approx ranking would mean
+    the corpus vectors ride a shuffle just to serve the re-rank."""
+    from maplejuice_spark.registry import all_queries
+
+    base = plans.physical_plan(
+        all_queries()["ann_ivfpq_topk"].fn(spark, sf_dir)
+    )
+    plan = plans.physical_plan(
+        all_queries()["ann_ivfpq_refined_topk"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    # differential vs the approx-only plan: the refine stage may add
+    # ONLY broadcast hash joins (shortlist -> corpus vectors, query
+    # vectors) — any new sort-merge/shuffled-hash/nested-loop join
+    # would mean vector-carrying rows riding a fresh exchange
+    for node in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert plan.count(node) <= base.count(node), node
+    assert plan.count("BroadcastHashJoin") >= base.count("BroadcastHashJoin") + 2
+
+
 def test_aqe_splits_skewed_join(spark):
     """A hot join key must be split at runtime by AQE's skew-join
     handling (SortMergeJoin(skew=true) in the executed plan) — the
