@@ -206,7 +206,9 @@ def _shift_by_rep(col, dim: int = 64):
     return out.otherwise(col)
 
 
-def probe(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def probe(
+    spark: SparkSession, sf_dir: str, names: list[str]
+) -> dict[str, float]:
     from maplejuice_spark.registry import queries
 
     qs = queries()
@@ -215,7 +217,7 @@ def probe(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "overwrite"
     ).save()
     out: dict[str, float] = {}
-    for name in PROBE:
+    for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
@@ -224,6 +226,11 @@ def probe(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     ms = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,3,10").split(",")]
+    # optional argv[2]: comma-separated query-name filter for targeted
+    # re-probes after a plan change (default: the full PROBE list)
+    names = (
+        [n for n in sys.argv[2].split(",") if n] if len(sys.argv) > 2 else PROBE
+    )
     from maplejuice_spark.session import get_spark
 
     spark = get_spark(app_name="mj_scale_probe")
@@ -238,7 +245,7 @@ def main() -> None:
                 generate(spark, SRC, d, m)
                 print(f"# generated x{m} in {time.perf_counter()-t0:.1f}s",
                       file=sys.stderr)
-        results[m] = probe(spark, d)
+        results[m] = probe(spark, d, names)
         print(f"# probed x{m}: total "
               f"{sum(results[m].values()):.1f}s", file=sys.stderr)
 
@@ -247,7 +254,7 @@ def main() -> None:
           + " | exponent |")
     print("|---" * (len(ms) + 2) + "|")
     expo: dict[str, float] = {}
-    for name in PROBE:
+    for name in names:
         row = [results[m][name] for m in ms]
         e = (math.log(results[hi][name] / results[lo][name])
              / math.log(hi / lo)) if hi > lo else float("nan")

@@ -396,3 +396,56 @@ def test_triangle_count_all_equi_joins(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
     assert "LeftSemi" in plan
     assert "partial" in plan.lower()
+
+
+def _shuffle_keys(plan: str) -> set[str]:
+    """First column name of every shuffle-exchange hashpartitioning in
+    a formatted plan (ReusedExchange nodes carry no Arguments line;
+    BroadcastExchange prints a BroadcastMode, not hashpartitioning)."""
+    import re
+
+    return {
+        m.group(1)
+        for m in re.finditer(r"hashpartitioning\((\w+?)#", plan)
+    }
+
+
+def test_term_relevance_broadcasts_vocabulary(spark, sf_dir):
+    """term_relevance_topk's docstring claims the tf x df join
+    broadcasts the |vocab|-sized df side at any corpus size — pin it:
+    every equi-join in the plan is a broadcast hash join (the df join
+    is the only one), and the only shuffles are the term/doc_id
+    aggregation+window exchanges. A SortMergeJoin here would mean the
+    full tf relation re-shuffles on term just to attach df. (Round-5
+    scale probe drift: exponent 0.43 -> 0.67 without a pin.)"""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["term_relevance_topk"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert _shuffle_keys(plan) <= {"term", "doc_id"}, _shuffle_keys(plan)
+
+
+def test_corpus_curation_two_shuffles_filter_pushed(spark, sf_dir):
+    """corpus_curation's docstring claims the whole pipeline is one
+    plan whose only shuffles are the two aggregations — pin it: the
+    quality filter reaches BOTH document scans map-side (rejects never
+    shuffle), and the only exchanges hash on the content digest
+    (keepers agg) and source (final accounting); the keeper self-join
+    attaches via an equi-join, never a cartesian. (Round-5 scale probe
+    drift: exponent 0.72 -> 0.94 without a pin.)"""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["corpus_curation"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _shuffle_keys(plan) <= {"_groupingexpression", "source"}, (
+        _shuffle_keys(plan)
+    )
+    # the >=5-token quality predicate is evaluated in the scan-side
+    # Filter of both branches, before any exchange
+    head = plan.split("hashpartitioning")[0]
+    assert ">= 5" in head or "&gt;= 5" in head, head[:2000]
