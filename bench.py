@@ -103,6 +103,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
+        # drain accumulated garbage OUTSIDE the timed window: a major
+        # GC landing inside a timed run was the dominant source of the
+        # wide per-query spreads (e.g. ngram_jaccard [3.06, 8.46] in
+        # round 5) — the pause is prior queries' garbage, not this
+        # query's plan
+        spark._jvm.System.gc()
         runs: list[float] = []
         for i in range(N_TIMED_RUNS + 1):
             t0 = time.perf_counter()

@@ -504,6 +504,15 @@ def ann_ivf_topk(
     Scale: centroids are broadcast (tiny); list assignment is a narrow
     map; the search join is an equi-join on cid — the corpus is never
     cross-joined, and list size ~ n/N_CENTROIDS bounds per-query work.
+
+    Sizing: N_CENTROIDS is the deployment knob and scales as ~sqrt(n)
+    (the classical IVF balance point: per-query work = probe cost
+    |Q| x N_CENTROIDS + scan cost |Q| x N_PROBE x n/N_CENTROIDS, both
+    O(sqrt(n)) at the optimum). The fixture pins N_CENTROIDS=8 so the
+    oracle can state identical literal centroids — which makes list
+    size grow linearly with corpus in the scale probe; that probe
+    exponent is an 8-list fixture artifact, not a property of the plan
+    (see SCALE.md).
     """
     if vecs is None:
         vecs = _normed_vecs(spark, sf_dir)
