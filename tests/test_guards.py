@@ -66,3 +66,22 @@ def test_ann_broadcast_paths_refuse_large_query_set(
     monkeypatch.setattr(similarity, "MAX_BRUTE_FORCE_QUERIES", 0)
     with pytest.raises(ValueError, match="MAX_BRUTE_FORCE_QUERIES"):
         getattr(similarity, query_name)(spark, sf_dir)
+
+
+def test_normed_vecs_memoized_per_session_and_dir(spark, sf_dir):
+    """The normalized-vector table must checkpoint ONCE per (session,
+    sf_dir) — repeated ANN invocations (bench warm-up + timed runs)
+    reuse the executor-resident partitions — while a different data dir
+    gets its own entry, and a different Spark application could never
+    see this one's (the key is applicationId, which dies with the
+    context that owns the checkpoint blocks)."""
+    from maplejuice_spark.operators import similarity
+
+    a = similarity._normed_vecs(spark, sf_dir)
+    assert similarity._normed_vecs(spark, sf_dir) is a
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert similarity._NORMED_VECS_CACHE[key] is a
+    other = "/root/testdata/sf0.01"
+    b = similarity._normed_vecs(spark, other)
+    assert b is not a
+    assert similarity._normed_vecs(spark, other) is b
