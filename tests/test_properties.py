@@ -180,3 +180,53 @@ def test_pps_sample_properties(spark, sf_dir):
         .collect()
     }
     assert re_ids == base_ids
+
+
+def test_approx_sketches_within_stated_error(spark, sf_dir):
+    """The two rows-only registry queries (engine-specific sketches, no
+    DuckDB oracle possible) still carry quantitative contracts — pin
+    them so "rows-only" never degrades to "unchecked":
+
+    - approx_count_distinct (HLL++): default relative standard deviation
+      is 0.05; assert each group within 3 sigma (15%) of the exact
+      distinct count.
+    - approx_percentile(accuracy=1000): guarantees rank error
+      <= n/accuracy; assert each estimate is an actual group value whose
+      rank is within that bound of the target rank."""
+    from maplejuice_spark.operators.sql_queries import (
+        approx_distinct_parts,
+        approx_quantiles_price,
+    )
+
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in spark.sql(
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact "
+            f"FROM parquet.`{sf_dir}/lineitem.parquet` GROUP BY l_returnflag"
+        ).collect()
+    }
+    for r in approx_distinct_parts(spark, sf_dir).collect():
+        want = exact[r["l_returnflag"]]
+        assert abs(r["approx_parts"] - want) <= max(0.15 * want, 2), (
+            r["l_returnflag"], r["approx_parts"], want,
+        )
+
+    prices: dict[str, list[float]] = {}
+    for r in spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        prices.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for r in approx_quantiles_price(spark, sf_dir).collect():
+        vals = sorted(prices[r["o_orderpriority"]])
+        n = len(vals)
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            est = r[col]
+            assert est in prices[r["o_orderpriority"]], (col, est)
+            # all ranks where est occurs; nearest must be within bound
+            lo = vals.index(est)
+            hi = n - 1 - vals[::-1].index(est)
+            target = q * (n - 1)
+            dist = 0.0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert dist <= n / 1000 + 1, (col, est, dist, n)
