@@ -363,7 +363,14 @@ def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``abs(len(a)-len(b)) <= 2``, so each left row explodes to 5 candidate
     lengths and equi-joins on ``length(b.s_name)`` — an O(n·bucket) band
     join, not the O(n²) cross join the (small-input) DuckDB oracle
-    states. Same blocking idea as the SimHash/MinHash band joins."""
+    states. Same blocking idea as the SimHash/MinHash band joins.
+
+    The per-pair kernel is the BOUNDED 3-arg levenshtein (Spark 3.5+):
+    it runs the banded DP over a 2k+1 diagonal strip with early exit
+    and returns -1 above the threshold — O(k·len) per pair instead of
+    O(len²), and for surviving pairs the returned distance is the true
+    distance, so the output is byte-identical to the unbounded form the
+    oracle states."""
     return _sql(
         spark,
         sf_dir,
@@ -373,12 +380,14 @@ def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                  explode(sequence(length(s_name) - 2, length(s_name) + 2))
                    AS cand_len
           FROM supplier
+        ),
+        cand AS (
+          SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+                 levenshtein(a.s_name, b.s_name, 2) AS dist
+          FROM a JOIN supplier b
+            ON a.cand_len = length(b.s_name) AND a.s_suppkey < b.s_suppkey
         )
-        SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
-               levenshtein(a.s_name, b.s_name) AS dist
-        FROM a JOIN supplier b
-          ON a.cand_len = length(b.s_name) AND a.s_suppkey < b.s_suppkey
-        WHERE levenshtein(a.s_name, b.s_name) <= 2
+        SELECT k1, k2, dist FROM cand WHERE dist >= 0
         """,
     )
 
