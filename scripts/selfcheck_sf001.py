@@ -100,9 +100,14 @@ def main() -> None:
     spark = plain_spark()
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single-file tables; scale_probe replicas are
+        # Spark directory-parquet (table.parquet/part-*.parquet) — glob
+        # the parts in that case so x-scale sweeps work too
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     specs = all_queries()
