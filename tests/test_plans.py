@@ -449,3 +449,22 @@ def test_corpus_curation_two_shuffles_filter_pushed(spark, sf_dir):
     # Filter of both branches, before any exchange
     head = plan.split("hashpartitioning")[0]
     assert ">= 5" in head or "&gt;= 5" in head, head[:2000]
+
+
+def test_ann_lsh_topk_broadcasts_banded_queries(spark, sf_dir):
+    """The banded-LSH showcase shape (round-5 rework, exponent
+    0.49 -> 0.09) must not regress: the band candidate join broadcasts
+    the |Q| x 4 banded query side — a shuffle join here would funnel
+    the vector-carrying corpus into the 64-key (band, bv) space — and
+    the only shuffle in the whole plan is the per-query top-k window,
+    which WindowGroupLimit prunes to k rows per partition first."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["ann_lsh_topk"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert _shuffle_keys(plan) <= {"query_id"}, _shuffle_keys(plan)
