@@ -277,9 +277,16 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed row-locally (_shingle_sets) — the corpus is NEVER exploded
     or shuffled at shingle granularity. The only shuffles are over
     doc-level rows: the (band, hash) bucket self-join pairs only
-    documents colliding in a band, and verification joins the tiny
-    candidate-pair set back to the per-doc shingle arrays, computing the
-    exact intersection as a row-local array_intersect instead of a
+    documents colliding in a band, and verification joins the candidate
+    pairs back to the per-doc shingle arrays on the high-cardinality
+    doc_id (merge-hinted: Catalyst's static estimate otherwise chose to
+    BROADCAST the array-carrying side, which built fine at the test
+    scales but OOM'd a stock 1 GiB driver at 600k docs and is exactly
+    the corpus-sized broadcast that can never ship at 100 TB; candidate
+    pairs grow ~linearly with the corpus, so neither side of the
+    verification join is broadcastable — a real deployment buckets the
+    array store by doc_id to make this shuffle one-sided). The exact
+    intersection is a row-local array_intersect instead of a
     shingle-level equi-join. The materialized subtree (shared by the
     signature branch and both verification probes) holds one array row
     per document — the same bytes a signature store would hold.
@@ -303,7 +310,10 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.h")
     a = bands.alias("a")
-    b = bands.alias("b")
+    # merge-hinted: both sides are corpus-derived band rows — neither is
+    # broadcastable at scale, so the join must shuffle ids, never ship a
+    # corpus-sized hashed relation to every task
+    b = bands.alias("b").hint("merge")
     cand = (
         a.join(
             b,
@@ -321,8 +331,8 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), F.col("n").alias("n2")
     )
     return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
+        cand.join(s1.hint("merge"), "d1")
+        .join(s2.hint("merge"), "d2")
         .select(
             "d1",
             "d2",
@@ -589,8 +599,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(_band_eq(j), F.lit(j)) for j in range(4)]
     )
     pairs = (
+        # merge-hinted — corpus-derived band rows on both sides (see
+        # minhash_candidates): the banded equi-join must shuffle, never
+        # broadcast the corpus's (doc_id, simhash, band, v) rows
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

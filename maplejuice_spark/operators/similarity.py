@@ -646,8 +646,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # first-matching-band filter instead of distinct(): a pair colliding
     # in both bands is kept only at band 0 — pure projection, no shuffle
+    # every join here is merge-hinted: the band sides are corpus-derived
+    # id rows and the av/bvec sides are the full normalized-vector table
+    # — none is broadcastable at scale (Catalyst's static estimate chose
+    # BuildRight broadcasts of the VECTOR table at the x10 probe scale,
+    # which is the corpus-sized broadcast this plan exists to avoid;
+    # caught by the x10 collision-stress sweep, round 6)
     cand = (
-        a.join(b, ["band", "bv"])
+        a.join(b.hint("merge"), ["band", "bv"])
         .filter(F.col("v1") < F.col("v2"))
         .filter(
             (F.col("band") == 0)
@@ -661,8 +667,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     av = normed.select(F.col("vec_id").alias("v1"), F.col("vn").alias("av"))
     bv = normed.select(F.col("vec_id").alias("v2"), F.col("vn").alias("bvec"))
     return (
-        cand.join(av, "v1")
-        .join(bv, "v2")
+        cand.join(av.hint("merge"), "v1")
+        .join(bv.hint("merge"), "v2")
         .select("v1", "v2", dot("av", "bvec").alias("cos_sim"))
         .filter(F.col("cos_sim") >= COS_DUP_THRESHOLD)
     )

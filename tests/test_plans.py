@@ -4,6 +4,8 @@ plan, not timings — shapes are what survive a 1000-executor scale-up."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from maplejuice_spark import plans
@@ -468,3 +470,27 @@ def test_ann_lsh_topk_broadcasts_banded_queries(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert _shuffle_keys(plan) <= {"query_id"}, _shuffle_keys(plan)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_candidates", "simhash_pairs", "dedup_embedding_cosine"],
+)
+def test_dedup_pair_joins_never_broadcast_corpus(spark, sf_dir, name):
+    """Every join in the sketch-dedup pair pipelines has CORPUS-derived
+    relations on both sides (band rows, signature arrays, normalized
+    vectors) — none is broadcastable at 100 TB, so all of them are
+    merge-hinted and the plan must contain no broadcast join at all.
+    Regression pin for a real bug: Catalyst's static size estimate
+    chose to BROADCAST the shingle-array / vector table at the x10
+    probe scale, OOM-ing a stock 1 GiB driver at 600k docs (round 6,
+    caught by the x10 collision-stress sweep; invisible at the sf0.1
+    bench scale where the broadcast still fit)."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()[name].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+    assert "SortMergeJoin" in plan, name
