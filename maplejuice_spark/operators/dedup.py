@@ -383,10 +383,17 @@ def jaccard_topk_pairs(
     dsh = materialize(dsh)
     cnt = dsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = cnt.filter(F.col("df") <= max_df).select("shingle")
-    dshf = materialize(dsh.join(kept, "shingle"))  # reused 3x below
+    # every join below is merge-hinted: the inverted index, the
+    # surviving-shingle vocabulary, and the per-doc sizes are all
+    # corpus-scale relations (shingle vocabulary grows with the corpus,
+    # unlike a word vocabulary) — Catalyst's static estimates chose to
+    # BROADCAST the index side of the self-join and the sizes at the
+    # x10 probe scale, the corpus-sized broadcast that can never ship
+    # at 100 TB (round-6 x10 audit)
+    dshf = materialize(dsh.join(kept.hint("merge"), "shingle"))  # reused 3x
     sizes = dshf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = dshf.alias("x")
-    y = dshf.alias("y")
+    y = dshf.alias("y").hint("merge")
     inter = (
         x.join(
             y,
@@ -396,8 +403,8 @@ def jaccard_topk_pairs(
         .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    s1 = sizes.alias("s1").hint("merge")
+    s2 = sizes.alias("s2").hint("merge")
     return (
         inter.join(s1, F.col("s1.doc_id") == F.col("d1"))
         .join(s2, F.col("s2.doc_id") == F.col("d2"))
@@ -707,14 +714,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("node")
     )
     labels = materialize(labels)
+    # every per-iteration join is merge-hinted: edges and labels are
+    # both corpus-sized (one row per doc / per edge), so neither side
+    # may ever be broadcast — at x10 Catalyst already picks SMJ from
+    # the checkpointed frames' unknown stats, but that is stats-luck,
+    # not a guarantee (the minhash verification join DID flip to a
+    # corpus broadcast; see test_dedup_pair_joins_never_broadcast_corpus)
     for it in range(1, max_iters + 1):
         neighbor_min = (
-            edges.join(labels, edges.t == labels.node)
+            edges.join(labels.hint("merge"), edges.t == labels.node)
             .groupBy(F.col("s").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            labels.join(neighbor_min.hint("merge"), "node", "left")
             .select(
                 "node",
                 F.least(
@@ -728,7 +741,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hits; left+coalesce guards the root nodes labeling themselves.
         a, b = new_labels.alias("a"), new_labels.alias("b")
         new_labels = materialize(
-            a.join(b, F.col("a.label") == F.col("b.node"), "left").select(
+            a.join(b.hint("merge"), F.col("a.label") == F.col("b.node"), "left").select(
                 F.col("a.node").alias("node"),
                 F.least(
                     F.col("a.label"),
@@ -739,7 +752,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it % 2 == 0 or it == max_iters:
             changed = (
                 new_labels.alias("n")
-                .join(labels.alias("o"), "node")
+                .join(labels.alias("o").hint("merge"), "node")
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )

@@ -60,9 +60,16 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation < 20% of chars) -> exact dedup (keeper = min doc_id per
     content digest) -> per-source document/token accounting.
 
-    One logical plan: the filter is evaluated at the scan, the dedup
-    groupBy shuffles 16-byte digests + counters only, and the keeper
-    self-join is an equi-join on doc_id.
+    One logical plan with exactly TWO shuffles and ZERO joins: the
+    filter is evaluated at the scan; the dedup groupBy shuffles 16-byte
+    digests plus one min_by keeper struct (doc_id, source, n_tokens) —
+    the keeper's whole accounting payload rides the digest aggregation,
+    so no join-back is needed. (The previous keeper self-join looked
+    like an innocent equi-join but Catalyst BROADCAST the keeper id
+    list — one row per kept document, corpus-sized at 100 TB; the
+    min_by formulation removes the join instead of hinting it, one
+    shuffle cheaper. The oracle states the same semantics as a join —
+    keeper rows are identical either way.)
     """
     docs = load_table(spark, sf_dir, "documents")
     n_chars = F.length("text").cast("bigint")
@@ -80,19 +87,19 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter(
         (F.col("n_tokens") >= 5) & (F.col("n_punct") * 5 < F.col("n_chars"))
     )
-    keepers = (
+    keeper_rows = (
         kept.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return (
-        kept.join(keepers, "doc_id")
-        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.min("doc_id").alias("min_doc_id"),
+            F.min_by(
+                F.struct("doc_id", "source", "n_tokens"), "doc_id"
+            ).alias("k")
         )
+        .select("k.doc_id", "k.source", "k.n_tokens")
+    )
+    return keeper_rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
     )
 
 
