@@ -655,16 +655,21 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("t").alias("t1"))
     )
+    # step joins are merge-hinted: the per-user step frames (v, c) are
+    # one row per converting user — corpus-sized, never broadcastable
+    # (Catalyst chose a step-frame broadcast at the x10 probe scale);
+    # every step shares the user_id shuffle key, so at deployment these
+    # are co-partitioned joins over pre-partitioned events
     c = materialize(
         ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
+        .join(v.hint("merge"), "user_id")
         .where((F.col("t") > F.col("t1")) & (F.col("t") <= F.col("t1") + _HOUR_US))
         .groupBy("user_id")
         .agg(F.min("t").alias("t2"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
+        .join(c.hint("merge"), "user_id")
         .where((F.col("t") > F.col("t2")) & (F.col("t") <= F.col("t2") + _HOUR_US))
         .select("user_id")
         .distinct()

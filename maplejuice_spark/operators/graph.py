@@ -75,12 +75,17 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     # are materialized ONCE — otherwise each unrolled iteration re-scans
     # and re-shuffles the whole edge-derivation subtree (the at-scale
     # equivalent is caching the partitioned edge table before iterating).
-    ed = materialize(edges.join(F.broadcast(outdeg), "src"))
+    # Every join here is merge-hinted: outdeg, ranks, and contribs are
+    # all one-row-per-node — corpus-sized at 100 TB, so none may be
+    # broadcast (Catalyst picked rank-side broadcasts at the x10 probe
+    # scale; at deployment these are the classic co-partitioned-on-node
+    # Pregel joins).
+    ed = materialize(edges.join(outdeg.hint("merge"), "src"))
     ranks = nodes.withColumn("rank", F.lit(SCALE).cast("bigint"))
     for _ in range(n_iter):
         contribs = (
             ed.join(
-                ranks.withColumnRenamed("node", "src"),
+                ranks.withColumnRenamed("node", "src").hint("merge"),
                 "src",
             )
             .select("dst", F.expr("rank div deg").alias("contrib"))
@@ -88,7 +93,9 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
             .agg(F.sum("contrib").alias("contrib"))
         )
         ranks = nodes.join(
-            contribs.withColumnRenamed("dst", "node"), "node", "left"
+            contribs.withColumnRenamed("dst", "node").hint("merge"),
+            "node",
+            "left",
         ).select(
             "node",
             (
@@ -167,7 +174,11 @@ def two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = edges.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
     b = edges.select(F.col("src").alias("mid"), F.col("dst").alias("two"))
     return (
-        a.join(b, "mid")
+        # merge-hinted: both sides are the corpus-sized edge table (the
+        # checkpoint's frozen stats otherwise let Catalyst broadcast one
+        # side of the self-join — x10 audit, r6); at 100 TB this is the
+        # co-partitioned hop join the docstring's bucketing note targets
+        a.join(b.hint("merge"), "mid")
         .groupBy("node")
         .agg(F.countDistinct("two").alias("n_two_hop"))
     )

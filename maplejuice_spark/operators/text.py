@@ -467,7 +467,10 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     top = tf.groupBy("doc_id").agg(F.max("c").alias("max_tf"))
-    return bstat.join(top, "doc_id").select(
+    # merge-hinted: both sides are per-doc frames derived from the
+    # checkpointed token table, whose frozen size stats otherwise let
+    # Catalyst broadcast the corpus-sized max_tf side (x10 audit, r6)
+    return bstat.join(top.hint("merge"), "doc_id").select(
         "doc_id",
         "n_tokens",
         "n_bigrams",

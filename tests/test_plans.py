@@ -494,3 +494,31 @@ def test_dedup_pair_joins_never_broadcast_corpus(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert "CartesianProduct" not in plan, name
     assert "SortMergeJoin" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pagerank_3iter",
+        "event_funnel",
+        "two_hop_neighbors",
+        "repetition_signals",
+    ],
+)
+def test_iterative_selfjoin_families_never_broadcast_corpus(
+    spark, sf_dir, name
+):
+    """Same regression class as the dedup pair pipelines, second batch
+    from the round-6 x10 audit: rank vectors, per-user step frames, the
+    edge table, and per-doc stats frames are all one-row-per-entity —
+    corpus-sized — yet Catalyst's static estimates (frozen by the
+    checkpointed inputs) chose to broadcast them at the x10 probe
+    scale. All such joins are merge-hinted; only scalar 1-row
+    combines (BroadcastNestedLoopJoin crosses in event_funnel) may
+    remain broadcast."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()[name].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
