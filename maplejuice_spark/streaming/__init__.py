@@ -121,13 +121,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maplejuice_spark.catalog import _ensure_read_confs
 
     _ensure_read_confs(spark)  # UTC session tz on ANY caller session
-    # The file source requires a directory; glob-filter to the events
-    # table inside the sf dir.
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # directory-parquet table (Spark-written lakes, scale-probe
+        # replicas): stream the directory itself — this is the
+        # production layout. pathGlobFilter would match LEAF file names
+        # here (part-*.parquet), silently selecting ZERO files (found
+        # by the round-6 x3 registry sweep: 0 streamed rows).
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    else:
+        # single-file fixture table: the file source requires a
+        # directory, so read the sf dir glob-filtered to the one file
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _event_time(raw)
 
 
