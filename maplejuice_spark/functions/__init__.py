@@ -47,9 +47,30 @@ def md5_key(c: Column | str) -> Column:
     return F.md5(c.cast("string").cast("binary"))
 
 
+def dec_to_double(s: Column) -> Column:
+    """Exact-decimal aggregate -> double, deterministically cross-engine
+    at ANY magnitude an int64 of micro-units can hold (~9.2e12 in value
+    terms — 1000x the naive cast's envelope).
+
+    A direct CAST(decimal AS DOUBLE) diverges between engines once the
+    decimal's significant digits exceed double's 53-bit mantissa: Spark
+    rounds the decimal correctly (BigDecimal.doubleValue), DuckDB
+    converts the scaled int64 then divides (double-rounding) — a 1-ULP
+    split first observed on q1's sum_charge at the x10 probe scale
+    (17 significant digits). Routing through exact micro-unit integers
+    makes both engines run the SAME two IEEE steps — int64 -> double
+    (exact or nearest-even), then one correctly-rounded division — so
+    results stay bit-identical, and for in-range values (< 2^53 micros)
+    the emitted double is unchanged from the naive cast. The oracle SQL
+    twin is CAST(CAST(<sum> * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0.
+    """
+    return (s * F.lit(1000000)).cast("long").cast("double") / F.lit(1000000.0)
+
+
 def dsum(c: Column | str) -> Column:
-    """Deterministic sum of a double column: exact decimal sum -> double."""
-    return F.sum(dec(c)).cast("double")
+    """Deterministic sum of a double column: exact decimal sum -> double
+    (via ``dec_to_double`` — see its envelope note)."""
+    return dec_to_double(F.sum(dec(c)))
 
 
 def tokens(c: Column | str) -> Column:

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import register_testdata
+from maplejuice_spark.functions import dec_to_double
 from maplejuice_spark.registry import register
 
 
@@ -463,7 +464,7 @@ def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q11_SPARK = """
 SELECT s_nationkey,
-       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS nation_bal
+       (CAST(CAST((SUM(CAST(s_acctbal AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS nation_bal
 FROM supplier
 GROUP BY s_nationkey
 HAVING SUM(CAST(s_acctbal AS DECIMAL(18,6))) >
@@ -749,7 +750,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
     FROM events GROUP BY month, event_type
     """,
     tags=("analytics", "rollup", "hypertable"),
@@ -787,7 +788,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.sum("n").alias("n_events"),
-        F.sum("sv").cast("double").alias("total_value"),
+        dec_to_double(F.sum("sv")).alias("total_value"),
     )
     return monthly
 
@@ -1009,7 +1010,7 @@ _DAY_US = 86_400_000_000
     oracle=f"""
     WITH daily AS (
       SELECT event_type, epoch_us(ts) // {_DAY_US} AS d,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+             (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS v
       FROM events GROUP BY event_type, d
     ),
     axis AS (

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import materialize, tokens, TOKEN_CLASS
+from maplejuice_spark.functions import dec_to_double, materialize, tokens, TOKEN_CLASS
 from maplejuice_spark.registry import register
 
 _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
@@ -153,7 +153,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
            o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           (CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
              AS revenue,
            COUNT(*) AS n_orders
     FROM orders GROUP BY month, o_orderpriority
@@ -191,7 +191,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionAll(delta)
         .groupBy("month", "o_orderpriority")
         .agg(
-            F.sum("rev").cast("double").alias("revenue"),
+            dec_to_double(F.sum("rev")).alias("revenue"),
             F.sum("n").alias("n_orders"),
         )
     )

@@ -12,7 +12,7 @@ EXISTS/NOT EXISTS, IN/NOT IN, disjunctive predicate pushdown, conditional
 aggregation, histogram-of-aggregates, top-k with tiebreak.
 
 Cross-engine determinism: every double SUM goes through
-``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`` (decimal accumulation
+``(CAST(CAST((SUM(CAST(x AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)`` (decimal accumulation
 is associative — bit-identical regardless of partitioning); ratios divide
 the two already-rounded doubles. LIMIT queries carry full tiebreakers.
 
@@ -47,7 +47,7 @@ def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str) -> None:
     register(name, oracle=sql, tags=tags)(fn)
 
 
-_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+_REV = "(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)"
 
 _sql_query(
     "q2_max_acctbal_supplier",
@@ -102,8 +102,8 @@ _sql_query(
     "q8_market_share",
     """
     SELECT o_year,
-           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           (CAST(CAST((SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
              / CAST(SUM(volume) AS DOUBLE) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
@@ -202,11 +202,10 @@ _sql_query(
     "q14_promo_revenue",
     """
     SELECT 100.0
-           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+           * (CAST(CAST((SUM(CASE WHEN p_type = 'PROMO'
                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS promo_revenue
+                      ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
+           / (CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -289,9 +288,9 @@ _sql_query(
     "q22_dormant_rich_customers",
     """
     SELECT c_custkey % 5 AS cgroup, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+           (CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+    WHERE c_acctbal > (SELECT (CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
                               / COUNT(*)
                        FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import dsum, ts_us_div
+from maplejuice_spark.functions import dec_to_double, dsum, ts_us_div
 from maplejuice_spark.registry import register
 
 EVENTS_SCHEMA = T.StructType(
@@ -59,7 +59,7 @@ def _event_time(df: DataFrame) -> DataFrame:
     oracle="""
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
     FROM events GROUP BY window_start_us, event_type
     """,
     tags=("streaming", "window"),
@@ -278,7 +278,7 @@ _STREAM_RUN_SEQ = [0]
     oracle="""
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
     FROM events GROUP BY window_start_us, event_type
     """,
     tags=("streaming", "window", "stateful"),
@@ -300,9 +300,9 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
+            dec_to_double(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+            ).alias("total_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -419,7 +419,7 @@ def _user_stats_fn(key, pdf_iter, state):
     "stream_user_stats",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value,
            MIN(epoch_us(ts)) AS first_ts_us,
            MAX(epoch_us(ts)) AS last_ts_us
     FROM events GROUP BY user_id
@@ -462,7 +462,7 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           (CAST(CAST((SUM(CAST(e.value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -485,9 +485,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
+            dec_to_double(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+            ).alias("total_value"),
         )
     )
     _STREAM_RUN_SEQ[0] += 1

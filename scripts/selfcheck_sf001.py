@@ -38,13 +38,20 @@ TABLES = (
 
 
 def plain_spark() -> SparkSession:
-    """Driver-identical session: bare builder, no engine configs."""
+    """Driver-identical session: bare builder, no engine configs.
+
+    MJ_SELFCHECK_DRIVER_MEM (opt-in, e.g. "8g") raises only the heap —
+    for sweeping beyond-gate-scale replicas (x3/x10), whose corrected
+    shuffle plans can exceed the stock 1 GiB driver's spill headroom.
+    The driver gate itself always runs the bare default."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("selfcheck-plain")
-        .getOrCreate()
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(
+        "selfcheck-plain"
     )
+    mem = os.environ.get("MJ_SELFCHECK_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    return builder.getOrCreate()
 
 
 def _norm_cell(v):
