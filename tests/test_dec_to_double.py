@@ -1,0 +1,101 @@
+"""Regression pin for the cross-engine decimal->double contract.
+
+The repo's correctness gate compares Spark and DuckDB doubles
+bit-identically. A direct CAST(decimal AS DOUBLE) breaks that once the
+aggregate exceeds double's 53-bit mantissa: Spark rounds the BigDecimal
+correctly, DuckDB converts the scaled int64 then divides (double
+rounding) — a 1-ULP split first hit by q1_pricing_summary's sum_charge
+on a x10 replica of the sf0.1 corpus (17 significant digits).
+
+``functions.dec_to_double`` (and its SQL twin
+``CAST(CAST(<sum> * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0``) route
+both engines through the SAME two IEEE steps. These tests pin that
+contract on values chosen to sit IN the divergence zone (> 2^53
+micro-units, verified divergent at authoring time), so a regression to
+the naive cast on either side fails here without needing a 10x-scale
+sweep to expose it.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from maplejuice_spark.functions import dec_to_double
+
+# Micro-unit int64 values (> 2^53, < DECIMAL(18,6) range) where the
+# correctly-rounded v/1e6 differs from float(v)/1e6 — i.e. the naive
+# casts of the two engines disagree by exactly 1 ULP.
+_DIVERGENT_MICROS = [
+    68186248267378483,
+    26348795732298639,
+    54448585565417561,
+    13464829622554025,
+]
+
+
+def _as_decimal_literal(v: int) -> str:
+    return f"{v // 10**6}.{v % 10**6:06d}"
+
+
+def test_values_sit_in_divergence_zone():
+    """Guard the fixture: each constant really double-rounds, so the
+    cross-engine assertions below are load-bearing, not vacuous."""
+    for v in _DIVERGENT_MICROS:
+        assert v > 2**53
+        assert float(Fraction(v, 10**6)) != float(v) / 1e6
+
+
+def test_spark_dec_to_double_matches_duckdb_twin(spark, oracle_con):
+    """The emitted doubles must be bit-identical across engines on sums
+    big enough that the naive casts provably disagree."""
+    for v in _DIVERGENT_MICROS:
+        lit = _as_decimal_literal(v)
+
+        df = spark.createDataFrame([Row(x=lit)]).select(
+            F.col("x").cast("decimal(18,6)").alias("x")
+        )
+        naive_spark, fixed_spark = df.agg(
+            F.sum("x").cast("double").alias("naive"),
+            dec_to_double(F.sum("x")).alias("fixed"),
+        ).first()
+
+        naive_duck, fixed_duck = oracle_con.sql(
+            f"""
+            SELECT CAST(SUM(x) AS DOUBLE) AS naive,
+                   (CAST(CAST((SUM(x)) * 1000000 AS BIGINT) AS DOUBLE)
+                    / 1000000.0) AS fixed
+            FROM (SELECT CAST('{lit}' AS DECIMAL(18,6)) AS x)
+            """
+        ).fetchone()
+
+        # The bug: naive casts disagree (Spark rounds correctly, DuckDB
+        # double-rounds). If this ever starts passing, the fixture
+        # values no longer exercise the divergence zone.
+        assert naive_spark.hex() != naive_duck.hex(), lit
+        # The fix: identical bits, equal to the int64->double path.
+        assert fixed_spark.hex() == fixed_duck.hex() == (
+            float(v) / 1e6
+        ).hex(), lit
+
+
+def test_dec_to_double_is_identity_in_range(spark):
+    """For sums under 2^53 micro-units (every gate-scale table), the
+    fixed conversion emits the SAME double as the naive cast — the
+    rewrite cannot have changed any previously-green small-scale
+    result."""
+    in_range = ["0.000001", "1.500000", "12345678.654321", "-987654.000321"]
+    rows = [Row(x=s) for s in in_range]
+    df = spark.createDataFrame(rows).select(
+        F.col("x").cast("decimal(18,6)").alias("x")
+    )
+    out = df.groupBy("x").agg(
+        F.sum("x").cast("double").alias("naive"),
+        dec_to_double(F.sum("x")).alias("fixed"),
+    )
+    for r in out.collect():
+        assert r.naive.hex() == r.fixed.hex()
+        assert math.isfinite(r.fixed)
