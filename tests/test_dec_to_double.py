@@ -82,6 +82,56 @@ def test_spark_dec_to_double_matches_duckdb_twin(spark, oracle_con):
         ).hex(), lit
 
 
+def test_dec_to_double_randomized_batch_differential(spark, oracle_con):
+    """Seeded random sweep of the WHOLE DECIMAL(18,6) range (both
+    signs, clustered around the 2^53 micro-unit divergence boundary,
+    up to the column max ~1e12): Spark's dec_to_double, DuckDB's SQL
+    twin, and the two-step Python model (float(v)/1e6) must agree
+    bit-for-bit on every value — one batch per engine, not per-example
+    round trips."""
+    import random
+
+    rng = random.Random(0xD2D)
+    micros = (
+        [rng.randrange(-(2**53), 2**53) for _ in range(150)]
+        + [rng.randrange(2**53, 2**56) for _ in range(150)]
+        + [-rng.randrange(2**53, 2**56) for _ in range(100)]
+        + [rng.randrange(2**56, 999_999_999_999 * 10**6) for _ in range(98)]
+        + [0, 2**53]
+    )
+    lits = [
+        ("-" if v < 0 else "") + _as_decimal_literal(abs(v)) for v in micros
+    ]
+    model = [float(v) / 1e6 for v in micros]
+
+    df = spark.createDataFrame(
+        [Row(i=i, x=s) for i, s in enumerate(lits)]
+    ).select("i", F.col("x").cast("decimal(18,6)").alias("x"))
+    got_spark = {
+        r.i: r.fixed
+        for r in df.groupBy("i")
+        .agg(dec_to_double(F.sum("x")).alias("fixed"))
+        .collect()
+    }
+
+    values_sql = ", ".join(
+        f"({i}, CAST('{s}' AS DECIMAL(18,6)))" for i, s in enumerate(lits)
+    )
+    got_duck = dict(
+        oracle_con.sql(
+            f"""
+            SELECT i, (CAST(CAST((SUM(x)) * 1000000 AS BIGINT) AS DOUBLE)
+                       / 1000000.0) AS fixed
+            FROM (VALUES {values_sql}) AS t(i, x) GROUP BY i
+            """
+        ).fetchall()
+    )
+
+    for i, want in enumerate(model):
+        assert got_spark[i].hex() == want.hex(), (i, lits[i])
+        assert got_duck[i].hex() == want.hex(), (i, lits[i])
+
+
 def test_dec_to_double_is_identity_in_range(spark):
     """For sums under 2^53 micro-units (every gate-scale table), the
     fixed conversion emits the SAME double as the naive cast — the
