@@ -104,7 +104,7 @@ _sql_query(
     SELECT o_year,
            (CAST(CAST((SUM(CASE WHEN nation = 'NATION_3' THEN volume
                          ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
-             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+             / (CAST(CAST((SUM(volume)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
              CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
@@ -128,7 +128,7 @@ _sql_query(
     "q9_product_profit",
     """
     SELECT nation, o_year,
-           CAST(SUM(amount) AS DOUBLE) AS sum_profit
+           (CAST(CAST((SUM(amount)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
              CAST(l_extendedprice * (1 - l_discount)
