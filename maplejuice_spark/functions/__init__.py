@@ -47,24 +47,63 @@ def md5_key(c: Column | str) -> Column:
     return F.md5(c.cast("string").cast("binary"))
 
 
-def dec_to_double(s: Column) -> Column:
+# 2^32 — the limb width of the deterministic decimal->double conversion.
+_LIMB = 4_294_967_296
+
+
+def dec_to_double(s: Column, scale: int = 6) -> Column:
     """Exact-decimal aggregate -> double, deterministically cross-engine
-    at ANY magnitude an int64 of micro-units can hold (~9.2e12 in value
-    terms — 1000x the naive cast's envelope).
+    for |value| < 1e26 at scale 6 (any aggregate a 100 TB table can
+    produce, with ~9 orders of magnitude to spare) and |value| < 2^117
+    at scale 0.
 
     A direct CAST(decimal AS DOUBLE) diverges between engines once the
     decimal's significant digits exceed double's 53-bit mantissa: Spark
-    rounds the decimal correctly (BigDecimal.doubleValue), DuckDB
-    converts the scaled int64 then divides (double-rounding) — a 1-ULP
-    split first observed on q1's sum_charge at the x10 probe scale
-    (17 significant digits). Routing through exact micro-unit integers
-    makes both engines run the SAME two IEEE steps — int64 -> double
-    (exact or nearest-even), then one correctly-rounded division — so
-    results stay bit-identical, and for in-range values (< 2^53 micros)
-    the emitted double is unchanged from the naive cast. The oracle SQL
-    twin is CAST(CAST(<sum> * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0.
+    rounds the BigDecimal correctly, DuckDB converts the scaled integer
+    then divides (double rounding) — a 1-ULP split first observed on
+    q1's sum_charge at the x10 probe scale (17 significant digits). An
+    int64 micro-unit detour fixes that but ANSI-overflows past ~9.2e12
+    in value terms — an at-scale cliff, since 100 TB global revenue
+    sums reach ~1e17.
+
+    This conversion therefore splits the exact scaled integer U into
+    two int64-exact limbs, ``hi = U - U % 2^32`` (a multiple of 2^32
+    whose significant bits fit 53 until U ≥ 2^85... and whose int128
+    halves convert exactly in DuckDB until U ≥ 2^117) and
+    ``lo = U % 2^32``, converts each with a single correctly-rounded
+    step on BOTH engines, and finishes with one IEEE add and one IEEE
+    division — the identical rounding sequence everywhere, so results
+    stay bit-identical across the whole envelope. For |U| < 2^64 (every
+    DECIMAL(18,6)-range value) the emitted double equals the correctly
+    rounded value, i.e. the rewrite is invisible at small scale.
+    Validated against a pure-Python model and DuckDB on thousands of
+    hostile magnitudes (tests/test_dec_to_double.py). The oracle twin
+    is ``dec_to_double_sql``.
     """
-    return (s * F.lit(1000000)).cast("long").cast("double") / F.lit(1000000.0)
+    unit = 10**scale
+    u = (s * F.lit(unit)).cast("decimal(38,0)") if scale else s.cast(
+        "decimal(38,0)"
+    )
+    lo = u % F.lit(_LIMB)
+    two = (u - lo).cast("double") + lo.cast("long").cast("double")
+    return two / F.lit(float(unit)) if scale else two
+
+
+def dec_to_double_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB/ANSI twin of ``dec_to_double`` for oracle SQL strings:
+    emits the same two-limb conversion for a decimal aggregate
+    expression (see dec_to_double for the determinism argument)."""
+    unit = 10**scale
+    u = (
+        f"CAST(({expr}) * {unit} AS DECIMAL(38,0))"
+        if scale
+        else f"CAST(({expr}) AS DECIMAL(38,0))"
+    )
+    core = (
+        f"(CAST({u} - ({u} % {_LIMB}) AS DOUBLE)"
+        f" + CAST(CAST({u} % {_LIMB} AS BIGINT) AS DOUBLE))"
+    )
+    return f"({core} / {unit}.0)" if scale else core
 
 
 def dsum(c: Column | str) -> Column:

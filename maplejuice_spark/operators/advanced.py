@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import register_testdata
-from maplejuice_spark.functions import dec_to_double
+from maplejuice_spark.functions import dec_to_double, dec_to_double_sql
 from maplejuice_spark.registry import register
 
 
@@ -427,21 +427,22 @@ def regexp_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VAR_ORACLE = """
-WITH m AS (
+_VAR_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(19,0)) AS x
+  FROM lineitem
+),
+m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
-         SUM(CAST(l_quantity AS DECIMAL(18,6)) *
-             CAST(l_quantity AS DECIMAL(18,6))) AS s2
-  FROM lineitem GROUP BY l_returnflag
+         {dec_to_double_sql('SUM(x)', scale=0)} AS s1,
+         {dec_to_double_sql('SUM(x * x)', scale=0)} AS s2
+  FROM base GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       CAST(s1 AS DOUBLE) / n AS mean_qty,
-       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-         / (n - 1) AS var_qty,
-       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-         / (n - 1)) AS stddev_qty
+       s1 / n AS mean_qty,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty
 FROM m
 """
 
@@ -453,18 +454,20 @@ FROM m
 )
 def variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (mean / sample variance / stddev) computed
-    from decimal-exact moments (n, sum x, sum x²) with the double math
-    deferred to the final projection — the same two-level trick the other
-    aggregates use to stay bit-identical across engines, here applied to
-    second moments. The built-in var_samp/stddev_samp use Welford-style
-    streaming updates whose float rounding is accumulation-order-dependent
-    (fine in practice, unusable for an exact differential gate)."""
+    from integer-exact moments (n, Σx, Σx² over DECIMAL(19,0) quantity
+    units, like regression_qty_price) with the double math deferred to
+    the final projection; the moments convert via the two-limb
+    dec_to_double_sql pattern so the conversion stays engine-identical
+    past int64-sized sums. The built-in var_samp/stddev_samp use
+    Welford-style streaming updates whose float rounding is
+    accumulation-order-dependent (fine in practice, unusable for an
+    exact differential gate)."""
     return _sql(spark, sf_dir, _VAR_ORACLE)
 
 
 _Q11_SPARK = """
 SELECT s_nationkey,
-       (CAST(CAST((SUM(CAST(s_acctbal AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS nation_bal
+       ((CAST(CAST((SUM(CAST(s_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(s_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(s_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS nation_bal
 FROM supplier
 GROUP BY s_nationkey
 HAVING SUM(CAST(s_acctbal AS DECIMAL(18,6))) >
@@ -516,7 +519,7 @@ def cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _CROSS_SPARK)
 
 
-_REGR_SQL = """
+_REGR_SQL = f"""
 WITH base AS (
   SELECT l_returnflag,
          CAST(l_quantity AS DECIMAL(19,0)) AS x,
@@ -526,11 +529,11 @@ WITH base AS (
 m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(x) AS DOUBLE) AS sx,
-         CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(y * y) AS DOUBLE) AS syy,
-         CAST(SUM(x * y) AS DOUBLE) AS sxy
+         {dec_to_double_sql('SUM(x)', scale=0)} AS sx,
+         {dec_to_double_sql('SUM(y)', scale=0)} AS sy,
+         {dec_to_double_sql('SUM(x * x)', scale=0)} AS sxx,
+         {dec_to_double_sql('SUM(y * y)', scale=0)} AS syy,
+         {dec_to_double_sql('SUM(x * y)', scale=0)} AS sxy
   FROM base GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -552,12 +555,14 @@ def regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-regression aggregates (slope/intercept/Pearson corr of
     extendedprice on quantity per returnflag) from exact INTEGER moments
     (n, Σx, Σy, Σx², Σy², Σxy over quantity units and price cents, summed
-    as DECIMAL(38,0)) — the variance_stats trick pushed further: scaled
-    decimals convert to double through two roundings (engine-dependent
-    last ULP), integers convert through one correctly-rounded step, so
-    the final projection's IEEE ops (÷, ×, sqrt) are engine-identical.
-    Built-in regr_slope/corr stream float updates and can't hash-match
-    across engines."""
+    as DECIMAL(38,0)) — the variance_stats trick pushed further. The
+    moments convert to double via the two-limb dec_to_double_sql pattern
+    (scale 0): a naive CAST is only engine-identical while the sum fits
+    int64 (syy ≈ 7.4e18 at sf0.1 — one decade from the cliff; DuckDB's
+    int128→double path double-rounds ~1.4% of beyond-2^63 values), so
+    the limb split keeps the final projection's IEEE ops (÷, ×, sqrt)
+    engine-identical at any realistic scale. Built-in regr_slope/corr
+    stream float updates and can't hash-match across engines."""
     return _sql(spark, sf_dir, _REGR_SQL)
 
 
@@ -750,7 +755,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
            event_type,
            COUNT(*) AS n_events,
-           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
+           ((CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_value
     FROM events GROUP BY month, event_type
     """,
     tags=("analytics", "rollup", "hypertable"),
@@ -1010,7 +1015,7 @@ _DAY_US = 86_400_000_000
     oracle=f"""
     WITH daily AS (
       SELECT event_type, epoch_us(ts) // {_DAY_US} AS d,
-             (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS v
+             ((CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS v
       FROM events GROUP BY event_type, d
     ),
     axis AS (

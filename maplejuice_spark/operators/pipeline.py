@@ -153,7 +153,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
            o_orderpriority,
-           (CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
+           ((CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)
              AS revenue,
            COUNT(*) AS n_orders
     FROM orders GROUP BY month, o_orderpriority

@@ -36,13 +36,13 @@ from maplejuice_spark.registry import register
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           (CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_qty,
-           (CAST(CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_base_price,
-           (CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_disc_price,
-           (CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_charge,
-           (CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT(*) AS avg_qty,
-           (CAST(CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT(*) AS avg_price,
-           (CAST(CAST((SUM(CAST(l_discount AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT(*) AS avg_disc,
+           ((CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS sum_qty,
+           ((CAST(CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS sum_base_price,
+           ((CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS sum_disc_price,
+           ((CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS sum_charge,
+           ((CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) / COUNT(*) AS avg_qty,
+           ((CAST(CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) / COUNT(*) AS avg_price,
+           ((CAST(CAST((SUM(CAST(l_discount AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_discount AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_discount AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -109,7 +109,7 @@ def count_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-           (CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_qty
+           ((CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     tags=("agg", "grouping-sets"),
@@ -126,7 +126,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           (CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_price
+           ((CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("agg", "grouping-sets"),
@@ -189,7 +189,7 @@ def pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           (CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS revenue,
+           ((CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -236,7 +236,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     oracle="""
     SELECT n_name,
-           (CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS revenue
+           ((CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -285,7 +285,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_region",
     oracle="""
     SELECT r_name, COUNT(*) AS n_customers,
-           (CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_acctbal
+           ((CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
@@ -498,10 +498,16 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_qty",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           (CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))
+           ((CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS running_qty
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS running_qty
     FROM lineitem WHERE l_suppkey < 10
     """,
     tags=("window", "frame"),
@@ -843,7 +849,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
            COUNT(*) AS n,
-           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
+           ((CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_value
     FROM events GROUP BY day, event_type
     """,
     tags=("functions", "datetime"),
@@ -863,7 +869,7 @@ def events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
            COUNT(*) AS n_orders,
-           (CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS revenue
+           ((CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS revenue
     FROM orders GROUP BY month
     """,
     tags=("functions", "datetime"),

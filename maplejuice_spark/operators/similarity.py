@@ -916,7 +916,7 @@ _SQL_PQ_SLICE = f"list_slice(vn, s * {PQ_SUB} + 1, s * {PQ_SUB} + {PQ_SUB})"
     ),
     scored AS (
       SELECT l.query_id, x.vec_id AS neighbor_id,
-             (CAST(CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS approx_sim
+             ((CAST(CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS approx_sim
       FROM codes x JOIN qlut l ON l.s = x.s AND l.code = x.code
       WHERE x.vec_id <> l.query_id
       GROUP BY l.query_id, x.vec_id
@@ -1080,7 +1080,7 @@ _SQL_IVFPQ_SCORED_CTES = f"""
     ),
     scored AS (
       SELECT k.query_id, k.vec_id AS neighbor_id,
-             (CAST(CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS approx_sim
+             ((CAST(CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l.part AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS approx_sim
       FROM cand k JOIN codes x ON x.vec_id = k.vec_id
                   JOIN qlut l ON l.query_id = k.query_id
                              AND l.s = x.s AND l.code = x.code

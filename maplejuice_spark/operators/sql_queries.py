@@ -24,7 +24,7 @@ def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
 
 
 _Q_Q6_FORECAST_REVENUE = """
-    SELECT (CAST(CAST((SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
+    SELECT ((CAST(CAST((SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)
              AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
@@ -48,7 +48,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_Q18_LARGE_ORDERS = """
     SELECT o_orderkey, o_custkey,
-           (CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_qty
+           ((CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_custkey
     HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
@@ -64,7 +64,7 @@ _Q_Q18_SPARK = """
     SELECT o_orderkey, o_custkey, total_qty
     FROM orders JOIN (
       SELECT l_orderkey,
-             (CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
+             ((CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_quantity AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)
                AS total_qty
       FROM lineitem
       GROUP BY l_orderkey

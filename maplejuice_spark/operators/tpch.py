@@ -11,10 +11,12 @@ partsupp, no l_shipmode/l_receiptdate, no c_phone): each keeps the
 EXISTS/NOT EXISTS, IN/NOT IN, disjunctive predicate pushdown, conditional
 aggregation, histogram-of-aggregates, top-k with tiebreak.
 
-Cross-engine determinism: every double SUM goes through
-``(CAST(CAST((SUM(CAST(x AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)`` (decimal accumulation
-is associative — bit-identical regardless of partitioning); ratios divide
-the two already-rounded doubles. LIMIT queries carry full tiebreakers.
+Cross-engine determinism: every double SUM accumulates as
+DECIMAL(18,6) (exact and associative — bit-identical regardless of
+partitioning) and converts to double via the two-limb
+``functions.dec_to_double_sql`` pattern (deterministic across engines
+at any magnitude — see that helper's envelope note); ratios divide the
+two already-rounded doubles. LIMIT queries carry full tiebreakers.
 
 The exact same SQL text runs on Spark and DuckDB — the oracle IS the
 query, so any dialect drift fails loudly in tests/test_oracle.py.
@@ -47,7 +49,7 @@ def _sql_query(name: str, sql: str, tags: tuple[str, ...], doc: str) -> None:
     register(name, oracle=sql, tags=tags)(fn)
 
 
-_REV = "(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)"
+_REV = "((CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)"
 
 _sql_query(
     "q2_max_acctbal_supplier",
@@ -102,9 +104,11 @@ _sql_query(
     "q8_market_share",
     """
     SELECT o_year,
-           (CAST(CAST((SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                         ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
-             / (CAST(CAST((SUM(volume)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS mkt_share
+           ((CAST(CAST((SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)
+             / ((CAST(CAST((SUM(volume)) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(volume)) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(volume)) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
              CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
@@ -128,7 +132,7 @@ _sql_query(
     "q9_product_profit",
     """
     SELECT nation, o_year,
-           (CAST(CAST((SUM(amount)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_profit
+           ((CAST(CAST((SUM(amount)) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(amount)) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(amount)) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
              CAST(l_extendedprice * (1 - l_discount)
@@ -202,10 +206,14 @@ _sql_query(
     "q14_promo_revenue",
     """
     SELECT 100.0
-           * (CAST(CAST((SUM(CASE WHEN p_type = 'PROMO'
+           * ((CAST(CAST((SUM(CASE WHEN p_type = 'PROMO'
                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                      ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
-           / (CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS promo_revenue
+                      ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END)) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)
+           / ((CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -288,9 +296,9 @@ _sql_query(
     "q22_dormant_rich_customers",
     """
     SELECT c_custkey % 5 AS cgroup, COUNT(*) AS numcust,
-           (CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS totacctbal
+           ((CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT (CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
+    WHERE c_acctbal > (SELECT ((CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(c_acctbal AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)
                               / COUNT(*)
                        FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders

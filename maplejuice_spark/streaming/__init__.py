@@ -59,7 +59,7 @@ def _event_time(df: DataFrame) -> DataFrame:
     oracle="""
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
            event_type, COUNT(*) AS n,
-           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
+           ((CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_value
     FROM events GROUP BY window_start_us, event_type
     """,
     tags=("streaming", "window"),
@@ -278,7 +278,7 @@ _STREAM_RUN_SEQ = [0]
     oracle="""
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
            event_type, COUNT(*) AS n,
-           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
+           ((CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_value
     FROM events GROUP BY window_start_us, event_type
     """,
     tags=("streaming", "window", "stateful"),
@@ -419,7 +419,7 @@ def _user_stats_fn(key, pdf_iter, state):
     "stream_user_stats",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           (CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value,
+           ((CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_value,
            MIN(epoch_us(ts)) AS first_ts_us,
            MAX(epoch_us(ts)) AS last_ts_us
     FROM events GROUP BY user_id
@@ -462,7 +462,7 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_events,
-           (CAST(CAST((SUM(CAST(e.value AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
+           ((CAST(CAST((SUM(CAST(e.value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) - (CAST((SUM(CAST(e.value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296) AS DOUBLE) + CAST(CAST(CAST((SUM(CAST(e.value AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0)) % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,

@@ -3,28 +3,33 @@
 The repo's correctness gate compares Spark and DuckDB doubles
 bit-identically. A direct CAST(decimal AS DOUBLE) breaks that once the
 aggregate exceeds double's 53-bit mantissa: Spark rounds the BigDecimal
-correctly, DuckDB converts the scaled int64 then divides (double
+correctly, DuckDB converts the scaled integer then divides (double
 rounding) — a 1-ULP split first hit by q1_pricing_summary's sum_charge
-on a x10 replica of the sf0.1 corpus (17 significant digits).
+on a x10 replica of the sf0.1 corpus (17 significant digits). DuckDB's
+int128 path additionally double-rounds ~1.4% of beyond-2^63 values
+even at scale 0.
 
-``functions.dec_to_double`` (and its SQL twin
-``CAST(CAST(<sum> * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0``) route
-both engines through the SAME two IEEE steps. These tests pin that
-contract on values chosen to sit IN the divergence zone (> 2^53
-micro-units, verified divergent at authoring time), so a regression to
-the naive cast on either side fails here without needing a 10x-scale
-sweep to expose it.
+``functions.dec_to_double`` and its SQL twin ``dec_to_double_sql``
+route both engines through the SAME rounding sequence: split the exact
+scaled integer into two limbs (hi = U - U%2^32, lo = U%2^32) whose
+conversions are deterministic on both engines, then one IEEE add and
+one IEEE division. These tests pin that contract on values chosen to
+sit IN the divergence zones (verified divergent-under-naive-cast at
+authoring time), across the full supported envelope (|value| < 1e26 at
+scale 6), so a regression fails here without needing a 10x-scale sweep
+to expose it.
 """
 
 from __future__ import annotations
 
 import math
+import random
 from fractions import Fraction
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from maplejuice_spark.functions import dec_to_double
+from maplejuice_spark.functions import dec_to_double, dec_to_double_sql
 
 # Micro-unit int64 values (> 2^53, < DECIMAL(18,6) range) where the
 # correctly-rounded v/1e6 differs from float(v)/1e6 — i.e. the naive
@@ -38,15 +43,40 @@ _DIVERGENT_MICROS = [
 
 
 def _as_decimal_literal(v: int) -> str:
-    return f"{v // 10**6}.{v % 10**6:06d}"
+    sign = "-" if v < 0 else ""
+    v = abs(v)
+    return f"{sign}{v // 10**6}.{v % 10**6:06d}"
+
+
+def _two_limb_model(u: int, scale: int = 6) -> float:
+    """Pure-Python model of the conversion both engines must emit."""
+    lo = u - (abs(u) // 2**32) * 2**32 * (1 if u >= 0 else -1)
+    hi = u - lo
+    two = float(hi) + float(lo)
+    return two / float(10**scale) if scale else two
 
 
 def test_values_sit_in_divergence_zone():
-    """Guard the fixture: each constant really double-rounds, so the
-    cross-engine assertions below are load-bearing, not vacuous."""
+    """Guard the fixture: each constant really double-rounds under a
+    naive cast, so the cross-engine assertions below are load-bearing,
+    not vacuous."""
     for v in _DIVERGENT_MICROS:
         assert v > 2**53
         assert float(Fraction(v, 10**6)) != float(v) / 1e6
+
+
+def test_two_limb_collapses_below_2_64():
+    """For |U| < 2^64 (every DECIMAL(18,6)-range value) both limbs are
+    exactly representable, so the limb add is exact and the model
+    collapses to float(U)/1e6 — exactly what the previous int64
+    micro-unit conversion emitted, i.e. the limb rewrite is invisible
+    across the entire old envelope."""
+    rng = random.Random(7)
+    for _ in range(2000):
+        u = rng.randrange(-(2**63), 2**63)
+        assert _two_limb_model(u) == float(u) / 1e6
+        if abs(u) < 2**53:  # below the mantissa, even the naive cast
+            assert _two_limb_model(u) == float(Fraction(u, 10**6))
 
 
 def test_spark_dec_to_double_matches_duckdb_twin(spark, oracle_con):
@@ -66,8 +96,7 @@ def test_spark_dec_to_double_matches_duckdb_twin(spark, oracle_con):
         naive_duck, fixed_duck = oracle_con.sql(
             f"""
             SELECT CAST(SUM(x) AS DOUBLE) AS naive,
-                   (CAST(CAST((SUM(x)) * 1000000 AS BIGINT) AS DOUBLE)
-                    / 1000000.0) AS fixed
+                   {dec_to_double_sql('SUM(x)')} AS fixed
             FROM (SELECT CAST('{lit}' AS DECIMAL(18,6)) AS x)
             """
         ).fetchone()
@@ -76,37 +105,37 @@ def test_spark_dec_to_double_matches_duckdb_twin(spark, oracle_con):
         # double-rounds). If this ever starts passing, the fixture
         # values no longer exercise the divergence zone.
         assert naive_spark.hex() != naive_duck.hex(), lit
-        # The fix: identical bits, equal to the int64->double path.
-        assert fixed_spark.hex() == fixed_duck.hex() == (
-            float(v) / 1e6
+        # The fix: identical bits on both engines, equal to the model
+        # (== correct rounding in this range).
+        assert fixed_spark.hex() == fixed_duck.hex() == _two_limb_model(
+            v
         ).hex(), lit
 
 
-def test_dec_to_double_randomized_batch_differential(spark, oracle_con):
-    """Seeded random sweep of the WHOLE DECIMAL(18,6) range (both
-    signs, clustered around the 2^53 micro-unit divergence boundary,
-    up to the column max ~1e12): Spark's dec_to_double, DuckDB's SQL
-    twin, and the two-step Python model (float(v)/1e6) must agree
-    bit-for-bit on every value — one batch per engine, not per-example
-    round trips."""
-    import random
-
+def test_envelope_randomized_batch_differential(spark, oracle_con):
+    """Seeded random sweep of the WHOLE supported envelope (scale-6
+    values to ~1e26 — far past both the 2^53 naive-cast cliff and the
+    ~9.2e12 int64-micro-unit cliff — plus the int64-range floor):
+    Spark's dec_to_double, DuckDB's SQL twin, and the Python model must
+    agree bit-for-bit. One batch per engine, not per-example round
+    trips."""
     rng = random.Random(0xD2D)
     micros = (
-        [rng.randrange(-(2**53), 2**53) for _ in range(150)]
-        + [rng.randrange(2**53, 2**56) for _ in range(150)]
-        + [-rng.randrange(2**53, 2**56) for _ in range(100)]
-        + [rng.randrange(2**56, 999_999_999_999 * 10**6) for _ in range(98)]
+        [rng.randrange(-(2**53), 2**53) for _ in range(100)]
+        + [rng.randrange(2**53, 2**63) for _ in range(100)]
+        + [-rng.randrange(2**53, 2**63) for _ in range(50)]
+        + [
+            rng.randrange(2**63, 10**31) * rng.choice([1, -1])
+            for _ in range(148)
+        ]
         + [0, 2**53]
     )
-    lits = [
-        ("-" if v < 0 else "") + _as_decimal_literal(abs(v)) for v in micros
-    ]
-    model = [float(v) / 1e6 for v in micros]
+    lits = [_as_decimal_literal(v) for v in micros]
+    model = [_two_limb_model(v) for v in micros]
 
     df = spark.createDataFrame(
         [Row(i=i, x=s) for i, s in enumerate(lits)]
-    ).select("i", F.col("x").cast("decimal(18,6)").alias("x"))
+    ).select("i", F.col("x").cast("decimal(38,6)").alias("x"))
     got_spark = {
         r.i: r.fixed
         for r in df.groupBy("i")
@@ -115,13 +144,12 @@ def test_dec_to_double_randomized_batch_differential(spark, oracle_con):
     }
 
     values_sql = ", ".join(
-        f"({i}, CAST('{s}' AS DECIMAL(18,6)))" for i, s in enumerate(lits)
+        f"({i}, CAST('{s}' AS DECIMAL(38,6)))" for i, s in enumerate(lits)
     )
     got_duck = dict(
         oracle_con.sql(
             f"""
-            SELECT i, (CAST(CAST((SUM(x)) * 1000000 AS BIGINT) AS DOUBLE)
-                       / 1000000.0) AS fixed
+            SELECT i, {dec_to_double_sql('SUM(x)')} AS fixed
             FROM (VALUES {values_sql}) AS t(i, x) GROUP BY i
             """
         ).fetchall()
@@ -130,6 +158,42 @@ def test_dec_to_double_randomized_batch_differential(spark, oracle_con):
     for i, want in enumerate(model):
         assert got_spark[i].hex() == want.hex(), (i, lits[i])
         assert got_duck[i].hex() == want.hex(), (i, lits[i])
+
+
+def test_scale0_variant_matches_in_hugeint_zone(spark, oracle_con):
+    """Scale-0 sums (the regression/variance integer moments) in the
+    beyond-2^63 zone where DuckDB's naive int128->double path misrounds
+    ~1.4% of values: the two-limb variant must match the model on both
+    engines."""
+    rng = random.Random(31)
+    vals = [rng.randrange(2**63, 2**90) * rng.choice([1, -1]) for _ in range(150)]
+    model = [_two_limb_model(v, scale=0) for v in vals]
+
+    df = spark.createDataFrame(
+        [Row(i=i, x=str(v)) for i, v in enumerate(vals)]
+    ).select("i", F.col("x").cast("decimal(38,0)").alias("x"))
+    got_spark = {
+        r.i: r.fixed
+        for r in df.groupBy("i")
+        .agg(dec_to_double(F.sum("x"), scale=0).alias("fixed"))
+        .collect()
+    }
+
+    values_sql = ", ".join(
+        f"({i}, CAST('{v}' AS DECIMAL(38,0)))" for i, v in enumerate(vals)
+    )
+    got_duck = dict(
+        oracle_con.sql(
+            f"""
+            SELECT i, {dec_to_double_sql('SUM(x)', scale=0)} AS fixed
+            FROM (VALUES {values_sql}) AS t(i, x) GROUP BY i
+            """
+        ).fetchall()
+    )
+
+    for i, want in enumerate(model):
+        assert got_spark[i].hex() == want.hex(), (i, vals[i])
+        assert got_duck[i].hex() == want.hex(), (i, vals[i])
 
 
 def test_dec_to_double_is_identity_in_range(spark):
