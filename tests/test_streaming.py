@@ -179,3 +179,48 @@ def test_pinned_conf_restores_unset_key(spark):
     with st._pinned_conf(spark, key, "com.example.FakeProvider"):
         assert spark.conf.get(key) == "com.example.FakeProvider"
     assert spark.conf.get(key, None) is None
+
+
+def test_protoshim_message_families_roundtrip():
+    """The protoshim contract: pyspark's protoc-6.33 StateMessage
+    gencode must (de)serialize correctly on whatever google.protobuf
+    runtime protoshim.install() provided — covering every wire shape
+    the TWS state protocol uses (oneofs, nested messages, enums,
+    bytes/int64/string scalars, repeated fields). A wire-format
+    incompatibility in the adapted runtime would corrupt state
+    requests silently; this pins it to an explicit failure."""
+    import pytest
+
+    from maplejuice_spark import protoshim
+
+    err = protoshim.install()
+    if err is not None:
+        pytest.skip(f"no usable protobuf runtime: {err}")
+
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as pb
+
+    # oneof + nested message + enum
+    req = pb.StateRequest(version=2)
+    req.statefulProcessorCall.setHandleState.state = pb.HandleState.INITIALIZED
+    # bytes scalar through a second oneof arm
+    key = pb.StateRequest(version=2)
+    key.implicitGroupingKeyRequest.setImplicitKey.key = b"\x00\xffuser-42"
+    # value-state call with string state name + bytes payload
+    val = pb.StateRequest(version=2)
+    val.stateVariableRequest.valueStateCall.stateName = "mm"
+    val.stateVariableRequest.valueStateCall.valueStateUpdate.value = b"\x01" * 64
+    # timer + int64 scalar
+    timer = pb.TimerRequest()
+    timer.timerValueRequest.getProcessingTimer.SetInParent()
+    # response with long payload
+    resp = pb.StateResponseWithLongTypeVal(statusCode=0, value=2**62)
+
+    for msg in (req, key, val, timer, resp):
+        wire = msg.SerializeToString()
+        back = type(msg)()
+        back.ParseFromString(wire)
+        assert back == msg, type(msg).__name__
+        assert back.SerializeToString() == wire
+
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    assert key.WhichOneof("method") == "implicitGroupingKeyRequest"
