@@ -47,3 +47,25 @@ def test_decode_deterministic(media):
 def test_stub_raises_on_empty():
     with pytest.raises(NotImplementedError):
         mm._stub_decode(b"")
+
+
+def test_decode_dims_dispatches_png_to_real_codec():
+    """A PNG payload must produce its REAL dimensions (signature-
+    sniffed real decode), while arbitrary bytes still fall back to the
+    stub formula — and a corrupt PNG must fail loudly, never silently
+    degrade to fake geometry."""
+    import numpy as np
+
+    from maplejuice_spark.functions.png_codec import png_encode
+
+    img = np.arange(11 * 23, dtype=np.uint8).reshape(11, 23) % 256
+    blob = png_encode(img, filter_mode="cycle")
+    assert mm.decode_dims(blob) == (23, 11)  # (width, height), real
+
+    raw = b"ab"
+    assert mm.decode_dims(raw) == mm._stub_decode(raw)
+
+    corrupt = bytearray(blob)
+    corrupt[-6] ^= 0xFF  # inside IEND/CRC tail
+    with pytest.raises(ValueError):
+        mm.decode_dims(bytes(corrupt))
