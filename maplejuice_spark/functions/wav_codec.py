@@ -1,0 +1,105 @@
+"""Pure-stdlib WAV (RIFF/PCM) codec: 8-bit unsigned and 16-bit signed
+PCM, mono or multi-channel.
+
+Implements the public RIFF/WAVE format (little-endian chunked
+container, ``fmt `` + ``data`` chunks, interleaved PCM frames) with
+``struct`` + numpy only, so the multimodal audio path can be REAL in
+environments with no media libraries — the companion of
+``png_codec`` for the image path. Compressed audio (MP3/AAC/OGG...)
+still requires external codecs and stays behind the documented stub.
+
+Scope (validated by tests/test_wav_codec.py, including a
+cross-implementation differential against the JDK's independent
+javax.sound.sampled WAV reader):
+
+- PCM only (``audio_format == 1``); 8-bit unsigned / 16-bit signed;
+- any channel count / sample rate; unknown chunks are skipped the way
+  the spec requires (so files with LIST/INFO metadata still decode);
+- precise errors for truncation and unsupported encodings — never
+  garbage samples.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Encode PCM samples to a WAV byte string.
+
+    ``samples``: (n,) mono or (n, channels) int16 (written as 16-bit
+    signed PCM) or uint8 (written as 8-bit unsigned PCM).
+    """
+    arr = np.asarray(samples)
+    if arr.dtype == np.int16:
+        bits = 16
+    elif arr.dtype == np.uint8:
+        bits = 8
+    else:
+        raise ValueError(f"unsupported dtype {arr.dtype} (int16/uint8)")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2 or arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError(f"unsupported shape {samples.shape}")
+    n, ch = arr.shape
+    block_align = ch * bits // 8
+    data = np.ascontiguousarray(arr.astype("<u1" if bits == 8 else "<i2")).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks are word-aligned
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a WAV byte string to ``(sample_rate, samples)`` where
+    samples is (n,) for mono or (n, channels) otherwise — int16 for
+    16-bit PCM, uint8 for 8-bit."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt: tuple | None = None
+    pcm: bytes | None = None
+    while pos + 8 <= len(data):
+        typ = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {typ!r} chunk")
+        if typ == b"fmt ":
+            if length < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            pcm = body
+        # any other chunk (LIST, fact, ...) is skipped per the spec
+        pos += 8 + length + (length % 2)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_format, ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"audio format {audio_format} (only PCM=1; compressed audio "
+            f"requires external codecs)"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM (only 8/16)")
+    if ch < 1 or block_align != ch * bits // 8:
+        raise ValueError(f"inconsistent channels={ch} block_align={block_align}")
+    frame = block_align
+    if len(pcm) % frame:
+        raise ValueError(f"data size {len(pcm)} not a frame multiple")
+    arr = np.frombuffer(pcm, dtype="<u1" if bits == 8 else "<i2")
+    arr = arr.reshape(-1, ch)
+    out = arr.astype(np.uint8 if bits == 8 else np.int16)
+    return rate, (out[:, 0] if ch == 1 else out)

@@ -439,3 +439,118 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(op, schema=PNG_FEATURES_SCHEMA).orderBy("doc_id")
+
+
+def decode_audio(payload: bytes) -> tuple[int, "object"]:
+    """Audio decode dispatch, the companion of ``decode_dims``:
+    RIFF/WAVE payloads decode FOR REAL through the pure-stdlib PCM
+    codec (sample rate + sample array back); compressed audio formats
+    (MP3/AAC/OGG) require external codec libraries this container
+    lacks and raise the documented NotImplementedError."""
+    from maplejuice_spark.functions.wav_codec import wav_decode
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decode(payload)
+    raise NotImplementedError(
+        "compressed audio decode requires codec libraries"
+    )
+
+
+N_SAMPLES = 256  # synthesized PCM length per document
+WAV_RATE = 16000
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("amp_sum", T.LongType()),
+        T.StructField("amp_whash", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "multimodal_wav_features",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS L
+      FROM documents WHERE doc_id % 9 = 0 AND LENGTH(text) >= 1
+    ),
+    s AS (
+      SELECT doc_id, i,
+             (ascii(substr(text, (i % L) + 1, 1)) % 256) * 256 - 32768 AS v
+      FROM (SELECT doc_id, text, L,
+                   unnest(generate_series(0, {N_SAMPLES - 1})) AS i
+            FROM d)
+    )
+    SELECT doc_id,
+           CAST({N_SAMPLES} AS INTEGER) AS n_samples,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           CAST(SUM(ABS(v)) AS BIGINT) AS amp_sum,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS amp_whash,
+           SUM(v) / {N_SAMPLES}.0 AS mean_amp
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "wav"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked end to end — the audio twin of
+    ``multimodal_png_features``: each selected document's codepoints
+    become a 256-sample 16-bit PCM waveform, ENCODED to an actual
+    RIFF/WAVE byte stream, DECODED back through the real pure-stdlib
+    codec (the sample count and rate in the output come from the
+    decoded header, not the input), then reduced to integer-exact
+    amplitude features. PCM is lossless, so the DuckDB oracle computes
+    the same features directly from the codepoints — a value-level
+    match proves the container framing and sample (de)serialization
+    bit-for-bit per document.
+
+    Scale: pure map over documents (repartitioned to the core count),
+    one output row per document, features not waveforms leave Python.
+    """
+    import numpy as np
+
+    from maplejuice_spark.functions.wav_codec import wav_decode, wav_encode
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 9 == 0) & (F.length("text") >= 1))
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.arange(N_SAMPLES, dtype=np.int64) + 1
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cp = np.array([ord(c) for c in text], dtype=np.int64)
+                v = (cp[np.arange(N_SAMPLES) % len(cp)] % 256) * 256 - 32768
+                blob = wav_encode(v.astype(np.int16), WAV_RATE)
+                rate, samples = wav_decode(blob)
+                s = samples.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(s.shape[0]),
+                        int(rate),
+                        int(np.abs(s).sum()),
+                        int((s * weights).sum()),
+                        float(int(s.sum())) / float(N_SAMPLES),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "amp_sum",
+                    "amp_whash",
+                    "mean_amp",
+                ],
+            )
+
+    return docs.mapInPandas(op, schema=WAV_FEATURES_SCHEMA).orderBy("doc_id")

@@ -69,3 +69,21 @@ def test_decode_dims_dispatches_png_to_real_codec():
     corrupt[-6] ^= 0xFF  # inside IEND/CRC tail
     with pytest.raises(ValueError):
         mm.decode_dims(bytes(corrupt))
+
+
+def test_decode_audio_dispatches_wav_to_real_codec():
+    """RIFF/WAVE payloads decode for real (rate + bit-identical
+    samples); compressed formats raise the documented error rather
+    than returning fake audio."""
+    import numpy as np
+
+    from maplejuice_spark.functions.wav_codec import wav_encode
+
+    src = (np.arange(64, dtype=np.int64) * 1021 % 65536 - 32768).astype(
+        np.int16
+    )
+    rate, samples = mm.decode_audio(wav_encode(src, 22050))
+    assert rate == 22050 and np.array_equal(samples, src)
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\xff\xfb\x90\x00 mp3 frame")

@@ -1,0 +1,125 @@
+"""WAV/PCM codec tests: lossless round-trips (8/16-bit, mono/multi-
+channel, word-alignment padding), property-based round-trips, precise
+rejection of truncated/unsupported streams, metadata-chunk skipping,
+and a cross-implementation differential against the JDK's independent
+javax.sound.sampled WAV codec in both directions."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maplejuice_spark.functions.wav_codec import wav_decode, wav_encode
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((1,), np.int16),
+        ((100,), np.int16),
+        ((33, 2), np.int16),
+        ((7,), np.uint8),  # odd 8-bit mono: exercises the RIFF pad byte
+        ((5, 3), np.uint8),
+    ],
+)
+def test_roundtrip(shape, dtype):
+    rng = np.random.default_rng(3)
+    lo, hi = (-32768, 32768) if dtype == np.int16 else (0, 256)
+    a = rng.integers(lo, hi, size=shape).astype(dtype)
+    rate, b = wav_decode(wav_encode(a, 44100))
+    assert rate == 44100
+    assert b.dtype == dtype
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    ch=st.integers(1, 4),
+    bits16=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_property(n, ch, bits16, seed):
+    rng = np.random.default_rng(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    a = (
+        rng.integers(-32768, 32768, size=shape).astype(np.int16)
+        if bits16
+        else rng.integers(0, 256, size=shape).astype(np.uint8)
+    )
+    rate, b = wav_decode(wav_encode(a, 8000))
+    assert rate == 8000 and np.array_equal(a, b)
+
+
+def test_skips_unknown_chunks():
+    # a LIST metadata chunk between fmt and data must be ignored
+    a = np.arange(10, dtype=np.int16)
+    blob = wav_encode(a, 8000)
+    fmt_at = blob.index(b"fmt ")
+    data_at = blob.index(b"data")
+    meta = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = blob[:data_at] + meta + blob[data_at:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", struct.unpack("<I", spliced[4:8])[0] + len(meta)
+    ) + spliced[8:]
+    assert fmt_at < data_at
+    rate, b = wav_decode(spliced)
+    assert rate == 8000 and np.array_equal(a, b)
+
+
+def test_rejects_bad_inputs_precisely():
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"OggS-not-a-wav-stream")
+    blob = bytearray(wav_encode(np.zeros(4, np.int16), 8000))
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(bytes(blob[:-3]))
+    # non-PCM audio format word -> NotImplementedError, not garbage
+    fmt_at = bytes(blob).index(b"fmt ") + 8
+    blob[fmt_at] = 85  # mu-law
+    with pytest.raises(NotImplementedError, match="format"):
+        wav_decode(bytes(blob))
+    with pytest.raises(ValueError, match="dtype"):
+        wav_encode(np.zeros(4, np.float64), 8000)
+
+
+def test_cross_validate_against_jdk_javax_sound(spark):
+    """Differential against the JVM's independent WAV implementation:
+    our encoder's stream must parse in javax.sound.sampled with the
+    same format words and bit-identical PCM payload, and a WAV written
+    by AudioSystem must decode bit-identically through our decoder."""
+    jvm = spark._jvm
+    rng = np.random.default_rng(5)
+
+    a = rng.integers(-32768, 32768, size=(50, 2)).astype(np.int16)
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(wav_encode(a, 22050)))
+    )
+    f = ais.getFormat()
+    assert (
+        f.getSampleRate(),
+        f.getChannels(),
+        f.getSampleSizeInBits(),
+        f.isBigEndian(),
+    ) == (22050.0, 2, 16, False)
+    dec = np.frombuffer(bytes(ais.readAllBytes()), dtype="<i2")
+    assert np.array_equal(dec.reshape(-1, 2), a)
+
+    src = rng.integers(-32768, 32768, size=(40,)).astype(np.int16)
+    fmt = jvm.javax.sound.sampled.AudioFormat(8000.0, 16, 1, True, False)
+    ais2 = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(
+            bytearray(src.astype("<i2").tobytes())
+        ),
+        fmt,
+        40,
+    )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.sound.sampled.AudioSystem.write(
+        ais2, jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE, baos
+    )
+    rate, dec2 = wav_decode(bytes(baos.toByteArray()))
+    assert rate == 8000 and np.array_equal(dec2, src)
