@@ -1,0 +1,169 @@
+"""Pure-stdlib AVI codec for uncompressed (raw DIB) video: RIFF
+container, 24-bit BGR bottom-up frames, 4-byte row stride.
+
+Implements the public AVI/RIFF layout (``RIFF('AVI ' LIST('hdrl' avih
+LIST('strl' strh strf)) LIST('movi' '00db'...))``) with ``struct`` +
+numpy only, completing the media trio next to ``png_codec`` (image)
+and ``wav_codec`` (audio): real frame-sampling over a real video
+container with zero external dependencies. Compressed video
+(H.264/VP9/...) requires external codecs and stays behind the
+documented multimodal stub.
+
+No independent AVI implementation exists in this environment (the JDK
+cross-validates PNG and WAV but has no AVI reader), so the byte
+layout is pinned differently: tests/test_avi_codec.py hand-assembles
+a golden stream directly from the published spec — including the DIB
+quirks (bottom-up row order, BGR channel order, stride padding) that
+a symmetric encoder/decoder bug would hide from round-trip tests —
+and asserts both that our encoder emits exactly those bytes and that
+our decoder parses them to the expected pixels.
+
+Scope: fccHandler 'DIB ' / biCompression 0, 24-bit only; one video
+stream; '00db'/'00dc' frame chunks; idx1 not required (written for
+player compatibility, ignored on read).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _rows_to_dib(frame: np.ndarray) -> bytes:
+    """(h, w, 3) RGB -> raw DIB: bottom-up rows, BGR, stride padded to
+    a 4-byte multiple."""
+    h, w, _ = frame.shape
+    bgr = frame[::-1, :, ::-1]  # bottom-up + channel swap
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    if pad == 0:
+        return np.ascontiguousarray(bgr).tobytes()
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _dib_to_rows(raw: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w * 3 + 3) & ~3
+    if len(raw) != stride * h:
+        raise ValueError(f"frame size {len(raw)} != {stride}*{h}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    return np.ascontiguousarray(bgr[::-1, :, ::-1])
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def _list(listtype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", listtype + body)
+
+
+def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames to an uncompressed AVI."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3 or 0 in arr.shape:
+        raise ValueError(f"unsupported shape {frames.shape}")
+    n, h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # dwScale / dwRate -> fps frames per second
+        0, n, frame_bytes, 0xFFFFFFFF, 0,
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_chunk(b"00db", _rows_to_dib(f)) for f in arr)
+    movi = _list(b"movi", movi_body)
+    # idx1: one entry per frame (offset relative to the movi list type)
+    idx_entries = []
+    off = 4
+    for _ in range(n):
+        idx_entries.append(
+            struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+        )
+        off += 8 + frame_bytes + (frame_bytes % 2)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode an uncompressed AVI to ``(fps, frames)`` with frames
+    (n, h, w, 3) uint8 RGB."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    dims: list | None = None
+    fps = 25
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal dims, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                raise ValueError(f"truncated {fourcc!r} chunk")
+            if fourcc == b"LIST":
+                walk(body[4:])  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                if length < 40:
+                    raise ValueError("avih too short")
+                vals = struct.unpack("<10I", body[:40])
+                if vals[0]:
+                    fps = round(1_000_000 / vals[0])
+                dims = [vals[8], vals[9]]
+            elif fourcc == b"strf" and length >= 40:
+                size, w, h, _pl, bits, comp = struct.unpack(
+                    "<IiiHHI", body[:20]
+                )
+                if bits != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"biBitCount={bits}/biCompression={comp} "
+                        f"(only uncompressed 24-bit DIB; compressed video "
+                        f"requires external codecs)"
+                    )
+                dims = [w, abs(h)]
+            elif fourcc in (b"00db", b"00dc"):
+                if dims is None:
+                    raise ValueError("frame chunk before headers")
+                frames.append(_dib_to_rows(body, dims[0], dims[1]))
+            pos += 8 + length + (length % 2)
+
+    walk(data[12:])
+    if dims is None:
+        raise ValueError("missing AVI headers")
+    if not frames:
+        raise ValueError("no video frames")
+    return fps, np.stack(frames)

@@ -87,3 +87,20 @@ def test_decode_audio_dispatches_wav_to_real_codec():
 
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+
+
+def test_decode_video_dispatches_avi_to_real_codec():
+    """RIFF/AVI payloads decode for real (fps + bit-identical frames);
+    compressed video raises the documented error."""
+    import numpy as np
+
+    from maplejuice_spark.functions.avi_codec import avi_encode
+
+    src = (
+        np.arange(2 * 4 * 6 * 3, dtype=np.int64) % 256
+    ).astype(np.uint8).reshape(2, 4, 6, 3)
+    fps, frames = mm.decode_video(avi_encode(src, fps=30))
+    assert fps == 30 and np.array_equal(frames, src)
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"\x00\x00\x00\x18ftypmp42 not avi")
