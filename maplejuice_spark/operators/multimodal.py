@@ -7,14 +7,19 @@ ingest). The decode/feature-extract steps run as Arrow-batched
 ``mapInPandas`` operators so the heavy per-item work stays columnar and
 partition-parallel.
 
-Decode kernels: PNG payloads decode FOR REAL through the pure-stdlib
-codec in ``maplejuice_spark.functions.png_codec`` (zlib + scanline
-filters; cross-validated against the JDK's independent javax.imageio
-implementation) — see ``decode_dims`` and the oracle-checked
-``multimodal_png_features`` query, whose encode→decode path must agree
-with DuckDB's direct pixel computation because PNG is lossless. All
-other formats (JPEG/video/audio) still require external codec
-libraries this container lacks, so non-PNG payloads fall back to the
+Decode kernels: one REAL pure-stdlib codec per modality —
+``functions.png_codec`` (image: zlib + scanline filters,
+JDK-ImageIO-cross-validated), ``functions.wav_codec`` (audio: RIFF/PCM,
+javax.sound-cross-validated), ``functions.avi_codec`` (video:
+uncompressed-DIB AVI, spec-golden-pinned) — dispatched by signature
+sniffing in ``decode_dims`` / ``decode_audio`` / ``decode_video``, each
+backing an oracle-checked query (``multimodal_png_features`` /
+``multimodal_wav_features`` / ``multimodal_video_frames``) whose
+encode→decode path must agree with DuckDB's direct computation because
+the formats are lossless. ``resize_image_real`` makes the resize
+kernel real for PNG via integer nearest-neighbor resampling.
+COMPRESSED formats (JPEG/MP3/H.264/...) require external codec
+libraries this container lacks, so such payloads fall back to the
 clearly-marked deterministic STUB (fake dimensions from the first two
 payload bytes, one formula shared by meta/frames/resize); the Spark
 plumbing — schema, batching, partition parallelism, UDF signature — is
@@ -704,3 +709,36 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(op, schema=VIDEO_FRAMES_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+def resize_image_real(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
+    """REAL resize for PNG payloads: decode through the real codec,
+    aspect-preserving integer nearest-neighbor resample to ``target``
+    on the long side (the same integer geometry the stub/oracle pair
+    states), re-encode to a real PNG. Deterministic end to end: the
+    NN index map is ``src_i = (dst_i * src_dim) // dst_dim``, so the
+    output pixels are a pure selection of input pixels — no float
+    interpolation to diverge across platforms.
+
+    Non-PNG payloads raise NotImplementedError (resampling compressed
+    formats would require the external decoders the stub documents).
+    """
+    import numpy as np
+
+    from maplejuice_spark.functions.png_codec import (
+        SIGNATURE,
+        png_decode,
+        png_encode,
+    )
+
+    if payload[:8] != SIGNATURE:
+        raise NotImplementedError("real resize requires a decodable image")
+    arr = png_decode(payload)
+    h, w = arr.shape[0], arr.shape[1]
+    if w >= h:
+        nw, nh = target, max(1, (h * target) // w)
+    else:
+        nw, nh = max(1, (w * target) // h), target
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    return png_encode(arr[ys][:, xs])

@@ -104,3 +104,31 @@ def test_decode_video_dispatches_avi_to_real_codec():
 
     with pytest.raises(NotImplementedError):
         mm.decode_video(b"\x00\x00\x00\x18ftypmp42 not avi")
+
+
+def test_resize_image_real_png_roundtrip():
+    """Real resize: decode -> integer NN resample -> re-encode. The
+    output is a valid PNG of the stated geometry whose pixels are
+    exactly the NN selection of the source — checked against a direct
+    numpy selection, and downscale of an upscale returns the source
+    (NN with exact integer ratios is invertible that way)."""
+    import numpy as np
+
+    from maplejuice_spark.functions.png_codec import png_decode, png_encode
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 256, size=(12, 20), dtype=np.uint8)
+    out = png_decode(mm.resize_image_real(png_encode(src), target=10))
+    assert out.shape == (6, 10)  # aspect-preserving: 20x12 -> 10x6
+    ys, xs = (np.arange(6) * 12) // 6, (np.arange(10) * 20) // 10
+    assert np.array_equal(out, src[ys][:, xs])
+
+    up = png_decode(mm.resize_image_real(png_encode(src), target=40))
+    assert up.shape == (24, 40)
+    down = png_decode(
+        mm.resize_image_real(png_encode(up), target=20)
+    )
+    assert np.array_equal(down, src)
+
+    with pytest.raises(NotImplementedError):
+        mm.resize_image_real(b"\xff\xd8\xff jpeg soi", target=10)
