@@ -57,6 +57,11 @@ HEADLINE = [
     "levenshtein_similar_names",
     # round-6: the prune -> compress -> refine production ANN shape
     "ann_ivfpq_refined_topk",
+    # round-6: real media codecs (pure-stdlib PNG/WAV/AVI round-trips
+    # inside the mapInPandas kernels)
+    "multimodal_png_features",
+    "multimodal_wav_features",
+    "multimodal_video_frames",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,
