@@ -126,8 +126,13 @@ def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
     fps = 25
     frames: list[np.ndarray] = []
 
-    def walk(buf: bytes) -> None:
+    def walk(buf: bytes, depth: int = 0) -> None:
         nonlocal dims, fps
+        if depth > 8:
+            # real AVI nests 3 deep (hdrl/strl/movi); a pathological
+            # LIST-in-LIST chain is an attack, not a video — fail
+            # cleanly instead of recursing toward RecursionError
+            raise ValueError("LIST nesting exceeds the AVI structure")
         pos = 0
         while pos + 8 <= len(buf):
             fourcc = buf[pos : pos + 4]
@@ -136,7 +141,7 @@ def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
             if len(body) != length:
                 raise ValueError(f"truncated {fourcc!r} chunk")
             if fourcc == b"LIST":
-                walk(body[4:])  # skip the list-type fourcc
+                walk(body[4:], depth + 1)  # skip the list-type fourcc
             elif fourcc == b"avih":
                 if length < 40:
                     raise ValueError("avih too short")

@@ -210,9 +210,22 @@ def png_decode(data: bytes) -> np.ndarray:
     if interlace != 0:
         raise NotImplementedError("Adam7 interlace")
     ch = _COLOR_CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = w * ch
-    if raw.shape[0] != h * (1 + stride):
+    expected = h * (1 + stride)
+    # Bounded decompression: cap output at the size the header promises
+    # BEFORE inflating, so a malicious stream whose tiny IDAT inflates
+    # to gigabytes (a zlib bomb) fails in O(expected) memory instead of
+    # exhausting the executor — decoding untrusted payloads at lake
+    # scale makes this a real denial-of-service surface, not a nicety.
+    d = zlib.decompressobj()
+    out_bytes = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail or (d.decompress(b"", 1) if not d.eof else b""):
+        raise ValueError(
+            f"decompressed size exceeds the {expected} bytes the "
+            f"header promises (possible decompression bomb)"
+        )
+    raw = np.frombuffer(out_bytes, dtype=np.uint8)
+    if raw.shape[0] != expected:
         raise ValueError(
             f"decompressed size {raw.shape[0]} != {h}*(1+{stride})"
         )

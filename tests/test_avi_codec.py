@@ -117,3 +117,14 @@ def test_rejects_bad_inputs_precisely():
         avi_decode(bytes(blob))
     with pytest.raises(ValueError, match="shape"):
         avi_encode(np.zeros((2, 2, 3), np.uint8))  # missing frame axis
+
+
+def test_rejects_pathological_list_nesting():
+    """A LIST-in-LIST chain deeper than any real AVI must fail with a
+    clean error instead of recursing toward the interpreter limit."""
+    body = b""
+    for _ in range(50):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"hdrl" + body
+    blob = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError, match="nesting"):
+        avi_decode(blob)

@@ -142,3 +142,52 @@ def test_cross_validate_against_jdk_imageio(spark):
     baos = jvm.java.io.ByteArrayOutputStream()
     jvm.javax.imageio.ImageIO.write(bi, "png", baos)
     assert np.array_equal(png_decode(bytes(baos.toByteArray())), rgb)
+
+
+def test_rejects_decompression_bomb_bounded():
+    """A tiny IDAT that inflates far past the header's promised size
+    must fail with a bounded allocation (zlib-bomb defense for
+    untrusted payloads), not inflate first and check later."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # expects 20 B
+    bomb = zlib.compress(b"\x00" * (20 * 1024 * 1024), 9)  # ~20 KiB blob
+    blob = (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    assert len(blob) < 64 * 1024
+    with pytest.raises(ValueError, match="bomb|exceeds"):
+        png_decode(blob)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300), seed=st.integers(0, 2**31))
+def test_decoder_fuzz_clean_failures(data, seed):
+    """Arbitrary bytes — raw, signature-prefixed, or spliced into a
+    valid stream — must produce a clean ValueError /
+    NotImplementedError from every decoder, never a crash, hang, or
+    silent garbage array."""
+    import numpy as np
+
+    from maplejuice_spark.functions.avi_codec import avi_decode, avi_encode
+    from maplejuice_spark.functions.wav_codec import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    png_ok = png_encode(rng.integers(0, 256, (5, 5), dtype=np.uint8))
+    wav_ok = wav_encode(rng.integers(-100, 100, 8).astype(np.int16))
+    avi_ok = avi_encode(rng.integers(0, 256, (1, 3, 3, 3), dtype=np.uint8))
+    cases = [
+        data,
+        SIGNATURE + data,
+        b"RIFF" + data,
+        png_ok[: len(png_ok) // 2] + data,
+        wav_ok[:20] + data,
+        avi_ok[:40] + data,
+    ]
+    for blob in cases:
+        for dec in (png_decode, wav_decode, avi_decode):
+            try:
+                dec(blob)
+            except (ValueError, NotImplementedError, zlib.error):
+                pass
