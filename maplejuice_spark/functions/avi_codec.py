@@ -44,13 +44,20 @@ def _rows_to_dib(frame: np.ndarray) -> bytes:
     return rows.tobytes()
 
 
-def _dib_to_rows(raw: bytes, w: int, h: int) -> np.ndarray:
+def _dib_to_rows(
+    raw: bytes, w: int, h: int, topdown: bool = False
+) -> np.ndarray:
     stride = (w * 3 + 3) & ~3
     if len(raw) != stride * h:
         raise ValueError(f"frame size {len(raw)} != {stride}*{h}")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     bgr = rows[:, : w * 3].reshape(h, w, 3)
-    return np.ascontiguousarray(bgr[::-1, :, ::-1])
+    # DIBs are bottom-up when biHeight > 0; a negative biHeight means
+    # top-down rows (spec-valid and common) — honoring the sign instead
+    # of abs()-ing it keeps other tools' top-down AVIs from decoding
+    # silently flipped
+    out = bgr if topdown else bgr[::-1]
+    return np.ascontiguousarray(out[:, :, ::-1])
 
 
 def _chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -68,6 +75,11 @@ def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
     arr = np.ascontiguousarray(frames, dtype=np.uint8)
     if arr.ndim != 4 or arr.shape[3] != 3 or 0 in arr.shape:
         raise ValueError(f"unsupported shape {frames.shape}")
+    if not 1 <= fps <= 1_000_000:
+        # fps=0 would divide by zero; fps past 1e6 would write
+        # dwMicroSecPerFrame=0, which decoders replace with a default
+        # — silently breaking the encode->decode fps identity
+        raise ValueError(f"fps {fps} out of range [1, 1000000]")
     n, h, w, _ = arr.shape
     stride = (w * 3 + 3) & ~3
     frame_bytes = stride * h
@@ -123,11 +135,12 @@ def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("not a RIFF/AVI stream")
 
     dims: list | None = None
+    topdown = False
     fps = 25
     frames: list[np.ndarray] = []
 
     def walk(buf: bytes, depth: int = 0) -> None:
-        nonlocal dims, fps
+        nonlocal dims, topdown, fps
         if depth > 8:
             # real AVI nests 3 deep (hdrl/strl/movi); a pathological
             # LIST-in-LIST chain is an attack, not a video — fail
@@ -159,11 +172,14 @@ def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
                         f"(only uncompressed 24-bit DIB; compressed video "
                         f"requires external codecs)"
                     )
+                topdown = h < 0
                 dims = [w, abs(h)]
             elif fourcc in (b"00db", b"00dc"):
                 if dims is None:
                     raise ValueError("frame chunk before headers")
-                frames.append(_dib_to_rows(body, dims[0], dims[1]))
+                frames.append(
+                    _dib_to_rows(body, dims[0], dims[1], topdown)
+                )
             pos += 8 + length + (length % 2)
 
     walk(data[12:])

@@ -184,9 +184,10 @@ def png_decode(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError(f"truncated {typ!r} chunk")
-        (crc,) = struct.unpack(
-            ">I", data[pos + 8 + length : pos + 12 + length]
-        )
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError(f"truncated CRC after {typ!r} chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {typ!r} chunk")
         if typ == b"IHDR":
@@ -198,9 +199,20 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length
     if ihdr is None:
         raise ValueError("missing IHDR")
+    if len(ihdr) != 13:
+        raise ValueError(f"IHDR length {len(ihdr)} != 13")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
+    # dimension sanity BEFORE any size arithmetic: w/h of 0 would zero
+    # out `expected` below and zlib treats max_length=0 as UNLIMITED —
+    # re-opening the decompression-bomb hole the bound exists to close;
+    # absurd dims would overflow zlib's ssize_t max_length with a raw
+    # OverflowError instead of a precise rejection.
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid zero dimension {w}x{h}")
+    if w > 2**24 or h > 2**24 or w * h > 2**28:
+        raise ValueError(f"implausible dimensions {w}x{h}")
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
     if color_type not in _COLOR_CHANNELS:

@@ -54,10 +54,14 @@ from maplejuice_spark.registry import register
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata extraction: payload size, content digest,
-    and (stubbed) decoded dimensions — the SAME first-two-payload-bytes
-    formula as ``_stub_decode``, so meta, frames, and resize report one
-    consistent geometry per document. Pure column expressions — the
-    binary payload never leaves the JVM."""
+    and STUB decoded dimensions — the same first-two-payload-bytes
+    formula as ``_stub_decode``, so for the opaque text payloads the
+    fixture media table carries, meta, frames, and resize report one
+    consistent geometry per document. (Real PNG payloads take the real
+    decode path in frames/resize via ``decode_dims`` and would diverge
+    from these stub columns — the real-geometry query for such
+    payloads is ``multimodal_png_features``.) Pure column expressions —
+    the binary payload never leaves the JVM."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     return docs.select(

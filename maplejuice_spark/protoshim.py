@@ -30,7 +30,8 @@ Python worker processes — without copying a single line of it:
    pb2 import happens).
 
 If a real ``protobuf`` distribution is installed, ``install()`` is a
-no-op beyond the version-check neutralization. If neither a real
+pure no-op — its version check stays fully armed; the relaxation is
+scoped to the shim-adapted host runtime only. If neither a real
 runtime nor a host runtime exists, ``install()`` reports the exact
 import failure and TWS stays gated (same policy as the codec-less
 multimodal decode stub).
@@ -91,8 +92,34 @@ def _neutralize_version_check() -> None:
         pass
 
 
+def _shim_root() -> str:
+    """A per-user, 0700, ownership-verified shim directory. The shim
+    ends up at sys.path[0] AND on every worker's PYTHONPATH (where its
+    sitecustomize auto-executes), so a fixed path in the shared temp
+    dir that trusted pre-existing content would let any local user on
+    a multi-tenant host plant code into every Spark worker. The
+    directory is therefore uid-suffixed, created 0700, and validated
+    as owned-by-us-and-not-writable-by-others; anything suspicious
+    falls back to a fresh private mkdtemp instead of being trusted."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"mj_protoshim_{os.getuid()}"
+    )
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.lstat(root)
+        if (
+            st.st_uid == os.getuid()
+            and not os.path.islink(root)
+            and not (st.st_mode & 0o022)  # no group/other write
+        ):
+            return root
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix="mj_protoshim_")
+
+
 def _build_shim(host: str) -> str:
-    shim = os.path.join(tempfile.gettempdir(), "mj_protoshim")
+    shim = _shim_root()
     pkg = os.path.join(shim, "google")
     os.makedirs(pkg, exist_ok=True)
     init = os.path.join(pkg, "__init__.py")
@@ -122,7 +149,11 @@ def install() -> str | None:
     try:
         from google.protobuf import descriptor  # noqa: F401
 
-        _neutralize_version_check()
+        # A real distribution is present: do NOT relax its version
+        # check — the relaxation is justified only for the known
+        # 6.32-host-runtime/6.33-gencode pair below; disabling the
+        # safety check on a genuine install would turn a future true
+        # incompatibility into silent wire corruption.
         return None
     except ImportError as e:
         reason = f"{type(e).__name__}: {e}"

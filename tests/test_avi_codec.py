@@ -128,3 +128,31 @@ def test_rejects_pathological_list_nesting():
     blob = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
     with pytest.raises(ValueError, match="nesting"):
         avi_decode(blob)
+
+
+def test_honors_topdown_negative_biheight():
+    """biHeight < 0 means top-down row order (spec-valid, written by
+    other tools): the decoder must honor the sign, not silently flip
+    the frames."""
+    golden, pixels = _golden_stream_and_pixels()
+    blob = bytearray(golden)
+    at = bytes(blob).index(b"strf") + 8 + 8  # biHeight field
+    # rewrite biHeight 2 -> -2 and re-lay the SAME pixel rows top-down
+    blob[at : at + 4] = struct.pack("<i", -2)
+    movi_at = bytes(blob).index(b"00db") + 8
+    f0 = pixels[0]
+    topdown = bytes(
+        list(f0[0, 0, ::-1]) + list(f0[0, 1, ::-1]) + [0, 0]
+        + list(f0[1, 0, ::-1]) + list(f0[1, 1, ::-1]) + [0, 0]
+    )
+    blob[movi_at : movi_at + 16] = topdown
+    fps, frames = avi_decode(bytes(blob))
+    assert np.array_equal(frames[0], f0)
+
+
+def test_rejects_fps_out_of_range():
+    a = np.zeros((1, 2, 2, 3), np.uint8)
+    with pytest.raises(ValueError, match="fps"):
+        avi_encode(a, fps=0)
+    with pytest.raises(ValueError, match="fps"):
+        avi_encode(a, fps=2_000_000)

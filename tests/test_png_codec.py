@@ -191,3 +191,43 @@ def test_decoder_fuzz_clean_failures(data, seed):
                 dec(blob)
             except (ValueError, NotImplementedError, zlib.error):
                 pass
+
+
+def test_bomb_defense_holds_for_zero_dimension_headers():
+    """w=0 or h=0 must be rejected BEFORE decompression: expected=0
+    would make zlib's max_length=0, which means UNLIMITED — silently
+    re-opening the bomb hole the bound closes."""
+    bomb = zlib.compress(b"\x00" * (8 * 1024 * 1024), 9)
+    for w, h in [(4, 0), (0, 4), (0, 0)]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        blob = (
+            SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero dimension"):
+            png_decode(blob)
+    # absurd dims must reject precisely, not OverflowError inside zlib
+    ihdr = struct.pack(">IIBBBBB", 0xFFFFFFFF, 0xFFFFFFFF, 8, 0, 0, 0, 0)
+    blob = (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        png_decode(blob)
+
+
+def test_malformed_headers_raise_valueerror_not_struct_error():
+    """Truncated CRCs and wrong-length IHDR bodies must surface as the
+    documented ValueError, never a raw struct.error."""
+    # IHDR body of 5 bytes with a VALID crc
+    blob = SIGNATURE + _chunk(b"IHDR", b"\x00" * 5)
+    with pytest.raises(ValueError, match="IHDR length"):
+        png_decode(blob)
+    # stream cut two bytes into a chunk's CRC field
+    ok = png_encode(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(ok[: 8 + 4 + 4 + 13 + 2])

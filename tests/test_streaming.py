@@ -224,3 +224,26 @@ def test_protoshim_message_families_roundtrip():
 
     assert req.WhichOneof("method") == "statefulProcessorCall"
     assert key.WhichOneof("method") == "implicitGroupingKeyRequest"
+
+
+def test_protoshim_dir_is_private_and_owned():
+    """The shim dir reaches sys.path[0] and every worker's PYTHONPATH
+    (where sitecustomize auto-executes), so it must never be a shared
+    predictable path that trusts pre-existing content: per-uid name,
+    mode 0700, owned by us, no group/other write."""
+    import os
+    import stat
+
+    from maplejuice_spark import protoshim
+
+    if protoshim.install() is not None:
+        import pytest
+
+        pytest.skip("no adaptable protobuf runtime on this host")
+    shim = protoshim.shim_dir()
+    if shim is None:
+        return  # real distribution in use — nothing on sys.path to audit
+    st_ = os.lstat(shim)
+    assert st_.st_uid == os.getuid()
+    assert not stat.S_ISLNK(st_.st_mode)
+    assert not (st_.st_mode & 0o022), oct(st_.st_mode)
