@@ -57,9 +57,10 @@ HEADLINE = [
     "levenshtein_similar_names",
     # round-6: the prune -> compress -> refine production ANN shape
     "ann_ivfpq_refined_topk",
-    # round-6: real media codecs (pure-stdlib PNG/WAV/AVI round-trips
-    # inside the mapInPandas kernels)
+    # round-6: real media codecs (pure-stdlib PNG/JPEG/WAV/AVI
+    # round-trips inside the mapInPandas kernels)
     "multimodal_png_features",
+    "multimodal_jpeg_features",
     "multimodal_wav_features",
     "multimodal_video_frames",
 ]

@@ -1,0 +1,721 @@
+"""Pure-stdlib baseline JPEG (ITU-T T.81 / JFIF) codec.
+
+Completes the media-codec trio's COMPRESSED-image gap: where
+``png_codec`` proves the lossless path, this implements the baseline
+sequential DCT process — Huffman entropy coding, DPCM DC prediction,
+zigzag ordering, quantization, and the 8x8 DCT — with ``struct`` +
+numpy only, so JPEG payloads decode FOR REAL in environments with no
+media libraries.
+
+Encoder scope: 8-bit grayscale and RGB (encoded 4:4:4 YCbCr, no
+subsampling), standard Annex K Huffman tables, caller-supplied or
+Annex-K quantization tables.
+
+Decoder scope (validated by tests/test_jpeg_codec.py, including
+cross-implementation differentials against the JDK's independent
+javax.imageio JPEG codec): baseline SOF0, 8-bit, 1- or 3-component,
+any sampling factors h,v in {1,2} (pixel-replication upsampling — a
+spec-legal decoder choice), restart intervals, byte stuffing,
+multi-table DQT/DHT segments. Progressive (SOF2), arithmetic coding,
+12-bit precision, and 4-component CMYK reject with a precise
+NotImplementedError instead of garbage pixels.
+
+JPEG is lossy in general, so the oracle-checked query built on this
+codec (``multimodal_jpeg_features``) uses images whose 8x8 blocks are
+each CONSTANT: a flat block's FDCT is DC-only and integer-exact, so
+with a DC quantizer that divides it the encode→decode round trip is
+bit-exact BY CONSTRUCTION (``DC_EXACT_QUANT``) while still exercising
+the full real pipeline (Huffman decode, DC DPCM, zigzag, dequant,
+IDCT). The same fixed-point property is asserted against the JDK's
+decoder in the tests.
+
+Reference parity note: the reference engine (MapleJuice) has no media
+path at all; this file exists for the training-data-pipeline surface
+(SURVEY.md north-star additions), not reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+# Pixel budget before any plane allocation: decoding is O(w*h) memory;
+# an adversarial header must not be able to request gigabytes.
+MAX_PIXELS = 1 << 26
+
+# zigzag[i] = raster index of the i-th coefficient in zigzag order
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K table K.1/K.2 quantization tables (quality ~50), zigzag order
+# is NOT used here — these are raster order, zigzagged at write time.
+_K1_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_K2_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# DC quantizer 8 makes a flat block's quantized DC exactly (v - 128)
+# (flat-block FDCT DC = 8*(v-128)); every AC quantizer only ever sees
+# float-epsilon noise on flat blocks, so its value is irrelevant —
+# kept at Annex K for realism.
+DC_EXACT_QUANT = _K1_LUMA.copy()
+DC_EXACT_QUANT[0] = 8
+
+# Annex K Huffman table specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """value -> (bit-length, code), the canonical T.81 C.2 assignment."""
+    bits, vals = spec
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """(bit-length, code) -> value, for incremental bit-at-a-time decode."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("DHT: more codes than values")
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        if code > (1 << length):
+            raise ValueError("DHT: invalid code count (overfull tree)")
+        code <<= 1
+    return out
+
+
+# orthonormal 8x8 DCT-II matrix: FDCT = C @ X @ C.T (then *2 scale per
+# T.81 convention folded in below), IDCT is the transpose pair
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _fdct2(blocks: np.ndarray) -> np.ndarray:
+    """T.81 FDCT of (..., 8, 8) level-shifted samples. The orthonormal
+    2D DCT-II *is* the T.81 FDCT — both are (1/4)*C_u*C_v*double-sum —
+    so the DC of a flat block of value d is exactly 8*d."""
+    return np.einsum("ij,...jk,lk->...il", _C, blocks, _C)
+
+
+def _idct2(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,...jk,kl->...il", _C, coefs, _C)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            n = 8 - self.nbits
+            self.write((1 << n) - 1, n)
+
+    def marker(self, m: int) -> None:
+        """Emit a marker into the scan (byte-aligned, never stuffed)."""
+        self.pad()
+        self.out.append(0xFF)
+        self.out.append(m)
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(ssss category, ssss-bit code) for a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    ssss = a.bit_length()
+    code = v if v > 0 else v + (1 << ssss) - 1
+    return ssss, code
+
+
+def _encode_block(
+    w: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    dc = int(zz[0])
+    ssss, code = _magnitude(dc - pred)
+    length, huff = dc_codes[ssss]
+    w.write(huff, length)
+    if ssss:
+        w.write(code, ssss)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (int(nz[-1]) + 1) if nz.size else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            length, huff = ac_codes[0xF0]  # ZRL
+            w.write(huff, length)
+            run -= 16
+        ssss, code = _magnitude(v)
+        length, huff = ac_codes[(run << 4) | ssss]
+        w.write(huff, length)
+        w.write(code, ssss)
+        run = 0
+    if last_nz < 63:
+        length, huff = ac_codes[0x00]  # EOB
+        w.write(huff, length)
+    return dc
+
+
+def _component_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(n_blocks_y, n_blocks_x, 64) quantized zigzag coefficients."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    by, bx = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coefs = _fdct2(blocks).reshape(by, bx, 64)
+    q = np.asarray(quant, dtype=np.float64).reshape(64)
+    zz = np.round(coefs[..., _ZIGZAG] / q[_ZIGZAG]).astype(np.int64)
+    return zz
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an 8-bit image to a baseline JFIF byte string.
+
+    ``arr``: (h, w) grayscale or (h, w, 3) RGB uint8 (RGB is written
+    as 4:4:4 YCbCr). ``quant_luma``/``quant_chroma``: 64-entry
+    raster-order quantization tables (default Annex K); pass
+    ``DC_EXACT_QUANT`` for the flat-block-exact contract.
+    ``restart_interval``: if > 0, emit a DRI segment and RSTn markers
+    every that many MCUs (resynchronization points, as real encoders
+    do for error resilience — and so decoders' restart paths run).
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color = False
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color = True
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("dimension exceeds JPEG's 16-bit limit")
+    ql = (_K1_LUMA if quant_luma is None else np.asarray(quant_luma)).reshape(64)
+    qc = (
+        _K2_CHROMA if quant_chroma is None else np.asarray(quant_chroma)
+    ).reshape(64)
+    if np.any(ql < 1) or np.any(qc < 1) or np.any(ql > 255) or np.any(qc > 255):
+        raise ValueError("quant entries must be in 1..255")
+
+    if color:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        quants = [ql, qc, qc]
+        qsel = [0, 1, 1]
+    else:
+        planes = [arr]
+        quants = [ql]
+        qsel = [0]
+
+    comp_zz = [_component_blocks(p, q) for p, q in zip(planes, quants)]
+    by, bx = comp_zz[0].shape[0], comp_zz[0].shape[1]
+
+    dc_l, ac_l = _huff_codes(_DC_LUMA_SPEC), _huff_codes(_AC_LUMA_SPEC)
+    dc_c, ac_c = _huff_codes(_DC_CHROMA_SPEC), _huff_codes(_AC_CHROMA_SPEC)
+    huffs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu = 0
+    rst = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            for ci in range(len(planes)):
+                preds[ci] = _encode_block(
+                    bw, comp_zz[ci][y, x], preds[ci], *huffs[ci]
+                )
+            mcu += 1
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(SOI)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0]) + bytes(int(v) for v in ql[_ZIGZAG])
+    if color:
+        dqt += bytes([1]) + bytes(int(v) for v in qc[_ZIGZAG])
+    out += seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, 0x11, qsel[ci]])  # h=v=1 (4:4:4)
+    out += seg(0xFFC0, sof)
+    dht = (
+        bytes([0x00]) + bytes(_DC_LUMA_SPEC[0]) + bytes(_DC_LUMA_SPEC[1])
+        + bytes([0x10]) + bytes(_AC_LUMA_SPEC[0]) + bytes(_AC_LUMA_SPEC[1])
+    )
+    if color:
+        dht += (
+            bytes([0x01]) + bytes(_DC_CHROMA_SPEC[0]) + bytes(_DC_CHROMA_SPEC[1])
+            + bytes([0x11]) + bytes(_AC_CHROMA_SPEC[0]) + bytes(_AC_CHROMA_SPEC[1])
+        )
+    out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers,
+    and surfaces RSTn so the scan loop can reset DC predictions."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated entropy-coded segment")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated after 0xFF in scan")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerInScan(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, expected: int) -> None:
+        """Consume the next RSTn marker (after byte-aligning)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("missing restart marker")
+        m = d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTn, found marker 0xFF{m:02X}")
+        if m != 0xD0 + expected:
+            raise ValueError("restart marker out of sequence")
+        self.pos += 2
+
+
+class _MarkerInScan(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, ssss: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a ssss-bit magnitude code to its value."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline JFIF byte string to uint8 pixels: (h, w) for
+    grayscale, (h, w, 3) RGB for 3-component YCbCr. Rejects what the
+    codec does not implement (progressive, arithmetic, 12-bit, CMYK)
+    with a precise error instead of garbage pixels."""
+    if data[:2] != SOI:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    scan_comps = None
+
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated stream (no EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {data[pos]:#x}")
+        marker = 0xFF00 | data[pos + 1]
+        pos += 2
+        if marker == 0xFFD9:  # EOI
+            raise ValueError("EOI before SOS (no image data)")
+        if marker == 0xFFD8 or 0xFFD0 <= marker <= 0xFFD7:
+            continue  # SOI / stray RST: no payload
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment length")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated marker segment")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+
+        if marker == 0xFFDB:  # DQT (possibly several tables)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                t = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                raster = np.empty(64, dtype=np.int64)
+                raster[_ZIGZAG] = t
+                quant[tq] = raster
+                b += 65
+        elif marker == 0xFFC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                if b + 17 > len(body):
+                    raise ValueError("truncated DHT")
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("truncated DHT values")
+                vals = list(body[b + 17 : b + 17 + n])
+                table = _huff_decoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                b += 17 + n
+        elif marker == 0xFFC0 or marker == 0xFFC1:  # baseline / ext. seq.
+            if len(body) < 6:
+                raise ValueError("truncated SOF")
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision (only 8)")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG (1 or 3)")
+            if h == 0 or w == 0:
+                raise ValueError("zero dimension")
+            if h * w > MAX_PIXELS:
+                raise ValueError("implausible dimensions (pixel bomb)")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hs}x{vs} (only 1-2)"
+                    )
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                f"non-baseline SOF marker 0xFF{marker & 0xFF:02X} "
+                "(progressive/lossless/arithmetic)"
+            )
+        elif marker == 0xFFDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("empty SOS header")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
+            if ns != len(frame[2]):
+                raise NotImplementedError("multi-scan (progressive) file")
+            scan_comps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si : 3 + 2 * si]
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            break  # entropy-coded data follows
+        # all other markers (APPn, COM) are skipped
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component coefficient storage (in units of that component's
+    # own block grid, padded to the MCU coverage)
+    planes = []
+    meta = []
+    for (cid, hs, vs, tq), (scid, td, ta) in zip(comps, scan_comps):
+        if scid != cid:
+            raise ValueError("SOS component order differs from SOF")
+        if tq not in quant:
+            raise ValueError(f"missing quant table {tq}")
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError(f"missing Huffman table dc={td} ac={ta}")
+        bx, byy = mcux * hs, mcuy * vs
+        planes.append(np.zeros((byy, bx, 64), dtype=np.int64))
+        meta.append((hs, vs, quant[tq], huff_dc[td], huff_ac[ta]))
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    rst_idx = 0
+    mcu_count = 0
+    zz = np.zeros(64, dtype=np.int64)
+    done = False
+    for my in range(mcuy):
+        if done:
+            break
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.align_restart(rst_idx)
+                rst_idx = (rst_idx + 1) & 7
+                preds = [0] * len(comps)
+            try:
+                for ci, (hs, vs, _q, dct, act) in enumerate(meta):
+                    for byi in range(vs):
+                        for bxi in range(hs):
+                            zz[:] = 0
+                            ssss = _decode_huff(br, dct)
+                            if ssss > 11:
+                                raise ValueError("DC category > 11")
+                            diff = _extend(br.receive(ssss), ssss)
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k <= 63:
+                                rs = _decode_huff(br, act)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(br.receive(s), s)
+                                k += 1
+                            planes[ci][my * vs + byi, mx * hs + bxi] = zz
+            except _MarkerInScan as m:
+                if m.marker == 0xFFD9:  # EOI: tolerate truncated tail
+                    done = True
+                    break
+                raise ValueError(
+                    f"marker 0xFF{m.marker & 0xFF:02X} inside scan"
+                ) from None
+            mcu_count += 1
+
+    out_planes = []
+    for ci, (hs, vs, q, _dct, _act) in enumerate(meta):
+        byy, bx, _ = planes[ci].shape
+        raster = np.empty((byy, bx, 64), dtype=np.float64)
+        raster[..., _ZIGZAG] = planes[ci] * q[_ZIGZAG]
+        pix = _idct2(raster.reshape(byy, bx, 8, 8)) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        plane = pix.transpose(0, 2, 1, 3).reshape(byy * 8, bx * 8)
+        # pixel-replication upsampling to full resolution (decoder's
+        # choice per the spec; exact for the flat-block contract)
+        if hs < hmax or vs < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        return out_planes[0]
+    y = out_planes[0].astype(np.float64)
+    cb = out_planes[1].astype(np.float64) - 128.0
+    cr = out_planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

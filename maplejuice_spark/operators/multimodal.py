@@ -7,23 +7,27 @@ ingest). The decode/feature-extract steps run as Arrow-batched
 ``mapInPandas`` operators so the heavy per-item work stays columnar and
 partition-parallel.
 
-Decode kernels: one REAL pure-stdlib codec per modality —
-``functions.png_codec`` (image: zlib + scanline filters,
-JDK-ImageIO-cross-validated), ``functions.wav_codec`` (audio: RIFF/PCM,
+Decode kernels: REAL pure-stdlib codecs per modality —
+``functions.png_codec`` (lossless image: zlib + scanline filters,
+JDK-ImageIO-cross-validated), ``functions.jpeg_codec`` (compressed
+image: baseline T.81 Huffman/DCT, JDK-ImageIO-cross-validated both
+directions), ``functions.wav_codec`` (audio: RIFF/PCM,
 javax.sound-cross-validated), ``functions.avi_codec`` (video:
 uncompressed-DIB AVI, spec-golden-pinned) — dispatched by signature
 sniffing in ``decode_dims`` / ``decode_audio`` / ``decode_video``, each
 backing an oracle-checked query (``multimodal_png_features`` /
-``multimodal_wav_features`` / ``multimodal_video_frames``) whose
-encode→decode path must agree with DuckDB's direct computation because
-the formats are lossless. ``resize_image_real`` makes the resize
-kernel real for PNG via integer nearest-neighbor resampling.
-COMPRESSED formats (JPEG/MP3/H.264/...) require external codec
-libraries this container lacks, so such payloads fall back to the
-clearly-marked deterministic STUB (fake dimensions from the first two
-payload bytes, one formula shared by meta/frames/resize); the Spark
-plumbing — schema, batching, partition parallelism, UDF signature — is
-real and tested (tests/test_multimodal.py).
+``multimodal_jpeg_features`` / ``multimodal_wav_features`` /
+``multimodal_video_frames``) whose encode→decode path must agree with
+DuckDB's direct computation — via losslessness for png/wav/avi, via
+the flat-block DC-exact fixed point for JPEG. ``resize_image_real``
+makes the resize kernel real for PNG/JPEG via integer
+nearest-neighbor resampling. Remaining compressed formats
+(MP3/H.264/...) require external codec libraries this container
+lacks, so such payloads fall back to the clearly-marked deterministic
+STUB (fake dimensions from the first two payload bytes, one formula
+shared by meta/frames/resize); the Spark plumbing — schema, batching,
+partition parallelism, UDF signature — is real and tested
+(tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -140,16 +144,20 @@ def _stub_decode(payload: bytes) -> tuple[int, int]:
 
 
 def decode_dims(payload: bytes) -> tuple[int, int]:
-    """Decode dispatch: PNG payloads go through the REAL pure-stdlib
-    codec (signature-sniffed, like any production media pipeline);
-    everything else falls back to the documented stub. The existing
-    multimodal queries feed text payloads, so their oracles are
-    unaffected; real PNG bytes in a payload column now produce real
-    geometry."""
+    """Decode dispatch: PNG and baseline JPEG payloads go through the
+    REAL pure-stdlib codecs (signature-sniffed, like any production
+    media pipeline); everything else falls back to the documented
+    stub. The existing multimodal queries feed text payloads, so their
+    oracles are unaffected; real image bytes in a payload column now
+    produce real geometry."""
+    from maplejuice_spark.functions.jpeg_codec import jpeg_decode
     from maplejuice_spark.functions.png_codec import SIGNATURE, png_decode
 
     if payload[:8] == SIGNATURE:
         arr = png_decode(payload)
+        return int(arr.shape[1]), int(arr.shape[0])
+    if payload[:3] == b"\xff\xd8\xff":
+        arr = jpeg_decode(payload)
         return int(arr.shape[1]), int(arr.shape[0])
     return _stub_decode(payload)
 
@@ -450,6 +458,127 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(op, schema=PNG_FEATURES_SCHEMA).orderBy("doc_id")
 
 
+N_JPEG_BLOCKS = 4  # 2x2 quadrants of 8x8 = the 16x16 JPEG fixture
+
+
+@register(
+    "multimodal_jpeg_features",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS L
+      FROM documents WHERE doc_id % 13 = 0 AND LENGTH(text) >= 1
+    ),
+    px AS (
+      SELECT doc_id, i, (i // 128) AS qr, ((i % {IMG}) // 8) AS qc,
+             ascii(substr(
+               text, ((((i // 128) * 2) + ((i % {IMG}) // 8)) % L) + 1, 1
+             )) % 256 AS v
+      FROM (SELECT doc_id, text, L,
+                   unnest(generate_series(0, {IMG * IMG - 1})) AS i
+            FROM d)
+    )
+    SELECT doc_id,
+           CAST({IMG} AS INTEGER) AS width,
+           CAST({IMG} AS INTEGER) AS height,
+           SUM(CASE WHEN qr = 0 AND qc = 0 THEN v ELSE 0 END) / 64.0 AS q00,
+           SUM(CASE WHEN qr = 0 AND qc = 1 THEN v ELSE 0 END) / 64.0 AS q01,
+           SUM(CASE WHEN qr = 1 AND qc = 0 THEN v ELSE 0 END) / 64.0 AS q10,
+           SUM(CASE WHEN qr = 1 AND qc = 1 THEN v ELSE 0 END) / 64.0 AS q11,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS pix_whash
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "jpeg"),
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, oracle-checked end to end — the
+    lossy member of the media family: each selected document's first
+    codepoints become a 16x16 grayscale image of four CONSTANT 8x8
+    quadrants, ENCODED to an actual baseline JFIF byte stream (Annex K
+    Huffman tables, restart markers every MCU so the RSTn resync path
+    runs), DECODED back through the real pure-stdlib T.81 codec, and
+    only then reduced to quadrant means + exact and position-weighted
+    pixel checksums.
+
+    JPEG is lossy in general, so losslessness can't carry the oracle
+    the way it does for png/wav/avi. Instead the fixture pins an exact
+    FIXED POINT of the transform: a flat 8x8 block's FDCT is DC-only
+    and integer-exact (DC = 8*(v-128)), and ``DC_EXACT_QUANT``'s DC
+    quantizer of 8 divides it, so encode→decode is the identity BY
+    CONSTRUCTION while the full real pipeline executes — Huffman
+    entropy decode, DC DPCM across restart intervals, zigzag,
+    dequantization, IDCT. The DuckDB oracle computes the same features
+    straight from the codepoints; a value-level match therefore proves
+    the codec bit-for-bit per document. The same fixed point is
+    asserted cross-implementation against the JDK's independent
+    javax.imageio JPEG codec in tests/test_jpeg_codec.py.
+
+    Scale: pure map over documents (repartitioned to the core count),
+    one row per document; features, not pixels, leave Python.
+    """
+    import numpy as np
+
+    from maplejuice_spark.functions.jpeg_codec import (
+        DC_EXACT_QUANT,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 13 == 0) & (F.length("text") >= 1))
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.arange(IMG * IMG, dtype=np.int64) + 1
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cp = np.array([ord(c) for c in text], dtype=np.int64)
+                vals = cp[np.arange(N_JPEG_BLOCKS) % len(cp)] % 256
+                img = np.kron(
+                    vals.reshape(2, 2), np.ones((8, 8), np.int64)
+                ).astype(np.uint8)
+                dec = jpeg_decode(
+                    jpeg_encode(
+                        img, quant_luma=DC_EXACT_QUANT, restart_interval=1
+                    )
+                )
+                h, w = dec.shape
+                d = dec.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        float(int(d[0:8, 0:8].sum())) / 64.0,
+                        float(int(d[0:8, 8:16].sum())) / 64.0,
+                        float(int(d[8:16, 0:8].sum())) / 64.0,
+                        float(int(d[8:16, 8:16].sum())) / 64.0,
+                        int(d.sum()),
+                        int((d.reshape(-1) * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "q00",
+                    "q01",
+                    "q10",
+                    "q11",
+                    "pix_sum",
+                    "pix_whash",
+                ],
+            )
+
+    return docs.mapInPandas(op, schema=PNG_FEATURES_SCHEMA).orderBy("doc_id")
+
+
 def decode_audio(payload: bytes) -> tuple[int, "object"]:
     """Audio decode dispatch, the companion of ``decode_dims``:
     RIFF/WAVE payloads decode FOR REAL through the pure-stdlib PCM
@@ -716,28 +845,35 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image_real(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
-    """REAL resize for PNG payloads: decode through the real codec,
-    aspect-preserving integer nearest-neighbor resample to ``target``
-    on the long side (the same integer geometry the stub/oracle pair
-    states), re-encode to a real PNG. Deterministic end to end: the
-    NN index map is ``src_i = (dst_i * src_dim) // dst_dim``, so the
-    output pixels are a pure selection of input pixels — no float
-    interpolation to diverge across platforms.
+    """REAL resize for PNG and baseline-JPEG payloads: decode through
+    the real codec, aspect-preserving integer nearest-neighbor
+    resample to ``target`` on the long side (the same integer geometry
+    the stub/oracle pair states), re-encode to a real PNG (lossless
+    output — resampled pixels should not take a second lossy hit).
+    Deterministic end to end: the NN index map is
+    ``src_i = (dst_i * src_dim) // dst_dim``, so the output pixels are
+    a pure selection of input pixels — no float interpolation to
+    diverge across platforms.
 
-    Non-PNG payloads raise NotImplementedError (resampling compressed
-    formats would require the external decoders the stub documents).
+    Other payloads raise NotImplementedError (resampling other
+    compressed formats would require the external decoders the stub
+    documents).
     """
     import numpy as np
 
+    from maplejuice_spark.functions.jpeg_codec import jpeg_decode
     from maplejuice_spark.functions.png_codec import (
         SIGNATURE,
         png_decode,
         png_encode,
     )
 
-    if payload[:8] != SIGNATURE:
+    if payload[:8] == SIGNATURE:
+        arr = png_decode(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        arr = jpeg_decode(payload)
+    else:
         raise NotImplementedError("real resize requires a decodable image")
-    arr = png_decode(payload)
     h, w = arr.shape[0], arr.shape[1]
     if w >= h:
         nw, nh = target, max(1, (h * target) // w)

@@ -1,0 +1,261 @@
+"""Baseline JPEG codec tests: the flat-block exact contract (the
+fixed point the oracle-checked query is built on), bounded lossy error
+on general content, restart-marker resynchronization, precise
+rejection of unimplemented modes and corrupt/adversarial streams, and
+a cross-implementation differential against the JDK's independent
+javax.imageio JPEG codec in BOTH directions — which closes the
+self-consistency blind spot of round-tripping a codec against itself."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maplejuice_spark.functions.jpeg_codec import (
+    DC_EXACT_QUANT,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _flat_block_image(rng, by: int, bx: int, clip=None) -> np.ndarray:
+    """Gray image of by x bx constant 8x8 blocks (the exact contract)."""
+    blocks = rng.integers(0, 256, (by, bx), dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    return img if clip is None else img[: clip[0], : clip[1]].copy()
+
+
+@pytest.mark.parametrize(
+    "by,bx,clip",
+    [(1, 1, None), (2, 3, None), (3, 2, (20, 12)), (4, 4, (25, 31))],
+)
+def test_flat_block_roundtrip_exact(by, bx, clip):
+    """Flat 8x8 blocks + a DC quantizer dividing 8 make encode→decode
+    the identity BY CONSTRUCTION — including non-multiple-of-8 sizes,
+    whose edge padding replicates the (constant) block values."""
+    rng = np.random.default_rng(3)
+    img = _flat_block_image(rng, by, bx, clip)
+    dec = jpeg_decode(jpeg_encode(img, quant_luma=DC_EXACT_QUANT))
+    assert dec.dtype == np.uint8 and np.array_equal(dec, img)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3])
+def test_restart_intervals_roundtrip_exact(ri):
+    """DRI + RSTn resynchronization: markers are actually emitted and
+    the decoder's restart path (byte-align, sequence check, DC-predictor
+    reset) reproduces the image exactly."""
+    rng = np.random.default_rng(5)
+    img = _flat_block_image(rng, 3, 4)
+    blob = jpeg_encode(img, quant_luma=DC_EXACT_QUANT, restart_interval=ri)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    assert np.array_equal(jpeg_decode(blob), img)
+
+
+def test_restart_marker_out_of_sequence_rejected():
+    img = _flat_block_image(np.random.default_rng(5), 3, 4)
+    blob = jpeg_encode(img, quant_luma=DC_EXACT_QUANT, restart_interval=1)
+    scan = blob.index(b"\xff\xda")
+    patched = bytearray(blob)
+    patched[blob.index(b"\xff\xd0", scan) + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode(bytes(patched))
+
+
+def test_flat_rgb_roundtrip_exact():
+    """RGB flat blocks: the YCbCr planes are flat too, so the DC-exact
+    transport is lossless in YCbCr space; the RGB round trip is within
+    the +-1 of the two integer color conversions."""
+    rng = np.random.default_rng(9)
+    blocks = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    img = (
+        np.kron(blocks.transpose(2, 0, 1), np.ones((8, 8), np.uint8))
+        .transpose(1, 2, 0)
+        .copy()
+    )
+    blob = jpeg_encode(
+        img, quant_luma=DC_EXACT_QUANT, quant_chroma=DC_EXACT_QUANT
+    )
+    dec = jpeg_decode(blob)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_lossy_error_bounded():
+    """General content is lossy but bounded: unit quantizers are
+    near-lossless on noise (DCT float round-trip only); Annex K on a
+    smooth gradient stays within a few levels."""
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    ones = np.ones(64, np.int64)
+    dec = jpeg_decode(jpeg_encode(noise, quant_luma=ones))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 1
+    g = np.add.outer(np.arange(48), np.arange(40)).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(g))
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 4
+
+
+def test_cross_validate_against_jdk_imageio(spark):
+    """Differential against the JVM's independent JPEG implementation:
+    (a) our DC-exact flat-block stream decodes in javax.imageio to the
+    ORIGINAL pixels (the oracle contract holds cross-implementation);
+    (b) on an arbitrary noise stream both decoders agree within 1
+    (IDCT rounding); (c) javax.imageio's OWN encoder output decodes
+    identically through ours (flat blocks: exact — DC-only data has
+    one compliant reconstruction); (d) a flat RGB 4:4:4 stream agrees
+    across the two YCbCr->RGB conversions within 1."""
+    jvm = spark._jvm
+    rng = np.random.default_rng(11)
+
+    def jdk_read(blob: bytes):
+        return jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(blob))
+        )
+
+    def jdk_gray(img: np.ndarray) -> bytes:
+        h, w = img.shape
+        bi = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        )
+        ras = bi.getRaster()
+        for y in range(h):
+            for x in range(w):
+                ras.setSample(x, y, 0, int(img[y, x]))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    # (a) ours -> JDK, flat blocks with restart markers: exact
+    img = _flat_block_image(rng, 2, 3)
+    blob = jpeg_encode(img, quant_luma=DC_EXACT_QUANT, restart_interval=2)
+    ras = jdk_read(blob).getRaster()
+    assert all(
+        ras.getSample(x, y, 0) == int(img[y, x])
+        for y in range(16)
+        for x in range(24)
+    )
+
+    # (b) ours -> JDK, Annex-K noise: same-bytes decode within 1
+    noise = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    nblob = jpeg_encode(noise)
+    ours = jpeg_decode(nblob)
+    ras = jdk_read(nblob).getRaster()
+    assert all(
+        abs(ras.getSample(x, y, 0) - int(ours[y, x])) <= 1
+        for y in range(16)
+        for x in range(16)
+    )
+
+    # (c) JDK -> ours: flat exact, noise within 1 (vs JDK's own decode)
+    jb = jdk_gray(img)
+    ours2 = jpeg_decode(jb)
+    ras2 = jdk_read(jb).getRaster()
+    assert all(
+        ras2.getSample(x, y, 0) == int(ours2[y, x])
+        for y in range(16)
+        for x in range(24)
+    )
+    jb2 = jdk_gray(noise)
+    ours3 = jpeg_decode(jb2)
+    ras3 = jdk_read(jb2).getRaster()
+    assert all(
+        abs(ras3.getSample(x, y, 0) - int(ours3[y, x])) <= 1
+        for y in range(16)
+        for x in range(16)
+    )
+
+    # (d) ours -> JDK, flat RGB 4:4:4: within 1 across color converts
+    cblocks = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    cimg = (
+        np.kron(cblocks.transpose(2, 0, 1), np.ones((8, 8), np.uint8))
+        .transpose(1, 2, 0)
+        .copy()
+    )
+    cblob = jpeg_encode(
+        cimg, quant_luma=DC_EXACT_QUANT, quant_chroma=DC_EXACT_QUANT
+    )
+    co = jpeg_decode(cblob)
+    rasc = jdk_read(cblob).getRaster()
+    assert all(
+        abs(rasc.getSample(x, y, c) - int(co[y, x, c])) <= 1
+        for y in range(16)
+        for x in range(16)
+        for c in range(3)
+    )
+
+
+def _patched_sof(blob: bytes, offset: int, value: int) -> bytes:
+    """Return blob with byte at (SOF0 marker index + offset) replaced."""
+    i = blob.index(b"\xff\xc0")
+    b = bytearray(blob)
+    b[i + offset] = value
+    return bytes(b)
+
+
+def test_rejects_unimplemented_modes_precisely():
+    img = _flat_block_image(np.random.default_rng(1), 1, 1)
+    blob = jpeg_encode(img)
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        jpeg_decode(_patched_sof(blob, 1, 0xC2))  # SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg_decode(_patched_sof(blob, 4, 12))  # precision byte
+    with pytest.raises(NotImplementedError, match="sampling factor"):
+        jpeg_decode(_patched_sof(blob, 11, 0x31))  # comp 0 h=3,v=1
+    # 4-component (CMYK-shaped) SOF, crafted with a consistent length
+    sof4 = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    raw = b"\xff\xd8" + struct.pack(">HH", 0xFFC0, len(sof4) + 2) + sof4
+    with pytest.raises(NotImplementedError, match="component"):
+        jpeg_decode(raw + b"\xff\xd9")
+
+
+def test_rejects_pixel_bomb_before_allocation():
+    sof = struct.pack(">BHHB", 8, 0xFFFF, 0xFFFF, 1) + bytes([1, 0x11, 0])
+    raw = b"\xff\xd8" + struct.pack(">HH", 0xFFC0, len(sof) + 2) + sof
+    with pytest.raises(ValueError, match="pixel bomb"):
+        jpeg_decode(raw + b"\xff\xd9")
+
+
+def test_rejects_corrupt_streams():
+    img = _flat_block_image(np.random.default_rng(1), 2, 2)
+    blob = jpeg_encode(img)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x89PNG not a jpeg")
+    # cut inside the scan header's entropy data: SOS segment for one
+    # gray component is 12 bytes, so +13 leaves one entropy byte
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(blob[: blob.index(b"\xff\xda") + 13])
+    # overfull Huffman tree: 3 codes of length 1
+    dht = bytes([0x00, 3] + [0] * 15 + [0, 1, 2])
+    raw = b"\xff\xd8" + struct.pack(">HH", 0xFFC4, len(dht) + 2) + dht
+    with pytest.raises(ValueError, match="overfull"):
+        jpeg_decode(raw + b"\xff\xd9")
+    with pytest.raises(ValueError, match="EOI before SOS"):
+        jpeg_decode(b"\xff\xd8\xff\xd9")
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="empty"):
+        jpeg_encode(np.zeros((0, 4), np.uint8))
+    with pytest.raises(ValueError, match="shape"):
+        jpeg_encode(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError, match="quant"):
+        jpeg_encode(np.zeros((4, 4), np.uint8), quant_luma=np.zeros(64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_decoder_fuzz_clean_failures(data):
+    """Arbitrary bytes — raw, SOI-prefixed, or spliced into a valid
+    stream — must fail with a clean ValueError / NotImplementedError,
+    never a crash, hang, or silent garbage array."""
+    base = jpeg_encode(np.full((8, 8), 100, np.uint8))
+    for blob in (data, b"\xff\xd8" + data, base[: len(base) // 2] + data):
+        try:
+            jpeg_decode(blob)
+        except (ValueError, NotImplementedError):
+            pass

@@ -71,6 +71,24 @@ def test_decode_dims_dispatches_png_to_real_codec():
         mm.decode_dims(bytes(corrupt))
 
 
+def test_decode_dims_dispatches_jpeg_to_real_codec():
+    """A baseline-JPEG payload must produce its REAL dimensions via
+    the signature-sniffed T.81 codec, and a corrupt JPEG must fail
+    loudly, never silently degrade to fake geometry."""
+    import numpy as np
+
+    from maplejuice_spark.functions.jpeg_codec import jpeg_encode
+
+    img = (np.arange(16 * 24, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(16, 24)
+    blob = jpeg_encode(img)
+    assert mm.decode_dims(blob) == (24, 16)  # (width, height), real
+
+    with pytest.raises(ValueError):
+        mm.decode_dims(blob[: len(blob) // 2])
+
+
 def test_decode_audio_dispatches_wav_to_real_codec():
     """RIFF/WAVE payloads decode for real (rate + bit-identical
     samples); compressed formats raise the documented error rather
@@ -131,4 +149,26 @@ def test_resize_image_real_png_roundtrip():
     assert np.array_equal(down, src)
 
     with pytest.raises(NotImplementedError):
-        mm.resize_image_real(b"\xff\xd8\xff jpeg soi", target=10)
+        mm.resize_image_real(b"GIF89a not decodable here", target=10)
+
+
+def test_resize_image_real_jpeg_payload():
+    """JPEG payloads resize for real too: a flat-block DC-exact JPEG
+    decodes losslessly, so the NN selection is checkable exactly; the
+    output container is PNG (no second lossy hit)."""
+    import numpy as np
+
+    from maplejuice_spark.functions.jpeg_codec import (
+        DC_EXACT_QUANT,
+        jpeg_encode,
+    )
+    from maplejuice_spark.functions.png_codec import png_decode
+
+    rng = np.random.default_rng(23)
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    src = np.kron(blocks, np.ones((8, 8), np.uint8))  # 16 x 24
+    blob = jpeg_encode(src, quant_luma=DC_EXACT_QUANT)
+    out = png_decode(mm.resize_image_real(blob, target=12))
+    assert out.shape == (8, 12)  # aspect-preserving: 24x16 -> 12x8
+    ys, xs = (np.arange(8) * 16) // 8, (np.arange(12) * 24) // 12
+    assert np.array_equal(out, src[ys][:, xs])
