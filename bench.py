@@ -108,15 +108,21 @@ def main() -> None:
     # executes the full distributed plan through the noop sink.
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    from maplejuice_spark.functions import release_checkpoints
+
     for name in HEADLINE:
         # drain accumulated garbage OUTSIDE the timed window: a major
         # GC landing inside a timed run was the dominant source of the
         # wide per-query spreads (e.g. ngram_jaccard [3.06, 8.46] in
         # round 5) — the pause is prior queries' garbage, not this
-        # query's plan
-        spark._jvm.System.gc()
+        # query's plan. release_checkpoints also frees the PREVIOUS
+        # queries' localCheckpoint blocks (a single gc pass cannot —
+        # the py4j detach is asynchronous), which otherwise accumulate
+        # ~50 MB/run for the shingle-heavy queries and surface as
+        # roving eviction/GC outliers in later timed runs.
         runs: list[float] = []
         for i in range(N_TIMED_RUNS + 1):
+            release_checkpoints(spark)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -200,3 +200,52 @@ def materialize(df):
             "upstream of materialize()",
         )
     return df.localCheckpoint(eager=True)
+
+
+def release_checkpoints(spark, timeout: float = 3.0) -> int:
+    """Release the storage blocks of ``materialize()`` checkpoints whose
+    DataFrames are no longer referenced, and return the surviving
+    cached-RDD count.
+
+    A ``localCheckpoint`` block is freed by a three-stage chain, two of
+    which are asynchronous: Python gc drops the DataFrame wrapper (py4j
+    then detaches the JVM Dataset on its own cleanup cycle), a JVM gc
+    collects the now-unreachable RDD, and ContextCleaner's weak-ref
+    queue finally unpersists the blocks. One gc pass therefore does
+    NOT release anything — the JVM gc runs before the py4j detach has
+    landed (measured: 53 MB of shingle checkpoints survive a single
+    gc.collect()+System.gc() cycle indefinitely, and are freed within
+    2 s of a second cycle). Long-lived sessions that run many queries
+    back-to-back (bench, registry sweeps, a notebook) accumulate every
+    query's checkpoint blocks without this, which shows up as roving
+    GC-pause outliers at sf0.1 and as executor OOM at 30x scale on a
+    default-size heap.
+
+    Deliberately NOT an unpersist-by-id sweep: a localCheckpoint has no
+    lineage to recompute from, so force-unpersisting a block that is
+    still referenced (e.g. the per-session _normed_vecs memo) would
+    corrupt later queries. gc-based release frees exactly the
+    unreferenced ones; memoized checkpoints stay because their module
+    caches hold strong references.
+    """
+    import gc
+    import time
+
+    sc = spark.sparkContext
+    for _ in range(2):
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(0.1)
+    # ContextCleaner unpersists asynchronously; wait (bounded) until the
+    # cached-block census stops shrinking so the freed memory cannot
+    # leak GC pressure into whatever the caller times next.
+    deadline = time.monotonic() + timeout
+    prev: int | None = None
+    while time.monotonic() < deadline:
+        info = sc._jsc.sc().getRDDStorageInfo()
+        mem = sum(r.memSize() for r in info)
+        if prev is not None and mem >= prev:
+            break
+        prev = mem
+        time.sleep(0.2)
+    return len(sc._jsc.sc().getRDDStorageInfo())

@@ -117,11 +117,19 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
+    from maplejuice_spark.functions import release_checkpoints
+
     specs = all_queries()
     names = sorted(specs) if only is None else only
     failed = []
     for name in names:
         spec = specs[name]
+        # free the previous query's localCheckpoint blocks before the
+        # next one runs — without this a long sweep accumulates every
+        # query's checkpoints (the py4j detach is async, so Spark's own
+        # gc never catches up mid-sweep) and a default-heap session
+        # OOMs at the x3 replica scale around query ~130.
+        release_checkpoints(spark)
         t0 = time.perf_counter()
         try:
             got = spec.fn(spark, sf_dir).toPandas()

@@ -85,3 +85,37 @@ def test_normed_vecs_memoized_per_session_and_dir(spark, sf_dir):
     b = similarity._normed_vecs(spark, other)
     assert b is not a
     assert similarity._normed_vecs(spark, other) is b
+
+
+def test_release_checkpoints_frees_unreferenced_keeps_memoized(spark, sf_dir):
+    """release_checkpoints must free checkpoint blocks whose DataFrames
+    are no longer referenced (a single gc pass cannot: the py4j detach
+    of the JVM Dataset is asynchronous, so the measured behavior is
+    that one gc.collect()+System.gc() cycle leaves the blocks resident
+    indefinitely) while leaving memoized checkpoints — which have no
+    lineage to recompute from — untouched and usable."""
+    from maplejuice_spark.functions import materialize, release_checkpoints
+    from maplejuice_spark.operators import similarity
+
+    def census():
+        info = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {r.id(): r.memSize() for r in info}
+
+    release_checkpoints(spark)  # start from a drained session
+    memo = similarity._normed_vecs(spark, sf_dir)  # memoized: must survive
+    memo_n = memo.count()
+    kept_ids = set(census())
+
+    df = materialize(
+        spark.range(200_000).selectExpr("id", "md5(cast(id as string)) as h")
+    )
+    assert df.count() == 200_000
+    new_ids = set(census()) - kept_ids
+    assert new_ids, "materialize() must register cached blocks"
+    del df
+    survivors = release_checkpoints(spark)
+    after = set(census())
+    assert not (new_ids & after), "unreferenced checkpoint blocks must be freed"
+    # the memoized table's blocks survive and the frame is still queryable
+    assert memo.count() == memo_n
+    assert survivors >= 0
