@@ -63,6 +63,8 @@ HEADLINE = [
     "multimodal_jpeg_features",
     "multimodal_wav_features",
     "multimodal_video_frames",
+    # round-6: G.711 compressed audio (μ-law + A-law), spec-oracled
+    "multimodal_g711_features",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

@@ -1,18 +1,24 @@
-"""Pure-stdlib WAV (RIFF/PCM) codec: 8-bit unsigned and 16-bit signed
-PCM, mono or multi-channel.
+"""Pure-stdlib WAV (RIFF) codec: 8/16-bit PCM plus the ITU-T G.711
+compressed encodings (μ-law, WAVE format 7; A-law, format 6), mono or
+multi-channel.
 
 Implements the public RIFF/WAVE format (little-endian chunked
-container, ``fmt `` + ``data`` chunks, interleaved PCM frames) with
+container, ``fmt `` + ``data`` chunks, interleaved frames) with
 ``struct`` + numpy only, so the multimodal audio path can be REAL in
 environments with no media libraries — the companion of
-``png_codec`` for the image path. Compressed audio (MP3/AAC/OGG...)
-still requires external codecs and stays behind the documented stub.
+``png_codec`` for the image path. G.711 is genuinely COMPRESSED audio
+(8-bit logarithmic companding of 16-bit PCM, 2:1 and lossy), so it
+retires part of the compressed-audio stub the same way baseline JPEG
+did for images; perceptual codecs (MP3/AAC/OGG...) still require
+external libraries and stay behind the documented stub.
 
-Scope (validated by tests/test_wav_codec.py, including a
-cross-implementation differential against the JDK's independent
-javax.sound.sampled WAV reader):
+Scope (validated by tests/test_wav_codec.py and tests/test_g711.py,
+including cross-implementation differentials against the JDK's
+independent javax.sound.sampled WAV reader and its μ-law/A-law
+codecs):
 
-- PCM only (``audio_format == 1``); 8-bit unsigned / 16-bit signed;
+- PCM (``audio_format == 1``, 8-bit unsigned / 16-bit signed) and
+  G.711 μ-law / A-law (formats 7 / 6, 8-bit, decoded to int16);
 - any channel count / sample rate; unknown chunks are skipped the way
   the spec requires (so files with LIST/INFO metadata still decode);
 - precise errors for truncation and unsupported encodings — never
@@ -25,36 +31,150 @@ import struct
 
 import numpy as np
 
+# --------------------------------------------------------------------------
+# ITU-T G.711 companding (the classic public-domain CCITT reference
+# arithmetic: 16-bit PCM <-> 8-bit logarithmic code). Both directions
+# are precomputed as lookup tables so the per-sample transform is one
+# vectorized np.take — encode tables are indexed by the uint16 view of
+# the int16 sample.
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def _build_g711_tables():
+    # encode tables are indexed by the sample's uint16 bit pattern, so
+    # build them in uint16 order with x = the int16 reinterpretation
+    x = np.arange(65536, dtype=np.uint16).view(np.int16).astype(np.int32)
+
+    # μ-law encode: sign + biased magnitude -> 3-bit segment (exponent
+    # of the MSB above the bias floor) + 4-bit mantissa, ones-complement
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # frexp exponents are exact for integers: mag in [132, 32767] ->
+    # MSB position 8..15 -> segment 0..7
+    exp = np.frexp(mag.astype(np.float64))[1].astype(np.int32) - 8
+    mant = (mag >> (exp + 3)) & 0x0F
+    ulaw_enc = (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+    # μ-law decode: invert, rebuild the biased magnitude at the segment
+    # midpoint, un-bias
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    useg = (u >> 4) & 0x07
+    ut = (((u & 0x0F) << 3) + _ULAW_BIAS << useg) - _ULAW_BIAS
+    ulaw_dec = np.where(u & 0x80, -ut, ut).astype(np.int16)
+
+    # A-law encode operates on the 13-bit magnitude (pcm >> 3), with
+    # even-bit inversion (xor 0x55) instead of full complement and the
+    # sign bit SET for non-negative samples
+    x13 = x >> 3
+    amask = np.where(x13 >= 0, 0xD5, 0x55)
+    amag = np.where(x13 >= 0, x13, -x13 - 1)
+    seg_end = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF],
+                       dtype=np.int32)
+    aseg = np.searchsorted(seg_end, amag, side="left").astype(np.int32)
+    ashift = np.where(aseg < 2, 1, aseg)
+    alaw_enc = (((aseg << 4) | ((amag >> ashift) & 0x0F)) ^ amask).astype(
+        np.uint8
+    )
+
+    # A-law decode: xor 0x55, rebuild the 16-bit-domain midpoint
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    dseg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(
+        dseg == 0,
+        t + 8,
+        np.where(dseg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(dseg - 1, 0)),
+    )
+    alaw_dec = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw_enc, ulaw_dec, alaw_enc, alaw_dec
+
+
+_ULAW_ENC, _ULAW_DEC, _ALAW_ENC, _ALAW_DEC = _build_g711_tables()
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM -> uint8 G.711 μ-law codes (vectorized LUT)."""
+    return _ULAW_ENC[np.asarray(samples, dtype=np.int16).view(np.uint16)]
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 μ-law codes -> int16 PCM (segment midpoints)."""
+    return _ULAW_DEC[np.asarray(codes, dtype=np.uint8)]
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM -> uint8 G.711 A-law codes (vectorized LUT)."""
+    return _ALAW_ENC[np.asarray(samples, dtype=np.int16).view(np.uint16)]
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 A-law codes -> int16 PCM (segment midpoints)."""
+    return _ALAW_DEC[np.asarray(codes, dtype=np.uint8)]
+
+
+# WAVE format tags (public RIFF registry)
+_FMT_PCM, _FMT_ALAW, _FMT_ULAW = 1, 6, 7
+
 
 def wav_encode(
-    samples: np.ndarray, sample_rate: int = 16000
+    samples: np.ndarray, sample_rate: int = 16000, encoding: str = "pcm"
 ) -> bytes:
-    """Encode PCM samples to a WAV byte string.
+    """Encode samples to a WAV byte string.
 
-    ``samples``: (n,) mono or (n, channels) int16 (written as 16-bit
-    signed PCM) or uint8 (written as 8-bit unsigned PCM).
+    ``samples``: (n,) mono or (n, channels); int16 (written as 16-bit
+    signed PCM) or uint8 (written as 8-bit unsigned PCM) for
+    ``encoding="pcm"``. ``encoding="ulaw"`` / ``"alaw"`` take int16
+    samples and write 8-bit G.711 code streams (WAVE formats 7 / 6) —
+    a real 2:1 lossy compression; non-PCM streams carry the
+    spec-required 18-byte fmt chunk (cbSize=0) and a ``fact`` chunk
+    with the per-channel frame count.
     """
     arr = np.asarray(samples)
-    if arr.dtype == np.int16:
-        bits = 16
-    elif arr.dtype == np.uint8:
+    if encoding == "pcm":
+        if arr.dtype == np.int16:
+            bits = 16
+        elif arr.dtype == np.uint8:
+            bits = 8
+        else:
+            raise ValueError(f"unsupported dtype {arr.dtype} (int16/uint8)")
+    elif encoding in ("ulaw", "alaw"):
+        if arr.dtype != np.int16:
+            raise ValueError(f"G.711 takes int16 samples, got {arr.dtype}")
         bits = 8
     else:
-        raise ValueError(f"unsupported dtype {arr.dtype} (int16/uint8)")
+        raise ValueError(f"unsupported encoding {encoding!r}")
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2 or arr.shape[0] == 0 or arr.shape[1] == 0:
         raise ValueError(f"unsupported shape {samples.shape}")
     n, ch = arr.shape
     block_align = ch * bits // 8
-    data = np.ascontiguousarray(arr.astype("<u1" if bits == 8 else "<i2")).tobytes()
-    fmt = struct.pack(
-        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align,
-        block_align, bits,
-    )
+    if encoding == "pcm":
+        fmt_tag = _FMT_PCM
+        data = np.ascontiguousarray(
+            arr.astype("<u1" if bits == 8 else "<i2")
+        ).tobytes()
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, ch, sample_rate, sample_rate * block_align,
+            block_align, bits,
+        )
+        fact = b""
+    else:
+        fmt_tag = _FMT_ULAW if encoding == "ulaw" else _FMT_ALAW
+        codes = ulaw_encode(arr) if encoding == "ulaw" else alaw_encode(arr)
+        data = np.ascontiguousarray(codes).tobytes()
+        fmt = struct.pack(
+            "<HHIIHHH", fmt_tag, ch, sample_rate, sample_rate * block_align,
+            block_align, bits, 0,  # cbSize=0: no format extension
+        )
+        fact = b"fact" + struct.pack("<II", 4, n)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
         + b"data" + struct.pack("<I", len(data)) + data
         + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks are word-aligned
     )
@@ -87,13 +207,16 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or pcm is None:
         raise ValueError("missing fmt /data chunk")
     audio_format, ch, rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (_FMT_PCM, _FMT_ULAW, _FMT_ALAW):
         raise NotImplementedError(
-            f"audio format {audio_format} (only PCM=1; compressed audio "
-            f"requires external codecs)"
+            f"audio format {audio_format} (PCM=1 and G.711 μ-law=7 / "
+            f"A-law=6; perceptual codecs require external libraries)"
         )
-    if bits not in (8, 16):
-        raise NotImplementedError(f"{bits}-bit PCM (only 8/16)")
+    if audio_format == _FMT_PCM:
+        if bits not in (8, 16):
+            raise NotImplementedError(f"{bits}-bit PCM (only 8/16)")
+    elif bits != 8:
+        raise ValueError(f"G.711 streams are 8-bit, got {bits}")
     if ch < 1 or block_align != ch * bits // 8:
         raise ValueError(f"inconsistent channels={ch} block_align={block_align}")
     frame = block_align
@@ -101,5 +224,10 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"data size {len(pcm)} not a frame multiple")
     arr = np.frombuffer(pcm, dtype="<u1" if bits == 8 else "<i2")
     arr = arr.reshape(-1, ch)
-    out = arr.astype(np.uint8 if bits == 8 else np.int16)
+    if audio_format == _FMT_ULAW:
+        out = ulaw_decode(arr)
+    elif audio_format == _FMT_ALAW:
+        out = alaw_decode(arr)
+    else:
+        out = arr.astype(np.uint8 if bits == 8 else np.int16)
     return rate, (out[:, 0] if ch == 1 else out)

@@ -19,14 +19,16 @@ backing an oracle-checked query (``multimodal_png_features`` /
 ``multimodal_jpeg_features`` / ``multimodal_wav_features`` /
 ``multimodal_video_frames``) whose encode→decode path must agree with
 DuckDB's direct computation — via losslessness for png/wav/avi, via
-the flat-block DC-exact fixed point for JPEG. ``resize_image_real``
-makes the resize kernel real for PNG/JPEG via integer
-nearest-neighbor resampling. Remaining compressed formats
-(MP3/H.264/...) require external codec libraries this container
-lacks, so such payloads fall back to the clearly-marked deterministic
-STUB (fake dimensions from the first two payload bytes, one formula
-shared by meta/frames/resize); the Spark plumbing — schema, batching,
-partition parallelism, UDF signature — is real and tested
+the flat-block DC-exact fixed point for JPEG, via the closed-form
+ITU-T companding law for G.711 compressed audio
+(``multimodal_g711_features``). ``resize_image_real`` makes the
+resize kernel real for PNG/JPEG via integer nearest-neighbor
+resampling. Remaining PERCEPTUAL compressed formats (MP3/AAC/H.264/
+...) require external codec libraries this container lacks, so such
+payloads fall back to the clearly-marked deterministic STUB (fake
+dimensions from the first two payload bytes, one formula shared by
+meta/frames/resize); the Spark plumbing — schema, batching, partition
+parallelism, UDF signature — is real and tested
 (tests/test_multimodal.py).
 """
 
@@ -581,16 +583,17 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_audio(payload: bytes) -> tuple[int, "object"]:
     """Audio decode dispatch, the companion of ``decode_dims``:
-    RIFF/WAVE payloads decode FOR REAL through the pure-stdlib PCM
-    codec (sample rate + sample array back); compressed audio formats
-    (MP3/AAC/OGG) require external codec libraries this container
-    lacks and raise the documented NotImplementedError."""
+    RIFF/WAVE payloads decode FOR REAL through the pure-stdlib codec —
+    PCM and the G.711 compressed encodings (μ-law/A-law, formats 7/6,
+    expanded to int16); PERCEPTUAL compressed formats (MP3/AAC/OGG)
+    require external codec libraries this container lacks and raise
+    the documented NotImplementedError."""
     from maplejuice_spark.functions.wav_codec import wav_decode
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return wav_decode(payload)
     raise NotImplementedError(
-        "compressed audio decode requires codec libraries"
+        "perceptual audio decode (MP3/AAC/OGG) requires codec libraries"
     )
 
 
@@ -882,3 +885,152 @@ def resize_image_real(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
     ys = (np.arange(nh) * h) // nh
     xs = (np.arange(nw) * w) // nw
     return png_encode(arr[ys][:, xs])
+
+
+G711_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("ucode_sum", T.LongType()),
+        T.StructField("acode_sum", T.LongType()),
+        T.StructField("ulaw_amp_sum", T.LongType()),
+        T.StructField("ulaw_whash", T.LongType()),
+        T.StructField("alaw_amp_sum", T.LongType()),
+        T.StructField("alaw_whash", T.LongType()),
+    ]
+)
+
+G711_RATE = 8000  # the G.711 telephony rate
+
+# Closed-form ITU-T G.711 stated directly in SQL over the sample value
+# v (int16 range): the oracle re-derives both the 8-bit code and the
+# companded (decode(encode(v))) value per sample, so a value-level
+# match proves the Spark side's real byte pipeline implements exactly
+# the published law. The segment ladder is integer CASE arithmetic —
+# no floats, no log2.
+_SQL_ULAW = """
+      LEAST(ABS(v), 32635) + 132 AS u_m,
+      CASE WHEN u_m >= 16384 THEN 7 WHEN u_m >= 8192 THEN 6
+           WHEN u_m >= 4096 THEN 5 WHEN u_m >= 2048 THEN 4
+           WHEN u_m >= 1024 THEN 3 WHEN u_m >= 512 THEN 2
+           WHEN u_m >= 256 THEN 1 ELSE 0 END AS u_e,
+      (u_m >> (u_e + 3)) & 15 AS u_mant,
+      255 - (CASE WHEN v < 0 THEN 128 ELSE 0 END
+             + u_e * 16 + u_mant) AS u_code,
+      CASE WHEN v < 0 THEN -(((u_mant * 8 + 132) << u_e) - 132)
+           ELSE ((u_mant * 8 + 132) << u_e) - 132 END AS u_val
+"""
+
+_SQL_ALAW = """
+      CAST(FLOOR(v / 8.0) AS BIGINT) AS a_x13,
+      CASE WHEN a_x13 >= 0 THEN a_x13 ELSE -a_x13 - 1 END AS a_mg,
+      CASE WHEN a_mg <= 31 THEN 0 WHEN a_mg <= 63 THEN 1
+           WHEN a_mg <= 127 THEN 2 WHEN a_mg <= 255 THEN 3
+           WHEN a_mg <= 511 THEN 4 WHEN a_mg <= 1023 THEN 5
+           WHEN a_mg <= 2047 THEN 6 ELSE 7 END AS a_seg,
+      (a_mg >> (CASE WHEN a_seg < 2 THEN 1 ELSE a_seg END)) & 15 AS a_mant,
+      xor(a_seg * 16 + a_mant,
+          CASE WHEN a_x13 >= 0 THEN 213 ELSE 85 END) AS a_code,
+      CASE WHEN a_seg = 0 THEN a_mant * 16 + 8
+           WHEN a_seg = 1 THEN a_mant * 16 + 264
+           ELSE (a_mant * 16 + 264) << (a_seg - 1) END AS a_t,
+      CASE WHEN a_x13 >= 0 THEN a_t ELSE -a_t END AS a_val
+"""
+
+
+@register(
+    "multimodal_g711_features",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS L
+      FROM documents WHERE doc_id % 11 = 5 AND LENGTH(text) >= 1
+    ),
+    s AS (
+      SELECT doc_id, i,
+             (ascii(substr(text, (i % L) + 1, 1)) % 256) * 256 - 32768 AS v,
+             {_SQL_ULAW},
+             {_SQL_ALAW}
+      FROM (SELECT doc_id, text, L,
+                   unnest(generate_series(0, {N_SAMPLES - 1})) AS i
+            FROM d)
+    )
+    SELECT doc_id,
+           CAST({N_SAMPLES} AS INTEGER) AS n_samples,
+           CAST({G711_RATE} AS INTEGER) AS sample_rate,
+           CAST(SUM(u_code) AS BIGINT) AS ucode_sum,
+           CAST(SUM(a_code) AS BIGINT) AS acode_sum,
+           CAST(SUM(ABS(u_val)) AS BIGINT) AS ulaw_amp_sum,
+           CAST(SUM(u_val * (i + 1)) AS BIGINT) AS ulaw_whash,
+           CAST(SUM(ABS(a_val)) AS BIGINT) AS alaw_amp_sum,
+           CAST(SUM(a_val * (i + 1)) AS BIGINT) AS alaw_whash
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "wav", "g711"),
+)
+def multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, oracle-checked end to end: each
+    selected document's codepoints become 16-bit PCM, which is
+    compressed to BOTH G.711 laws (μ-law WAVE format 7, A-law format
+    6 — genuine 2:1 lossy companding), framed as real WAV byte
+    streams, decoded back through the pure-stdlib codec (sample count
+    and rate come from the decoded μ-law header), and reduced to
+    integer-exact code and amplitude features. The DuckDB oracle
+    states the published G.711 arithmetic closed-form per sample, so a
+    value-level match proves the codec — code bytes AND companded
+    samples — bit-for-bit per document against the spec, not against
+    our own implementation. Cross-implementation interop (JDK
+    javax.sound, both directions) is pinned in tests/test_g711.py.
+
+    Scale: pure map over documents (repartitioned to the core count),
+    one output row per document, features not waveforms leave Python.
+    """
+    import numpy as np
+
+    from maplejuice_spark.functions.wav_codec import wav_decode, wav_encode
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 11 == 5) & (F.length("text") >= 1))
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from maplejuice_spark.functions.wav_codec import (
+            alaw_encode,
+            ulaw_encode,
+        )
+
+        weights = np.arange(N_SAMPLES, dtype=np.int64) + 1
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cp = np.array([ord(c) for c in text], dtype=np.int64)
+                v = (
+                    (cp[np.arange(N_SAMPLES) % len(cp)] % 256) * 256 - 32768
+                ).astype(np.int16)
+                ublob = wav_encode(v, G711_RATE, encoding="ulaw")
+                ablob = wav_encode(v, G711_RATE, encoding="alaw")
+                rate, u = wav_decode(ublob)
+                _, a = wav_decode(ablob)
+                u64, a64 = u.astype(np.int64), a.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(u.shape[0]),
+                        int(rate),
+                        int(ulaw_encode(v).astype(np.int64).sum()),
+                        int(alaw_encode(v).astype(np.int64).sum()),
+                        int(np.abs(u64).sum()),
+                        int((u64 * weights).sum()),
+                        int(np.abs(a64).sum()),
+                        int((a64 * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in G711_SCHEMA.fields],
+            )
+
+    return docs.mapInPandas(op, schema=G711_SCHEMA).orderBy("doc_id")

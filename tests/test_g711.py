@@ -1,0 +1,187 @@
+"""G.711 μ-law / A-law codec tests: exhaustive differential against
+the classic CCITT reference arithmetic, compand fixed-point laws, the
+WAV container framing for compressed formats, and cross-implementation
+differentials against the JDK's independent javax.sound codecs in both
+directions."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from maplejuice_spark.functions.wav_codec import (
+    alaw_decode,
+    alaw_encode,
+    ulaw_decode,
+    ulaw_encode,
+    wav_decode,
+    wav_encode,
+)
+
+
+# -- scalar CCITT reference arithmetic (independent of the LUT builder)
+
+def _ulaw_enc_ref(x: int) -> int:
+    sign = 0x80 if x < 0 else 0
+    m = min(abs(x), 32635) + 132
+    e = m.bit_length() - 8
+    return ~(sign | (e << 4) | ((m >> (e + 3)) & 0xF)) & 0xFF
+
+
+def _ulaw_dec_ref(u: int) -> int:
+    u = ~u & 0xFF
+    t = ((((u & 0xF) << 3) + 132) << ((u >> 4) & 7)) - 132
+    return -t if u & 0x80 else t
+
+
+def _alaw_enc_ref(x: int) -> int:
+    x13 = x >> 3
+    mask, mg = (0xD5, x13) if x13 >= 0 else (0x55, -x13 - 1)
+    ends = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF]
+    seg = next((i for i, e in enumerate(ends) if mg <= e), 7)
+    return ((seg << 4) | ((mg >> (1 if seg < 2 else seg)) & 0xF)) ^ mask
+
+
+def _alaw_dec_ref(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0xF) << 4
+    seg = (a & 0x70) >> 4
+    t = t + 8 if seg == 0 else (
+        t + 0x108 if seg == 1 else (t + 0x108) << (seg - 1)
+    )
+    return t if a & 0x80 else -t
+
+
+def test_encode_luts_match_reference_exhaustively():
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    ue, ae = ulaw_encode(xs), alaw_encode(xs)
+    ref_u = np.array([_ulaw_enc_ref(int(x)) for x in xs], dtype=np.uint8)
+    ref_a = np.array([_alaw_enc_ref(int(x)) for x in xs], dtype=np.uint8)
+    assert np.array_equal(ue, ref_u)
+    assert np.array_equal(ae, ref_a)
+
+
+def test_decode_luts_match_reference_exhaustively():
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        ulaw_decode(codes),
+        np.array([_ulaw_dec_ref(c) for c in range(256)], dtype=np.int16),
+    )
+    assert np.array_equal(
+        alaw_decode(codes),
+        np.array([_alaw_dec_ref(c) for c in range(256)], dtype=np.int16),
+    )
+
+
+def test_compand_fixed_points():
+    """encode(decode(code)) == code for every code — the quantizer must
+    map each segment midpoint back to its own code. μ-law's single
+    exception is 0x7F (negative zero): it decodes to 0, which re-encodes
+    to the positive-zero code 0xFF."""
+    codes = np.arange(256, dtype=np.uint8)
+    re_u = ulaw_encode(ulaw_decode(codes))
+    assert [c for c in range(256) if re_u[c] != c] == [0x7F]
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    # decoded magnitudes are the textbook envelopes
+    assert int(ulaw_decode(codes).max()) == 32124
+    assert int(alaw_decode(codes).max()) == 32256
+
+
+def test_g711_wav_container_round_trip_mono_and_stereo():
+    rng = np.random.default_rng(7)
+    for enc, dec_fn, enc_fn, tag in [
+        ("ulaw", ulaw_decode, ulaw_encode, 7),
+        ("alaw", alaw_decode, alaw_encode, 6),
+    ]:
+        mono = rng.integers(-32768, 32768, size=41).astype(np.int16)
+        blob = wav_encode(mono, 8000, encoding=enc)
+        rate, out = wav_decode(blob)
+        assert rate == 8000 and np.array_equal(out, dec_fn(enc_fn(mono)))
+        # fmt chunk: tag, 8-bit, 18 bytes with cbSize=0; fact chunk present
+        assert struct.unpack("<H", blob[20:22])[0] == tag
+        assert b"fact" in blob
+        stereo = rng.integers(-32768, 32768, size=(30, 2)).astype(np.int16)
+        rate, out2 = wav_decode(wav_encode(stereo, 44100, encoding=enc))
+        assert rate == 44100 and np.array_equal(out2, dec_fn(enc_fn(stereo)))
+
+
+def test_g711_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="int16"):
+        wav_encode(np.zeros(4, dtype=np.uint8), encoding="ulaw")
+    with pytest.raises(ValueError, match="encoding"):
+        wav_encode(np.zeros(4, dtype=np.int16), encoding="mp3")
+    # a G.711 stream claiming 16-bit is inconsistent, not garbage
+    blob = bytearray(wav_encode(np.zeros(4, dtype=np.int16), encoding="ulaw"))
+    blob[34:36] = struct.pack("<H", 16)  # bits field inside fmt
+    with pytest.raises(ValueError, match="8-bit"):
+        wav_decode(bytes(blob))
+
+
+def test_cross_validate_g711_against_jdk(spark):
+    """Differential against the JDK's independent μ-law/A-law codecs:
+    (a) our compressed WAV parses in javax.sound with the right
+    encoding tag and the JDK's decode of OUR code stream is
+    bit-identical to ours; (b) a compressed stream AUTHORED by the JDK
+    (its own converter + writer) decodes through our codec
+    bit-identically to the JDK's own decode of it. The JDK's *encoder*
+    picks a different (also conformant) code on a few
+    segment-boundary samples, so encoder outputs are deliberately not
+    asserted equal — decode is the normative G.711 mapping."""
+    jvm = spark._jvm
+    rng = np.random.default_rng(11)
+    src = rng.integers(-32768, 32768, size=300).astype(np.int16)
+    pcm16 = jvm.javax.sound.sampled.AudioFormat(8000.0, 16, 1, True, False)
+
+    for law, enc_name, dec_fn, enc_fn in [
+        ("ulaw", "ULAW", ulaw_decode, ulaw_encode),
+        ("alaw", "ALAW", alaw_decode, alaw_encode),
+    ]:
+        ours = dec_fn(enc_fn(src))
+
+        # (a) our stream -> JDK
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(
+                bytearray(wav_encode(src, 8000, encoding=law))
+            )
+        )
+        assert str(ais.getFormat().getEncoding()) == enc_name
+        pcm = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            pcm16, ais
+        )
+        jdk = np.frombuffer(bytes(pcm.readAllBytes()), dtype="<i2")
+        assert np.array_equal(jdk, ours)
+
+        # (b) JDK-authored stream -> our decode == JDK's own decode
+        enc_obj = getattr(
+            jvm.javax.sound.sampled.AudioFormat.Encoding, enc_name
+        )
+        ais2 = jvm.javax.sound.sampled.AudioInputStream(
+            jvm.java.io.ByteArrayInputStream(
+                bytearray(src.astype("<i2").tobytes())
+            ),
+            pcm16,
+            len(src),
+        )
+        law_fmt = jvm.javax.sound.sampled.AudioFormat(
+            enc_obj, 8000.0, 8, 1, 1, 8000.0, False
+        )
+        conv = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            law_fmt, ais2
+        )
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.sound.sampled.AudioSystem.write(
+            conv, jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE, baos
+        )
+        blob = bytes(baos.toByteArray())
+        rate, ours_dec = wav_decode(blob)
+        assert rate == 8000
+        ais3 = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(blob))
+        )
+        pcm3 = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            pcm16, ais3
+        )
+        jdk_dec = np.frombuffer(bytes(pcm3.readAllBytes()), dtype="<i2")
+        assert np.array_equal(ours_dec, jdk_dec)
