@@ -65,6 +65,8 @@ HEADLINE = [
     "multimodal_video_frames",
     # round-6: G.711 compressed audio (μ-law + A-law), spec-oracled
     "multimodal_g711_features",
+    # round-6: RLE8 compressed video (palette + run-length escapes)
+    "multimodal_rle_video",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

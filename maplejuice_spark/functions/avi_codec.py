@@ -1,13 +1,17 @@
-"""Pure-stdlib AVI codec for uncompressed (raw DIB) video: RIFF
-container, 24-bit BGR bottom-up frames, 4-byte row stride.
+"""Pure-stdlib AVI codec: uncompressed (raw DIB) 24-bit video plus
+Microsoft RLE8 (biCompression=1) COMPRESSED 8-bit paletted video, in
+the RIFF container.
 
 Implements the public AVI/RIFF layout (``RIFF('AVI ' LIST('hdrl' avih
 LIST('strl' strh strf)) LIST('movi' '00db'...))``) with ``struct`` +
 numpy only, completing the media trio next to ``png_codec`` (image)
 and ``wav_codec`` (audio): real frame-sampling over a real video
-container with zero external dependencies. Compressed video
-(H.264/VP9/...) requires external codecs and stays behind the
-documented multimodal stub.
+container with zero external dependencies. RLE8 is a genuine
+compressed video codec (run-length + absolute/escape modes over
+palette indices, lossless for 8-bit content), the video member of the
+compressed-format family next to baseline JPEG (image) and G.711
+(audio); perceptual codecs (H.264/VP9/...) require external libraries
+and stay behind the documented multimodal stub.
 
 No independent AVI implementation exists in this environment (the JDK
 cross-validates PNG and WAV but has no AVI reader), so the byte
@@ -16,9 +20,13 @@ a golden stream directly from the published spec — including the DIB
 quirks (bottom-up row order, BGR channel order, stride padding) that
 a symmetric encoder/decoder bug would hide from round-trip tests —
 and asserts both that our encoder emits exactly those bytes and that
-our decoder parses them to the expected pixels.
+our decoder parses them to the expected pixels. The RLE8 decode modes
+get the same treatment (a hand-assembled stream exercising encoded
+runs, absolute mode with its word-alignment pad, end-of-line, delta,
+and end-of-bitmap).
 
-Scope: fccHandler 'DIB ' / biCompression 0, 24-bit only; one video
+Scope: fccHandler 'DIB ' / biCompression 0 (24-bit) and 'MRLE' /
+biCompression 1 (8-bit + 256-entry RGBQUAD palette); one video
 stream; '00db'/'00dc' frame chunks; idx1 not required (written for
 player compatibility, ignored on read).
 """
@@ -58,6 +66,116 @@ def _dib_to_rows(
     # silently flipped
     out = bgr if topdown else bgr[::-1]
     return np.ascontiguousarray(out[:, :, ::-1])
+
+
+# pixel-bomb cap shared by the RLE8 path: dims come from the header,
+# so the plane allocation must be bounded BEFORE it happens
+_MAX_RLE_PIXELS = 1 << 26  # 64M indices/frame
+
+
+def _rle8_encode_row(row: np.ndarray) -> bytes:
+    """One bottom-up row -> RLE8 bytes (no end-of-line marker).
+
+    Policy: runs of >= 2 equal pixels use encoded mode (count, value);
+    literal stretches of >= 3 use absolute mode (0, count, pixels...,
+    word-aligned) so both decode modes are exercised by real streams;
+    isolated pixels are 1-runs. Splits at the 255 mode limit.
+    """
+    out = bytearray()
+    vals = row.tolist()
+    w = len(vals)
+    i = 0
+    lit_start = -1
+
+    def flush_literal(end: int) -> None:
+        nonlocal lit_start
+        if lit_start < 0:
+            return
+        j = lit_start
+        while j < end:
+            n = min(end - j, 255)
+            if n >= 3:
+                out.append(0)
+                out.append(n)
+                out.extend(vals[j : j + n])
+                if n % 2:
+                    out.append(0)  # absolute runs are word-aligned
+            else:
+                for k in range(j, j + n):
+                    out.append(1)
+                    out.append(vals[k])
+            j += n
+        lit_start = -1
+
+    while i < w:
+        run = 1
+        while i + run < w and vals[i + run] == vals[i]:
+            run += 1
+        if run >= 2:
+            flush_literal(i)
+            r = run
+            while r > 0:
+                n = min(r, 255)
+                out.append(n)
+                out.append(vals[i])
+                r -= n
+        else:
+            if lit_start < 0:
+                lit_start = i
+        i += run
+    flush_literal(w)
+    return bytes(out)
+
+
+def _rle8_decode_frame(data: bytes, w: int, h: int) -> np.ndarray:
+    """RLE8 frame bytes -> (h, w) uint8 palette indices, top-down.
+
+    Implements all four escape modes of the published format: encoded
+    runs, end-of-line (0,0), end-of-bitmap (0,1), delta (0,2,dx,dy)
+    — skipped pixels keep the zero background, as players keep the
+    previous frame — and absolute mode (0,n>=3) with its
+    word-alignment pad. Writes are bounds-checked so a hostile stream
+    can never run past the header-declared plane.
+    """
+    if w <= 0 or h <= 0 or w * h > _MAX_RLE_PIXELS:
+        raise ValueError(f"RLE8 plane {w}x{h} out of bounds")
+    out = np.zeros((h, w), dtype=np.uint8)  # bottom-up row space
+    x = y = 0
+    i = 0
+    n_data = len(data)
+    while i + 2 <= n_data:
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a > 0:  # encoded run
+            if y >= h or x + a > w:
+                raise ValueError("RLE8 run past row end")
+            out[y, x : x + a] = b
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("RLE8 rows past plane end")
+        elif b == 1:  # end of bitmap
+            return out[::-1].copy()
+        elif b == 2:  # delta: skip (dx, dy)
+            if i + 2 > n_data:
+                raise ValueError("truncated RLE8 delta")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("RLE8 delta out of bounds")
+        else:  # absolute mode: b literal pixels, word-aligned
+            if i + b > n_data:
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= h or x + b > w:
+                raise ValueError("RLE8 absolute run past row end")
+            out[y, x : x + b] = np.frombuffer(
+                data[i : i + b], dtype=np.uint8
+            )
+            x += b
+            i += b + (b % 2)
+    return out[::-1].copy()  # missing EOB: accept end-of-data
 
 
 def _chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -128,19 +246,83 @@ def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def avi_encode_rle8(
+    frames: np.ndarray, palette: np.ndarray, fps: int = 25
+) -> bytes:
+    """Encode (n, h, w) uint8 palette-index frames + a (256, 3) uint8
+    RGB palette to a Microsoft RLE8 compressed AVI (biCompression=1,
+    fccHandler 'MRLE') — genuine lossless compression of 8-bit paletted
+    video; ``avi_decode`` expands it back to RGB via the stream's own
+    palette."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if arr.ndim != 3 or 0 in arr.shape:
+        raise ValueError(f"unsupported shape {frames.shape}")
+    if pal.shape != (256, 3):
+        raise ValueError(f"palette must be (256, 3) RGB, got {pal.shape}")
+    if not 1 <= fps <= 1_000_000:
+        raise ValueError(f"fps {fps} out of range [1, 1000000]")
+    n, h, w = arr.shape
+    encoded = []
+    for f in arr:
+        rows = f[::-1]  # bottom-up storage order
+        body = bytearray()
+        for r in range(h):
+            body += _rle8_encode_row(rows[r])
+            body += b"\x00\x00" if r < h - 1 else b"\x00\x01"
+        encoded.append(bytes(body))
+    buf_size = max(len(e) for e in encoded)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, buf_size * fps, 0, 0x10, n, 0, 1, buf_size,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MRLE", 0, 0, 0, 0,
+        1, fps, 0, n, buf_size, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    # BITMAPINFOHEADER (biCompression=1 = BI_RLE8, biClrUsed=256)
+    # followed by the 256-entry RGBQUAD palette (B, G, R, reserved)
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, 0], quads[:, 1], quads[:, 2] = pal[:, 2], pal[:, 1], pal[:, 0]
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, buf_size, 0, 0, 256, 0
+    ) + quads.tobytes()
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", e) for e in encoded))
+    idx_entries = []
+    off = 4
+    for e in encoded:
+        idx_entries.append(
+            struct.pack("<4sIII", b"00dc", 0x10, off, len(e))
+        )
+        off += 8 + len(e) + (len(e) % 2)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode an uncompressed AVI to ``(fps, frames)`` with frames
-    (n, h, w, 3) uint8 RGB."""
+    """Decode an AVI (uncompressed DIB or RLE8-compressed paletted) to
+    ``(fps, frames)`` with frames (n, h, w, 3) uint8 RGB."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
 
     dims: list | None = None
     topdown = False
     fps = 25
+    rle = False
+    palette: np.ndarray | None = None
     frames: list[np.ndarray] = []
 
     def walk(buf: bytes, depth: int = 0) -> None:
-        nonlocal dims, topdown, fps
+        nonlocal dims, topdown, fps, rle, palette
         if depth > 8:
             # real AVI nests 3 deep (hdrl/strl/movi); a pathological
             # LIST-in-LIST chain is an attack, not a video — fail
@@ -166,20 +348,34 @@ def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
                 size, w, h, _pl, bits, comp = struct.unpack(
                     "<IiiHHI", body[:20]
                 )
-                if bits != 24 or comp != 0:
+                if (bits, comp) == (8, 1):  # BI_RLE8
+                    if length < 40 + 256 * 4:
+                        raise ValueError("RLE8 strf missing the palette")
+                    quads = np.frombuffer(
+                        body[40 : 40 + 1024], dtype=np.uint8
+                    ).reshape(256, 4)
+                    palette = np.ascontiguousarray(
+                        quads[:, 2::-1]  # BGRX -> RGB
+                    )
+                    rle = True
+                elif (bits, comp) != (24, 0):
                     raise NotImplementedError(
                         f"biBitCount={bits}/biCompression={comp} "
-                        f"(only uncompressed 24-bit DIB; compressed video "
-                        f"requires external codecs)"
+                        f"(uncompressed 24-bit DIB and RLE8=1 only; "
+                        f"perceptual codecs require external libraries)"
                     )
                 topdown = h < 0
                 dims = [w, abs(h)]
             elif fourcc in (b"00db", b"00dc"):
                 if dims is None:
                     raise ValueError("frame chunk before headers")
-                frames.append(
-                    _dib_to_rows(body, dims[0], dims[1], topdown)
-                )
+                if rle:
+                    idx = _rle8_decode_frame(body, dims[0], dims[1])
+                    frames.append(palette[idx])
+                else:
+                    frames.append(
+                        _dib_to_rows(body, dims[0], dims[1], topdown)
+                    )
             pos += 8 + length + (length % 2)
 
     walk(data[12:])

@@ -1034,3 +1034,149 @@ def multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(op, schema=G711_SCHEMA).orderBy("doc_id")
+
+
+RLE_FRAMES = 2
+RLE_SIDE = 16  # 16x16 palette indices per frame
+RLE_FPS = 12
+_RLE_PIX = RLE_SIDE * RLE_SIDE
+_RLE_VALS = _RLE_PIX * 3
+
+RLE_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_whash", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_rle_video",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS L
+      FROM documents WHERE doc_id % 13 = 3 AND LENGTH(text) >= 1
+    ),
+    fr AS (
+      SELECT doc_id, text, L,
+             unnest(generate_series(0, {RLE_FRAMES - 1})) AS fi
+      FROM d
+    ),
+    px AS (
+      SELECT doc_id, fi, text, L,
+             unnest(generate_series(0, {_RLE_PIX - 1})) AS p
+      FROM fr
+    ),
+    v AS (
+      SELECT doc_id, fi, p,
+             (ascii(substr(text, ((fi * {_RLE_PIX} + p) % L) + 1, 1))
+              % 16) * 16 AS idx
+      FROM px
+    ),
+    rgb AS (
+      SELECT doc_id, fi, p,
+             idx AS r, (idx * 7) % 256 AS g, (idx * 13) % 256 AS b
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST({RLE_SIDE} AS INTEGER) AS width,
+           CAST({RLE_SIDE} AS INTEGER) AS height,
+           CAST({RLE_FPS} AS INTEGER) AS fps,
+           CAST(SUM(r + g + b) AS BIGINT) AS pix_sum,
+           CAST(SUM(r * (3 * p + 1) + g * (3 * p + 2) + b * (3 * p + 3))
+                AS BIGINT) AS pix_whash
+    FROM rgb GROUP BY doc_id, fi ORDER BY doc_id, fi
+    """,
+    tags=("multimodal", "mapInPandas", "avi", "rle8"),
+)
+def multimodal_rle_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode, oracle-checked end to end — the
+    video member of the compressed-format family (baseline JPEG for
+    images, G.711 for audio): each selected document's codepoints are
+    quantized to palette indices (16 levels x 16, giving real streams
+    a mix of runs and literal stretches so both the encoded-run and
+    absolute RLE modes execute), packed into two 16x16 frames, ENCODED
+    as a Microsoft RLE8 AVI (biCompression=1 + 256-entry RGBQUAD
+    palette), DECODED back through the pure-stdlib codec
+    (width/height/fps come from the decoded headers, pixels from the
+    stream's own palette), and reduced per frame to integer-exact
+    features. RLE8 is lossless for 8-bit content, so the DuckDB oracle
+    computes the same features directly from the codepoints — a
+    value-level match proves the run-length coding, the escape-mode
+    framing, and the palette expansion bit-for-bit per frame.
+
+    Scale: pure map over documents (repartitioned to the core count),
+    two rows per document, features not frames leave Python.
+    """
+    import numpy as np
+
+    from maplejuice_spark.functions.avi_codec import (
+        avi_decode,
+        avi_encode_rle8,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 13 == 3) & (F.length("text") >= 1))
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    j = np.arange(256, dtype=np.int64)
+    palette = np.stack([j, (j * 7) % 256, (j * 13) % 256], axis=1).astype(
+        np.uint8
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.arange(_RLE_VALS, dtype=np.int64) + 1
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cp = np.array([ord(c) for c in text], dtype=np.int64)
+                frames = np.stack(
+                    [
+                        (
+                            (
+                                cp[
+                                    (fi * _RLE_PIX + np.arange(_RLE_PIX))
+                                    % len(cp)
+                                ]
+                                % 16
+                            )
+                            * 16
+                        )
+                        .astype(np.uint8)
+                        .reshape(RLE_SIDE, RLE_SIDE)
+                        for fi in range(RLE_FRAMES)
+                    ]
+                )
+                fps, dec = avi_decode(
+                    avi_encode_rle8(frames, palette, fps=RLE_FPS)
+                )
+                n, h, w, _ = dec.shape
+                for fi in range(n):
+                    d = dec[fi].astype(np.int64).reshape(-1)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            w,
+                            h,
+                            int(fps),
+                            int(d.sum()),
+                            int((d * weights).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RLE_VIDEO_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(op, schema=RLE_VIDEO_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

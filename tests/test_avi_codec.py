@@ -156,3 +156,104 @@ def test_rejects_fps_out_of_range():
         avi_encode(a, fps=0)
     with pytest.raises(ValueError, match="fps"):
         avi_encode(a, fps=2_000_000)
+
+
+# ---------------------------------------------------------------------------
+# RLE8 (biCompression=1) — the compressed-video path
+
+
+def _rle_palette() -> np.ndarray:
+    j = np.arange(256, dtype=np.int64)
+    return np.stack([j, (j * 7) % 256, (j * 13) % 256], axis=1).astype(
+        np.uint8
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 3),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    levels=st.integers(1, 256),
+    seed=st.integers(0, 2**31),
+)
+def test_rle8_roundtrip_property(n, h, w, levels, seed):
+    """Lossless for any 8-bit content — few levels produce long runs
+    (encoded mode), many levels produce literal stretches (absolute
+    mode), so the strategy sweeps both regimes."""
+    from maplejuice_spark.functions.avi_codec import avi_encode_rle8
+
+    rng = np.random.default_rng(seed)
+    pal = _rle_palette()
+    idx = rng.integers(0, levels, size=(n, h, w), dtype=np.uint8)
+    fps, out = avi_decode(avi_encode_rle8(idx, pal, fps=12))
+    assert fps == 12 and np.array_equal(out, pal[idx])
+
+
+def test_rle8_golden_escape_modes():
+    """Hand-assembled RLE8 frame bytes straight from the published
+    format: encoded run, end-of-line, delta skip (zero-filled), and
+    absolute mode with its word-alignment pad — a decoder that
+    mis-handles any escape would still pass round-trips against its
+    own encoder (which never emits delta)."""
+    from maplejuice_spark.functions.avi_codec import _rle8_decode_frame
+
+    data = bytes(
+        [3, 5]        # run: 3 pixels of value 5 (bottom row)
+        + [0, 0]      # end of line
+        + [0, 2, 2, 1]  # delta: skip dx=2, dy=1 (to row 2, x=2)
+        + [0, 3, 1, 2, 3, 0]  # absolute: pixels 1,2,3 + pad byte
+        + [0, 1]      # end of bitmap
+    )
+    idx = _rle8_decode_frame(data, 6, 3)
+    exp = np.zeros((3, 6), dtype=np.uint8)  # bottom-up plane
+    exp[0, :3] = 5
+    exp[2, 2:5] = [1, 2, 3]
+    assert np.array_equal(idx, exp[::-1])
+
+
+def test_rle8_rejects_hostile_streams():
+    from maplejuice_spark.functions.avi_codec import (
+        _rle8_decode_frame,
+        avi_encode_rle8,
+    )
+
+    # header-declared plane too large: rejected BEFORE allocation
+    with pytest.raises(ValueError, match="out of bounds"):
+        _rle8_decode_frame(b"", 100_000, 100_000)
+    # run past the row end
+    with pytest.raises(ValueError, match="past row end"):
+        _rle8_decode_frame(bytes([10, 1]), 4, 2)
+    # truncated absolute run
+    with pytest.raises(ValueError, match="truncated"):
+        _rle8_decode_frame(bytes([0, 5, 1, 2]), 8, 2)
+    # delta past the plane
+    with pytest.raises(ValueError, match="delta out of bounds"):
+        _rle8_decode_frame(bytes([0, 2, 200, 200]), 8, 2)
+    # bad palette shape
+    with pytest.raises(ValueError, match="palette"):
+        avi_encode_rle8(
+            np.zeros((1, 2, 2), dtype=np.uint8),
+            np.zeros((16, 3), dtype=np.uint8),
+        )
+
+
+def test_rle8_stream_declares_the_published_headers():
+    """The emitted container must say what the spec says: 8-bit,
+    biCompression=1, 256-entry BGRX palette, fccHandler MRLE — pinned
+    so the stream stays readable by conforming third-party players."""
+    from maplejuice_spark.functions.avi_codec import avi_encode_rle8
+
+    pal = _rle_palette()
+    idx = np.arange(16, dtype=np.uint8).reshape(1, 4, 4)
+    blob = avi_encode_rle8(idx, pal, fps=12)
+    assert blob.count(b"MRLE") == 1
+    i = blob.index(b"strf") + 8
+    size, w, h, planes, bits, comp = struct.unpack(
+        "<IiiHHI", blob[i : i + 20]
+    )
+    assert (size, w, h, planes, bits, comp) == (40, 4, 4, 1, 8, 1)
+    quads = np.frombuffer(
+        blob[i + 40 : i + 40 + 1024], dtype=np.uint8
+    ).reshape(256, 4)
+    assert np.array_equal(quads[:, 2::-1], pal)  # BGRX order on disk
