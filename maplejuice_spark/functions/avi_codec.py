@@ -188,62 +188,88 @@ def _list(listtype: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", listtype + body)
 
 
-def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
-    """Encode (n, h, w, 3) uint8 RGB frames to an uncompressed AVI."""
-    arr = np.ascontiguousarray(frames, dtype=np.uint8)
-    if arr.ndim != 4 or arr.shape[3] != 3 or 0 in arr.shape:
-        raise ValueError(f"unsupported shape {frames.shape}")
+def _check_fps(fps: int) -> None:
     if not 1 <= fps <= 1_000_000:
         # fps=0 would divide by zero; fps past 1e6 would write
         # dwMicroSecPerFrame=0, which decoders replace with a default
         # — silently breaking the encode->decode fps identity
         raise ValueError(f"fps {fps} out of range [1, 1000000]")
-    n, h, w, _ = arr.shape
-    stride = (w * 3 + 3) & ~3
-    frame_bytes = stride * h
+
+
+def _avi_container(
+    handler: bytes,
+    chunk_id: bytes,
+    strf: bytes,
+    payloads: list[bytes],
+    w: int,
+    h: int,
+    fps: int,
+) -> bytes:
+    """Assemble the RIFF/AVI framing — avih + strh + strf headers, the
+    movi payload chunks, and the idx1 index (offsets relative to the
+    movi list type) — shared by every encoder in this module."""
+    n = len(payloads)
+    buf_size = max(len(p) for p in payloads)
+    max_bps = buf_size * fps
+    if max_bps >= 1 << 32:
+        raise ValueError(
+            f"frame size {buf_size} x fps {fps} overflows the 32-bit "
+            "dwMaxBytesPerSec field"
+        )
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // fps,  # dwMicroSecPerFrame
-        frame_bytes * fps,  # dwMaxBytesPerSec
+        max_bps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         0x10,  # dwFlags: AVIF_HASINDEX
         n,  # dwTotalFrames
         0,  # dwInitialFrames
         1,  # dwStreams
-        frame_bytes,  # dwSuggestedBufferSize
+        buf_size,  # dwSuggestedBufferSize
         w,
         h,
         0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", handler, 0, 0, 0, 0,
         1, fps,  # dwScale / dwRate -> fps frames per second
-        0, n, frame_bytes, 0xFFFFFFFF, 0,
+        0, n, buf_size, 0xFFFFFFFF, 0,
         0, 0, w, h,  # rcFrame
-    )
-    strf = struct.pack(
-        "<IiiHHIIiiII",
-        40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl",
         _chunk(b"avih", avih)
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi_body = b"".join(_chunk(b"00db", _rows_to_dib(f)) for f in arr)
-    movi = _list(b"movi", movi_body)
-    # idx1: one entry per frame (offset relative to the movi list type)
+    movi = _list(b"movi", b"".join(_chunk(chunk_id, p) for p in payloads))
     idx_entries = []
     off = 4
-    for _ in range(n):
+    for p in payloads:
         idx_entries.append(
-            struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+            struct.pack("<4sIII", chunk_id, 0x10, off, len(p))
         )
-        off += 8 + frame_bytes + (frame_bytes % 2)
+        off += 8 + len(p) + (len(p) % 2)
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames to an uncompressed AVI."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3 or 0 in arr.shape:
+        raise ValueError(f"unsupported shape {frames.shape}")
+    _check_fps(fps)
+    n, h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
+    )
+    payloads = [_rows_to_dib(f) for f in arr]
+    return _avi_container(b"DIB ", b"00db", strf, payloads, w, h, fps)
 
 
 def avi_encode_rle8(
@@ -260,8 +286,7 @@ def avi_encode_rle8(
         raise ValueError(f"unsupported shape {frames.shape}")
     if pal.shape != (256, 3):
         raise ValueError(f"palette must be (256, 3) RGB, got {pal.shape}")
-    if not 1 <= fps <= 1_000_000:
-        raise ValueError(f"fps {fps} out of range [1, 1000000]")
+    _check_fps(fps)
     n, h, w = arr.shape
     encoded = []
     for f in arr:
@@ -272,17 +297,6 @@ def avi_encode_rle8(
             body += b"\x00\x00" if r < h - 1 else b"\x00\x01"
         encoded.append(bytes(body))
     buf_size = max(len(e) for e in encoded)
-    avih = struct.pack(
-        "<IIIIIIIIII4I",
-        1_000_000 // fps, buf_size * fps, 0, 0x10, n, 0, 1, buf_size,
-        w, h, 0, 0, 0, 0,
-    )
-    strh = struct.pack(
-        "<4s4sIHHIIIIIIII4H",
-        b"vids", b"MRLE", 0, 0, 0, 0,
-        1, fps, 0, n, buf_size, 0xFFFFFFFF, 0,
-        0, 0, w, h,
-    )
     # BITMAPINFOHEADER (biCompression=1 = BI_RLE8, biClrUsed=256)
     # followed by the 256-entry RGBQUAD palette (B, G, R, reserved)
     quads = np.zeros((256, 4), dtype=np.uint8)
@@ -290,22 +304,7 @@ def avi_encode_rle8(
     strf = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 8, 1, buf_size, 0, 0, 256, 0
     ) + quads.tobytes()
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
-    movi = _list(b"movi", b"".join(_chunk(b"00dc", e) for e in encoded))
-    idx_entries = []
-    off = 4
-    for e in encoded:
-        idx_entries.append(
-            struct.pack("<4sIII", b"00dc", 0x10, off, len(e))
-        )
-        off += 8 + len(e) + (len(e) % 2)
-    idx1 = _chunk(b"idx1", b"".join(idx_entries))
-    body = b"AVI " + hdrl + movi + idx1
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _avi_container(b"MRLE", b"00dc", strf, encoded, w, h, fps)
 
 
 def avi_decode(data: bytes) -> tuple[int, np.ndarray]:

@@ -95,9 +95,20 @@ def _build_g711_tables():
 _ULAW_ENC, _ULAW_DEC, _ALAW_ENC, _ALAW_DEC = _build_g711_tables()
 
 
+def _as_int16_pcm(samples: np.ndarray) -> np.ndarray:
+    # A dtype= cast here would silently wrap int32/float PCM into
+    # garbage codes; companding is defined on int16 only, so reject.
+    arr = np.asarray(samples)
+    if arr.dtype != np.int16:
+        raise ValueError(
+            f"G.711 companding takes int16 PCM samples, got {arr.dtype}"
+        )
+    return arr
+
+
 def ulaw_encode(samples: np.ndarray) -> np.ndarray:
     """int16 PCM -> uint8 G.711 μ-law codes (vectorized LUT)."""
-    return _ULAW_ENC[np.asarray(samples, dtype=np.int16).view(np.uint16)]
+    return _ULAW_ENC[_as_int16_pcm(samples).view(np.uint16)]
 
 
 def ulaw_decode(codes: np.ndarray) -> np.ndarray:
@@ -107,7 +118,7 @@ def ulaw_decode(codes: np.ndarray) -> np.ndarray:
 
 def alaw_encode(samples: np.ndarray) -> np.ndarray:
     """int16 PCM -> uint8 G.711 A-law codes (vectorized LUT)."""
-    return _ALAW_ENC[np.asarray(samples, dtype=np.int16).view(np.uint16)]
+    return _ALAW_ENC[_as_int16_pcm(samples).view(np.uint16)]
 
 
 def alaw_decode(codes: np.ndarray) -> np.ndarray:

@@ -997,11 +997,6 @@ def multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from maplejuice_spark.functions.wav_codec import (
-            alaw_encode,
-            ulaw_encode,
-        )
-
         weights = np.arange(N_SAMPLES, dtype=np.int64) + 1
         for pdf in batches:
             rows = []
@@ -1012,6 +1007,13 @@ def multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).astype(np.int16)
                 ublob = wav_encode(v, G711_RATE, encoding="ulaw")
                 ablob = wav_encode(v, G711_RATE, encoding="alaw")
+                # The data chunk is the blob's final chunk and N_SAMPLES
+                # is even (no RIFF pad byte), so the last N_SAMPLES bytes
+                # ARE the emitted G.711 code stream — summing them ties
+                # the code sums to the actual bytes on the wire instead
+                # of re-running the companding a second time.
+                ucodes = np.frombuffer(ublob[-N_SAMPLES:], dtype=np.uint8)
+                acodes = np.frombuffer(ablob[-N_SAMPLES:], dtype=np.uint8)
                 rate, u = wav_decode(ublob)
                 _, a = wav_decode(ablob)
                 u64, a64 = u.astype(np.int64), a.astype(np.int64)
@@ -1020,8 +1022,8 @@ def multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(doc_id),
                         int(u.shape[0]),
                         int(rate),
-                        int(ulaw_encode(v).astype(np.int64).sum()),
-                        int(alaw_encode(v).astype(np.int64).sum()),
+                        int(ucodes.astype(np.int64).sum()),
+                        int(acodes.astype(np.int64).sum()),
                         int(np.abs(u64).sum()),
                         int((u64 * weights).sum()),
                         int(np.abs(a64).sum()),

@@ -190,6 +190,41 @@ def test_rle8_roundtrip_property(n, h, w, levels, seed):
     assert fps == 12 and np.array_equal(out, pal[idx])
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(256, 700),
+    levels=st.sampled_from([1, 2, 256]),
+    seed=st.integers(0, 2**31),
+)
+def test_rle8_roundtrip_wide_rows(w, levels, seed):
+    """Rows wider than 255 force the count-split branches in
+    _rle8_encode_row (encoded runs capped at 255 and absolute-mode
+    chunks at min(n, 255)) that the small-w property test never
+    reaches — a broken split (e.g. an emitted 0-count run decoding as
+    an escape) would otherwise pass the whole suite. levels=1 yields
+    one >255 run per row; levels=256 yields >255 literal stretches."""
+    from maplejuice_spark.functions.avi_codec import avi_encode_rle8
+
+    rng = np.random.default_rng(seed)
+    pal = _rle_palette()
+    idx = rng.integers(0, levels, size=(1, 2, w), dtype=np.uint8)
+    fps, out = avi_decode(avi_encode_rle8(idx, pal, fps=12))
+    assert fps == 12 and np.array_equal(out, pal[idx])
+
+
+def test_rle8_max_bytes_per_sec_overflow_is_clean():
+    """buf_size * fps past 2^32 must raise the module's own ValueError,
+    not an opaque struct.error from inside struct.pack."""
+    from maplejuice_spark.functions.avi_codec import avi_encode_rle8
+
+    pal = _rle_palette()
+    # Incompressible wide frame: alternating values defeat run coding,
+    # so the encoded payload is > w bytes; huge fps forces overflow.
+    idx = (np.arange(8192, dtype=np.uint8) % 2).reshape(1, 1, 8192)
+    with pytest.raises(ValueError, match="dwMaxBytesPerSec"):
+        avi_encode_rle8(idx, pal, fps=1_000_000)
+
+
 def test_rle8_golden_escape_modes():
     """Hand-assembled RLE8 frame bytes straight from the published
     format: encoded run, end-of-line, delta skip (zero-filled), and

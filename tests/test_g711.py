@@ -117,6 +117,15 @@ def test_g711_rejects_bad_inputs():
     blob[34:36] = struct.pack("<H", 16)  # bits field inside fmt
     with pytest.raises(ValueError, match="8-bit"):
         wav_decode(bytes(blob))
+    # the exported LUT helpers must reject non-int16 PCM instead of
+    # silently wrapping it into garbage codes
+    from maplejuice_spark.functions.wav_codec import alaw_encode, ulaw_encode
+
+    for enc in (ulaw_encode, alaw_encode):
+        with pytest.raises(ValueError, match="int16"):
+            enc(np.array([40000], dtype=np.int32))
+        with pytest.raises(ValueError, match="int16"):
+            enc(np.array([0.5], dtype=np.float64))
 
 
 def test_cross_validate_g711_against_jdk(spark):
