@@ -18,6 +18,8 @@ exist specifically so that the Spark plan and the DuckDB oracle compute
 
 from __future__ import annotations
 
+import weakref as _weakref
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -171,6 +173,13 @@ def to_double_vec(c: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+# rdd-id -> weakref of the checkpointed DataFrame that materialize()
+# returned. release_checkpoints() treats a block as a release CANDIDATE
+# only when its wrapper is dead AND the block is still resident, which
+# gives its gc loop a deterministic termination condition.
+_CHECKPOINT_REGISTRY: dict[int, "_weakref.ref"] = {}
+
+
 def materialize(df):
     """Materialize a small/medium intermediate that the plan reuses
     several times (self-joins, multi-branch pipelines).
@@ -199,7 +208,17 @@ def materialize(df):
             os.environ.get("MJ_PLAN_LINT_QUERY") or None,
             "upstream of materialize()",
         )
-    return df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=True)
+    try:
+        # The checkpointed Dataset's analyzed plan is a LogicalRDD whose
+        # RDD id IS the storage-block id in getRDDStorageInfo — recording
+        # it (with a weakref to the wrapper) gives release_checkpoints()
+        # an exact candidate set instead of a shrink heuristic.
+        rid = out._jdf.queryExecution().analyzed().rdd().id()
+        _CHECKPOINT_REGISTRY[rid] = _weakref.ref(out)
+    except Exception:
+        pass  # py4j internals moved — tracking is best-effort
+    return out
 
 
 def release_checkpoints(spark, timeout: float = 3.0) -> int:
@@ -227,25 +246,56 @@ def release_checkpoints(spark, timeout: float = 3.0) -> int:
     corrupt later queries. gc-based release frees exactly the
     unreferenced ones; memoized checkpoints stay because their module
     caches hold strong references.
+
+    Termination is driven by the ``_CHECKPOINT_REGISTRY`` candidate set
+    (blocks whose Python wrapper is dead but which are still resident),
+    not by watching total cached bytes shrink: the shrink heuristic
+    raced the asynchronous py4j detach — if the detach had not landed
+    before the first two census reads, nothing had started shrinking
+    yet and the loop exited with the blocks still resident. With the
+    exact candidate set, the loop keeps prodding gc until the
+    candidates actually leave storage (or the deadline passes — a dead
+    wrapper whose checkpoint RDD is still referenced by a derived JVM
+    plan stays resident, correctly, and is abandoned at the deadline).
+    When there are no candidates the call returns immediately, so
+    per-run bench hygiene costs nothing on a clean session.
     """
     import gc
     import time
 
     sc = spark.sparkContext
-    for _ in range(2):
-        gc.collect()
-        spark._jvm.System.gc()
-        time.sleep(0.1)
-    # ContextCleaner unpersists asynchronously; wait (bounded) until the
-    # cached-block census stops shrinking so the freed memory cannot
-    # leak GC pressure into whatever the caller times next.
+
+    def resident() -> set[int]:
+        return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+
+    # wrappers dropped inside reference cycles need a collect before
+    # their weakrefs read dead
+    gc.collect()
+    live = resident()
+    for rid in [r for r in _CHECKPOINT_REGISTRY if r not in live]:
+        _CHECKPOINT_REGISTRY.pop(rid, None)  # already gone — stale row
+
     deadline = time.monotonic() + timeout
-    prev: int | None = None
-    while time.monotonic() < deadline:
-        info = sc._jsc.sc().getRDDStorageInfo()
-        mem = sum(r.memSize() for r in info)
-        if prev is not None and mem >= prev:
+    while True:
+        live = resident()
+        want = {
+            rid
+            for rid, ref in _CHECKPOINT_REGISTRY.items()
+            if ref() is None and rid in live
+        }
+        if not want or time.monotonic() >= deadline:
             break
-        prev = mem
+        # each py4j round-trip below also flushes the pending detach
+        # queue, which is what lets the NEXT JVM gc actually collect
+        # the Dataset; ContextCleaner then unpersists asynchronously.
+        spark._jvm.System.gc()
         time.sleep(0.2)
+        gc.collect()
+    live = resident()
+    for rid in [
+        r
+        for r, ref in _CHECKPOINT_REGISTRY.items()
+        if ref() is None and r not in live
+    ]:
+        _CHECKPOINT_REGISTRY.pop(rid, None)
     return len(sc._jsc.sc().getRDDStorageInfo())

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import dec_to_double, dsum, ts_us_div
+from maplejuice_spark.functions import (
+    dec_to_double,
+    dsum,
+    materialize,
+    ts_us_div,
+)
 from maplejuice_spark.registry import register
 
 EVENTS_SCHEMA = T.StructType(
@@ -665,11 +670,13 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("latest_value"),
             F.col("n_total").alias("n_events"),
         )
-        # eager materialization (state is |users|-sized, tiny next to
-        # the stream) — after this the parquet log is dead weight and
-        # the run dir can be reclaimed NOW, not at some later call.
-        .localCheckpoint(eager=True)
     )
+    # eager materialization (state is |users|-sized, tiny next to the
+    # stream) — after this the parquet log is dead weight and the run
+    # dir can be reclaimed NOW, not at some later call. materialize()
+    # (vs a bare localCheckpoint) also registers the block for
+    # release_checkpoints() bookkeeping.
+    result = materialize(result)
     shutil.rmtree(run_dir, ignore_errors=True)
     return result
 
