@@ -173,11 +173,32 @@ def to_double_vec(c: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-# rdd-id -> weakref of the checkpointed DataFrame that materialize()
-# returned. release_checkpoints() treats a block as a release CANDIDATE
-# only when its wrapper is dead AND the block is still resident, which
-# gives its gc loop a deterministic termination condition.
-_CHECKPOINT_REGISTRY: dict[int, "_weakref.ref"] = {}
+# (applicationId, rdd-id) -> weakref of the checkpointed DataFrame that
+# materialize() returned. release_checkpoints() treats a block as a
+# release CANDIDATE only when its wrapper is dead AND the block is still
+# resident, which gives its gc loop a deterministic termination
+# condition. Keying by applicationId means a SparkContext restart can't
+# alias a fresh checkpoint onto a stale row via rdd-id reuse — stale-app
+# rows are dropped wholesale on the next release call.
+_CHECKPOINT_REGISTRY: dict[tuple[str, int], "_weakref.ref"] = {}
+
+# Consecutive release deadlines a dead-wrapper candidate has survived.
+# A candidate that outlives _STICKY_MAX full timeouts is pinned by
+# something other than its Python wrapper (a derived DataFrame's JVM
+# plan still references the checkpoint RDD) and will never be freed by
+# gc prodding — excluding it stops every later release_checkpoints()
+# call from re-spinning the full timeout with repeated forced JVM GCs
+# (which in bench.py runs per query: one sticky block would otherwise
+# turn into a whole-run stall).
+_STICKY_STRIKES: dict[tuple[str, int], int] = {}
+_STICKY_MAX = 2
+
+# Set (once, with a warning) if the best-effort rid extraction breaks —
+# e.g. py4j internals moved on a Spark upgrade. release_checkpoints()
+# then falls back to unconditional gc prodding instead of the exact
+# candidate set, so checkpoints still get released rather than
+# accumulating forever behind the no-candidates fast path.
+_REGISTRATION_BROKEN = False
 
 
 def materialize(df):
@@ -215,9 +236,25 @@ def materialize(df):
         # it (with a weakref to the wrapper) gives release_checkpoints()
         # an exact candidate set instead of a shrink heuristic.
         rid = out._jdf.queryExecution().analyzed().rdd().id()
-        _CHECKPOINT_REGISTRY[rid] = _weakref.ref(out)
+        app = out.sparkSession.sparkContext.applicationId
+        _CHECKPOINT_REGISTRY[(app, rid)] = _weakref.ref(out)
     except Exception:
-        pass  # py4j internals moved — tracking is best-effort
+        # py4j internals moved — tracking is best-effort, but silently
+        # losing it would ALSO disable release_checkpoints' gc prodding
+        # (the no-candidates fast path), accumulating blocks forever.
+        # Warn once and flip the module to the unconditional fallback.
+        global _REGISTRATION_BROKEN
+        if not _REGISTRATION_BROKEN:
+            _REGISTRATION_BROKEN = True
+            import warnings
+
+            warnings.warn(
+                "materialize(): checkpoint rdd-id registration failed "
+                "(py4j/Spark internals changed?) — release_checkpoints() "
+                "falls back to unconditional gc prodding for this session",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return out
 
 
@@ -257,13 +294,20 @@ def release_checkpoints(spark, timeout: float = 3.0) -> int:
     candidates actually leave storage (or the deadline passes — a dead
     wrapper whose checkpoint RDD is still referenced by a derived JVM
     plan stays resident, correctly, and is abandoned at the deadline).
-    When there are no candidates the call returns immediately, so
-    per-run bench hygiene costs nothing on a clean session.
+    A candidate that survives ``_STICKY_MAX`` consecutive deadlines is
+    permanently excluded — otherwise one pinned block would re-spin the
+    full timeout with forced JVM GCs on EVERY later call (per query in
+    bench.py). When there are no candidates the call returns
+    immediately, so per-run bench hygiene costs nothing on a clean
+    session — unless rid registration broke this session, in which case
+    a bounded unconditional gc+System.gc prod (the pre-registry
+    behavior) runs instead of silently accumulating blocks forever.
     """
     import gc
     import time
 
     sc = spark.sparkContext
+    app = sc.applicationId
 
     def resident() -> set[int]:
         return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
@@ -271,19 +315,46 @@ def release_checkpoints(spark, timeout: float = 3.0) -> int:
     # wrappers dropped inside reference cycles need a collect before
     # their weakrefs read dead
     gc.collect()
+
+    if _REGISTRATION_BROKEN:
+        # rid tracking failed at least once this session: the candidate
+        # set is incomplete, so fall back to the old unconditional
+        # two-cycle prod (one cycle flushes the py4j detach queue, the
+        # second JVM gc collects the Dataset; ContextCleaner unpersists
+        # asynchronously). Bounded — no census-watch loop.
+        spark._jvm.System.gc()
+        time.sleep(0.2)
+        gc.collect()
+        spark._jvm.System.gc()
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
     live = resident()
-    for rid in [r for r in _CHECKPOINT_REGISTRY if r not in live]:
-        _CHECKPOINT_REGISTRY.pop(rid, None)  # already gone — stale row
+    # Drop rows that are already gone, AND rows from a previous
+    # SparkContext (applicationId changed): a restarted context restarts
+    # rdd ids from 0, so a stale-app row could alias a fresh block.
+    for key in list(_CHECKPOINT_REGISTRY):
+        if key[0] != app or key[1] not in live:
+            _CHECKPOINT_REGISTRY.pop(key, None)
+            _STICKY_STRIKES.pop(key, None)
+
+    def candidates() -> set[tuple[str, int]]:
+        live = resident()
+        return {
+            key
+            for key, ref in list(_CHECKPOINT_REGISTRY.items())
+            if ref() is None
+            and key[1] in live
+            and _STICKY_STRIKES.get(key, 0) < _STICKY_MAX
+        }
 
     deadline = time.monotonic() + timeout
+    timed_out = False
     while True:
-        live = resident()
-        want = {
-            rid
-            for rid, ref in _CHECKPOINT_REGISTRY.items()
-            if ref() is None and rid in live
-        }
-        if not want or time.monotonic() >= deadline:
+        want = candidates()
+        if not want:
+            break
+        if time.monotonic() >= deadline:
+            timed_out = True
             break
         # each py4j round-trip below also flushes the pending detach
         # queue, which is what lets the NEXT JVM gc actually collect
@@ -292,10 +363,15 @@ def release_checkpoints(spark, timeout: float = 3.0) -> int:
         time.sleep(0.2)
         gc.collect()
     live = resident()
-    for rid in [
-        r
-        for r, ref in _CHECKPOINT_REGISTRY.items()
-        if ref() is None and r not in live
-    ]:
-        _CHECKPOINT_REGISTRY.pop(rid, None)
+    for key, ref in list(_CHECKPOINT_REGISTRY.items()):
+        if ref() is not None:
+            continue
+        if key[1] not in live:
+            _CHECKPOINT_REGISTRY.pop(key, None)  # released — done
+            _STICKY_STRIKES.pop(key, None)
+        elif timed_out:
+            # survived a full deadline: strike. At _STICKY_MAX the row
+            # is excluded from future want-sets (pinned by a derived
+            # JVM plan, not by a Python wrapper — gc can't free it).
+            _STICKY_STRIKES[key] = _STICKY_STRIKES.get(key, 0) + 1
     return len(sc._jsc.sc().getRDDStorageInfo())

@@ -675,7 +675,10 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream) — after this the parquet log is dead weight and the run
     # dir can be reclaimed NOW, not at some later call. materialize()
     # (vs a bare localCheckpoint) also registers the block for
-    # release_checkpoints() bookkeeping.
+    # release_checkpoints() bookkeeping. NOTE: under MJ_PLAN_LINT this
+    # also runs the registry plan lint on the pre-checkpoint compaction
+    # plan — any future banned-node rule applies to this streaming
+    # query's batch tail too, by design.
     result = materialize(result)
     shutil.rmtree(run_dir, ignore_errors=True)
     return result

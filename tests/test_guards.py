@@ -119,3 +119,80 @@ def test_release_checkpoints_frees_unreferenced_keeps_memoized(spark, sf_dir):
     # the memoized table's blocks survive and the frame is still queryable
     assert memo.count() == memo_n
     assert survivors >= 0
+
+
+def test_release_checkpoints_sticky_candidate_excluded_after_strikes(spark):
+    """A dead-wrapper candidate whose block never leaves storage (pinned
+    by a derived JVM plan) must stop costing the full gc-prod timeout
+    after _STICKY_MAX consecutive deadline misses — otherwise one sticky
+    block re-spins forced JVM GCs on every later call (per query in
+    bench.py: a whole-run stall)."""
+    import time
+
+    from maplejuice_spark import functions as mjf
+
+    mjf.release_checkpoints(spark)  # drain real candidates first
+
+    # A checkpoint that stays pinned: the derived frame `child` holds the
+    # parent's checkpoint RDD in its JVM plan even after the parent
+    # wrapper dies, so gc prodding can never release the block.
+    parent = mjf.materialize(spark.range(100_000).selectExpr("id", "id * 2 AS v"))
+    child = parent.filter("v % 3 = 0")
+    assert child.count() > 0
+    del parent
+
+    timeout = 0.8
+    t0 = time.monotonic()
+    mjf.release_checkpoints(spark, timeout=timeout)  # strike 1
+    first = time.monotonic() - t0
+    mjf.release_checkpoints(spark, timeout=timeout)  # strike 2 -> sticky
+    t0 = time.monotonic()
+    mjf.release_checkpoints(spark, timeout=timeout)  # excluded: fast path
+    third = time.monotonic() - t0
+    assert first >= timeout * 0.9, "pinned candidate should spin the deadline once"
+    assert third < timeout * 0.5, "sticky candidate must be excluded from want"
+    # the pinned data is still intact and queryable through the child
+    assert child.count() > 0
+    # cleanup: drop the child so the block can actually be released
+    del child
+    mjf.release_checkpoints(spark)
+
+
+def test_release_checkpoints_falls_back_when_registration_broken(spark, monkeypatch):
+    """If rid registration ever breaks (Spark internals moved), the
+    module must warn once and release_checkpoints must keep releasing
+    via unconditional gc prodding instead of the no-candidates fast
+    path (which would accumulate blocks forever)."""
+    import warnings
+
+    from maplejuice_spark import functions as mjf
+
+    def census_ids():
+        return {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    mjf.release_checkpoints(spark)
+    before = census_ids()
+    monkeypatch.setattr(mjf, "_REGISTRATION_BROKEN", False)
+
+    class _Boom(dict):
+        def __setitem__(self, k, v):  # the way a py4j API change surfaces
+            raise RuntimeError("registry write exploded")
+
+    monkeypatch.setattr(mjf, "_CHECKPOINT_REGISTRY", _Boom())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = mjf.materialize(spark.range(120_000).selectExpr("id", "id+1 AS j"))
+        assert any("registration failed" in str(x.message) for x in w)
+    assert mjf._REGISTRATION_BROKEN is True
+    new_ids = census_ids() - before
+    assert new_ids and out.count() == 120_000
+    del out
+    # unconditional prodding releases the unreferenced, untracked blocks;
+    # ContextCleaner unpersists asynchronously, so poll briefly.
+    import time
+
+    deadline = time.monotonic() + 10
+    while new_ids & census_ids() and time.monotonic() < deadline:
+        mjf.release_checkpoints(spark)
+        time.sleep(0.2)
+    assert not (new_ids & census_ids())
