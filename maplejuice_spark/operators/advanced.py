@@ -360,36 +360,28 @@ def datetime_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def levenshtein_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: supplier-name pairs within edit distance 2.
 
-    The Spark side length-blocks before comparing: dist <= 2 implies
-    ``abs(len(a)-len(b)) <= 2``, so each left row explodes to 5 candidate
-    lengths and equi-joins on ``length(b.s_name)`` — an O(n·bucket) band
-    join, not the O(n²) cross join the (small-input) DuckDB oracle
-    states. Same blocking idea as the SimHash/MinHash band joins.
+    Round-8 rewrite: blocks with the Ed-Join q-gram prefix filter
+    (operators/fuzzy.py) instead of length blocking. Length blocking
+    degenerates on this corpus — supplier names are fixed-format
+    (``Supplier#000000001``), so every row landed in one length bucket
+    and the "band join" was a full self-join inside it (one Spark task
+    streaming all O(n^2) pairs). The prefix filter indexes each name's
+    k*q+1 RAREST 2-grams under a corpus-computed frequency order, so
+    the constant prefix never generates candidates and pairs come from
+    the discriminative digit grams, spread across many join keys.
 
-    The per-pair kernel is the BOUNDED 3-arg levenshtein (Spark 3.5+):
-    it runs the banded DP over a 2k+1 diagonal strip with early exit
-    and returns -1 above the threshold — O(k·len) per pair instead of
-    O(len²), and for surviving pairs the returned distance is the true
-    distance, so the output is byte-identical to the unbounded form the
+    The per-pair kernel is unchanged: the BOUNDED 3-arg levenshtein
+    (Spark 3.5+) banded-DPs a 2k+1 diagonal strip with early exit and
+    returns -1 above the threshold — and for surviving pairs the
+    returned distance is the true distance, so the output is
+    byte-identical to the unbounded cross join the (small-input) DuckDB
     oracle states."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        WITH a AS (
-          SELECT s_suppkey, s_name,
-                 explode(sequence(length(s_name) - 2, length(s_name) + 2))
-                   AS cand_len
-          FROM supplier
-        ),
-        cand AS (
-          SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
-                 levenshtein(a.s_name, b.s_name, 2) AS dist
-          FROM a JOIN supplier b
-            ON a.cand_len = length(b.s_name) AND a.s_suppkey < b.s_suppkey
-        )
-        SELECT k1, k2, dist FROM cand WHERE dist >= 0
-        """,
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.operators.fuzzy import fuzzy_self_join
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return fuzzy_self_join(sup, "s_suppkey", "s_name", k=2).select(
+        F.col("id1").alias("k1"), F.col("id2").alias("k2"), "dist"
     )
 
 

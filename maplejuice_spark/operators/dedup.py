@@ -22,7 +22,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
@@ -284,12 +284,21 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales but OOM'd a stock 1 GiB driver at 600k docs and is exactly
     the corpus-sized broadcast that can never ship at 100 TB; candidate
     pairs grow ~linearly with the corpus, so neither side of the
-    verification join is broadcastable — a real deployment buckets the
-    array store by doc_id to make this shuffle one-sided). The exact
-    intersection is a row-local array_intersect instead of a
-    shingle-level equi-join. The materialized subtree (shared by the
-    signature branch and both verification probes) holds one array row
-    per document — the same bytes a signature store would hold.
+    verification join is broadcastable). The exact intersection is a
+    row-local array_intersect instead of a shingle-level equi-join.
+
+    The materialized subtree (shared by the signature branch and both
+    verification probes) holds one array row per document — the same
+    bytes a signature store would hold. NOTE on the obvious next step
+    (checkpoint pre-partitioned on doc_id so the probes skip their
+    exchanges): measured round 8, AQE DISCARDS a LogicalRDD's output
+    partitioning — with spark.sql.adaptive.enabled the probes re-shuffle
+    anyway and the up-front repartition+sort is pure added cost (+0.2 s
+    at sf0.1). The two probe exchanges ARE identical after
+    canonicalization, so Spark's ReusedExchange dedups them; a real
+    deployment gets the exchange-free layout by persisting the array
+    store as a doc_id-BUCKETED table (bucketing survives AQE; a
+    localCheckpoint cannot express it).
     """
     sets = materialize(_shingle_sets(spark, sf_dir))  # shared 3x
     sigs = _sigs_from_sets(sets)
@@ -693,74 +702,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds). This is the canonical non-SQL iterative algorithm; the
     DuckDB oracle states the same fixpoint as a recursive CTE.
 
-    Scale: each iteration is one equi-join + one agg on (node, label)
+    Scale: each iteration is ONE equi-join + ONE agg on (node, label)
     pairs — no transitive-closure materialization (the oracle's
-    reach-set IS quadratic; the label-propagation loop is not). The
-    blocking convergence ``count()`` runs only every SECOND iteration
-    (propagation is monotone — labels only decrease — so overshooting
-    a fixpoint by one identity iteration is free, and the driver-side
-    barrier count is halved). Each iteration ends with a POINTER-JUMP
-    (path compression: every node adopts its label's own label — one
-    equi-self-join on the narrow (node, label) frame), which turns
-    diameter-D convergence into O(log D) rounds: a path component of a
+    reach-set IS quadratic; the label-propagation loop is not).
+    Pointer-jumping (path compression — every node adopts its label's
+    own label) is fused into the same join as the neighbor minimum, so
+    diameter-D convergence takes O(log D) rounds: a path component of a
     million chained near-dups converges in ~20 iterations, not a
-    million. The iteration cap is therefore a true pathology bound
-    (2^50 diameter), not a data-shape assumption — hitting it means a
-    bug, and raising beats silently returning half-merged clusters.
+    million. Convergence is detected from the SAME aggregation via
+    ``observe()`` on the checkpoint job — no extra count job, no
+    old-vs-new join, checked every iteration. The iteration cap is a
+    true pathology bound (2^50 diameter), not a data-shape assumption —
+    hitting it means a bug, and raising beats silently returning
+    half-merged clusters.
     """
     max_iters = 50  # with pointer-jumping: covers diameter up to ~2^50
     edges = materialize(_cluster_edges(spark, sf_dir))
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = materialize(
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
     )
-    labels = materialize(labels)
-    # every per-iteration join is merge-hinted: edges and labels are
-    # both corpus-sized (one row per doc / per edge), so neither side
-    # may ever be broadcast — at x10 Catalyst already picks SMJ from
-    # the checkpointed frames' unknown stats, but that is stats-luck,
-    # not a guarantee (the minhash verification join DID flip to a
-    # corpus broadcast; see test_dedup_pair_joins_never_broadcast_corpus)
+    # The per-iteration join is merge-hinted: edges and labels are both
+    # corpus-sized (one row per doc / per edge), so neither side may
+    # ever be broadcast — at x10 Catalyst already picks SMJ from the
+    # checkpointed frames' unknown stats, but that is stats-luck, not a
+    # guarantee (the minhash verification join DID flip to a corpus
+    # broadcast; see test_dedup_pair_joins_never_broadcast_corpus).
+    #
+    # One fused step per iteration (round-8 rewrite; the round-7 shape
+    # ran 3 joins, 2 checkpoints, and an every-2nd-iteration old-vs-new
+    # convergence join per round — 2x this loop's cost for the same
+    # fixpoint):
+    #   label'(v) = min( min_{(v,u) in E} label(u),  label(label(v)) )
+    # The pointer-jump term label(label(v)) is just one more probe row
+    # (v, label(v)) unioned onto the edge set, so neighbor-min and path
+    # compression happen in the SAME join + groupBy. The explicit
+    # min-with-own-label term is redundant: labels only decrease and
+    # label(m) <= m for every node m, so the pointer row's contribution
+    # label(label(v)) <= label(v) already bounds the result — which also
+    # guarantees every node appears in the output (its pointer row
+    # always joins), killing the round-7 left-join-back-to-labels step.
+    # The pointer row carries the OLD label along (it IS its t column),
+    # so convergence is computed in the same aggregation and read via
+    # observe() from the checkpoint job itself: an iteration is ONE
+    # merge join + ONE agg + ONE checkpoint, and zero extra jobs.
+    # Convergence (chg == 0 for all nodes) means the fused operator hit
+    # its fixpoint; with the bidirectional edge set that is exactly
+    # "every node holds its component minimum". Pointer jumping keeps
+    # O(log D) rounds: the cap is a true pathology bound (~2^50
+    # diameter), not a data-shape assumption.
+    edge_rows = edges.withColumn("is_ptr", F.lit(False))
     for it in range(1, max_iters + 1):
-        neighbor_min = (
-            edges.join(labels.hint("merge"), edges.t == labels.node)
-            .groupBy(F.col("s").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+        ptr_rows = labels.select(
+            F.col("node").alias("s"),
+            F.col("label").alias("t"),
+            F.lit(True).alias("is_ptr"),
         )
-        new_labels = (
-            labels.join(neighbor_min.hint("merge"), "node", "left")
+        probe = edge_rows.unionByName(ptr_rows)
+        stepped = (
+            probe.join(labels.hint("merge"), probe.t == F.col("node"))
+            .groupBy("s")
+            .agg(
+                F.min("label").alias("new_label"),
+                # exactly one pointer row per s; its t is the old label
+                F.max(F.when(F.col("is_ptr"), F.col("t"))).alias("old_label"),
+            )
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                F.col("s").alias("node"),
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("chg"),
             )
         )
-        new_labels = materialize(new_labels)
-        # pointer-jump on the checkpointed frame: label <- label(label).
-        # Labels are always node ids (min over ids), so the lookup side
-        # hits; left+coalesce guards the root nodes labeling themselves.
-        a, b = new_labels.alias("a"), new_labels.alias("b")
-        new_labels = materialize(
-            a.join(b.hint("merge"), F.col("a.label") == F.col("b.node"), "left").select(
-                F.col("a.node").alias("node"),
-                F.least(
-                    F.col("a.label"),
-                    F.coalesce(F.col("b.label"), F.col("a.label")),
-                ).alias("label"),
-            )
-        )
-        if it % 2 == 0 or it == max_iters:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o").hint("merge"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            labels = new_labels
+        obs = Observation(f"dedup_clusters_conv_{it}")
+        labels = materialize(
+            stepped.observe(obs, F.sum(F.col("chg").cast("long")).alias("n"))
+        ).select("node", "label")
+        if (obs.get["n"] or 0) == 0:
+            break
     else:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} iterations "

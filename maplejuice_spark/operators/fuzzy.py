@@ -1,0 +1,235 @@
+"""Scalable fuzzy string self-join (edit distance <= k) via q-gram
+prefix filtering — the Ed-Join family (Xiao, Wang, Lin, VLDB 2008;
+prefix filter per Chaudhuri, Ganti, Kaushik, ICDE 2006).
+
+Why not length blocking or substring-thirds blocking: both degenerate
+on uniform corpora. TPC-H supplier names are fixed-format
+(``Supplier#000000001``), so every row shares one length bucket AND a
+constant first third — any blocking key built from content that all
+rows share puts all O(n^2) pairs into one bucket (and one Spark task).
+Prefix filtering dodges this by construction: a global RARITY order is
+computed over the q-grams, and each string indexes only its
+``k*q + 1`` rarest grams. Constant substrings are the most frequent
+grams in exactly the corpora that break positional blocking, so they
+are never chosen as index keys; candidates are generated from the
+discriminative (rare) grams and spread across many join keys.
+
+Correctness is order-independent: for any total order on grams, two
+strings within edit distance k share at least one gram among their
+``k*q + 1``-prefixes (each edit destroys at most q q-grams, so the
+multiset overlap is >= max(m_a, m_b) - k*q where m = len - q + 1; the
+prefix-filter lemma then applies). The rarity order only affects how
+FEW false candidates survive, never which true pairs are found. All
+candidates are verified with the bounded 3-arg ``levenshtein`` kernel,
+so the final output is byte-identical to an unblocked cross join.
+
+Multisets are handled by keying grams as (gram, occurrence-index):
+``"00"`` appearing 7 times in one name yields elements (00,1)..(00,7),
+and an equi-join on (gram, occ) computes exactly the min-count multiset
+intersection the bound needs.
+
+Strings shorter than ``q*(k+1)`` characters (m <= k*q, vacuous bound)
+go through an exact symmetric-deletion arm instead (SymSpell; Garbe's
+published algorithm): ed(a, b) <= k implies a and b share a common
+subsequence reachable by deleting <= k characters from each, so equal
+<=k-deletion variants are a complete candidate generator. Variant
+counts are combinatorially bounded for short strings (<= 16 variants
+at len 5, k 2).
+
+Scale notes (100 TB): the gram document-frequency table is
+VOCABULARY-sized (charset^q * max-occurrence), not corpus-sized, so it
+is legitimately broadcast (same discipline as term_relevance's df
+broadcast). Every corpus-sized join is merge-hinted — candidate pairs
+grow with the data and may never be broadcast. Worst-case candidate
+count is bounded by sum(df_g^2) over each string's rare grams, which is
+output-shaped: when the true result is itself quadratic (a corpus of
+near-identical strings) no exact algorithm can emit fewer pairs, but
+the work is spread across gram keys instead of one degenerate block.
+
+The per-row (gram, occ) expansion is O(m^2) expression work per string
+(occurrence indices computed row-locally to stay in codegen); this is a
+SHORT-string operator (names, titles, codes). For long-document
+similarity use the MinHash/SimHash family in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from maplejuice_spark.functions import materialize
+from maplejuice_spark.operators.skew import salted_self_pairs
+
+__all__ = ["ed_candidate_pairs", "fuzzy_self_join"]
+
+# Prefix-filter parameters: q-gram width and supported edit distance.
+Q = 2
+
+
+def _gram_occ(s: Column, q: int = Q) -> Column:
+    """Array of (gram, occ) structs for every q-gram of ``s``, where occ
+    numbers repeated gram values 1..count within the string (multiset
+    identity). Row-local; O(m^2) comparisons per row, fine for
+    name-length strings."""
+    m = F.greatest(F.length(s) - (q - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), m)
+
+    def gram_at(i: Column) -> Column:
+        return F.substring(s, i, q)
+
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            gram_at(i).alias("gram"),
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), i), lambda j: gram_at(j) == gram_at(i)
+                )
+            ).alias("occ"),
+        ),
+    )
+
+
+def _del_variants(s: Column, k: int) -> Column:
+    """All strings obtainable from ``s`` by deleting up to ``k`` (<= 2)
+    characters, including ``s`` itself. Row-local."""
+    if k > 2:
+        raise ValueError("symmetric-deletion arm supports k <= 2")
+    n = F.length(s)
+    pos = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+
+    def drop1(i: Column) -> Column:
+        return F.concat(F.substring(s, 1, i - 1), s.substr(i + 1, n))
+
+    one = F.when(n >= 1, F.transform(pos, drop1)).otherwise(F.array())
+    if k == 1:
+        return F.array_distinct(F.concat(F.array(s), one))
+    # two deletions: positions i < j of the original string; delete j
+    # first so i's coordinate is unchanged
+    def drop2(i: Column, j: Column) -> Column:
+        dj = drop1(j)
+        return F.concat(
+            F.substring(dj, 1, i - 1), dj.substr(i + 1, F.length(dj))
+        )
+
+    two = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.greatest(n, i + 1)),
+                    lambda j: drop2(i, j),
+                ),
+            )
+        ),
+    ).otherwise(F.array())
+    return F.array_distinct(F.concat(F.array(s), one, two))
+
+
+def ed_candidate_pairs(
+    names: DataFrame, id_col: str, s_col: str, k: int = 2
+) -> DataFrame:
+    """Candidate (id1, id2, s1, s2) pairs — a SUPERSET of all pairs with
+    edit distance <= k, id1 < id2. Callers verify with the bounded
+    levenshtein kernel. ``names`` must be (id_col, s_col) with unique
+    ids; strings ride along through the join so no corpus join-back is
+    needed."""
+    prefix_len = k * Q + 1
+    short_max = Q * (k + 1) - 1  # m <= k*Q  <=>  len <= this
+
+    base = names.select(
+        F.col(id_col).alias("id"),
+        F.col(s_col).alias("s"),
+        F.length(s_col).alias("ln"),
+    )
+
+    # ---- long arm: q-gram prefix filter (any pair whose longer string
+    # has len > short_max is guaranteed to collide here) ----
+    grams = base.filter(F.col("ln") > Q - 1).select(
+        "id", "s", "ln", F.explode(_gram_occ(F.col("s"))).alias("g")
+    )
+    # vocabulary-sized document frequency -> the global rarity order
+    df_tbl = grams.groupBy(F.col("g.gram").alias("gram")).agg(
+        F.count("*").alias("df")
+    )
+    ranked = grams.join(
+        F.broadcast(df_tbl), grams["g.gram"] == df_tbl["gram"]
+    ).select(
+        "id",
+        "s",
+        "ln",
+        F.struct(
+            F.col("df"), F.col("g.gram").alias("gram"), F.col("g.occ").alias("occ")
+        ).alias("key"),
+    )
+    # per-string prefix: the prefix_len rarest (df, gram, occ) elements.
+    # Checkpointed: the self-join below would otherwise recompute the
+    # whole subtree (corpus scan + df agg + rank join) once per side.
+    prefix = materialize(
+        ranked.groupBy("id")
+        .agg(
+            F.first("s").alias("s"),
+            F.first("ln").alias("ln"),
+            F.slice(F.array_sort(F.collect_list("key")), 1, prefix_len).alias(
+                "pref"
+            ),
+        )
+        .select(
+            "id",
+            "s",
+            "ln",
+            F.explode("pref").alias("key"),
+        )
+        .select("id", "s", "ln", "key.gram", "key.occ")
+    )
+    # skew-proof pair generation: a hot (gram, occ) bucket — inevitable
+    # on degenerate corpora where the true output is itself quadratic —
+    # is triangle-split across tasks instead of streaming all its pairs
+    # through one task (see salted_self_pairs).
+    long_cand = salted_self_pairs(
+        prefix, ["gram", "occ"], "id", ["s", "ln"]
+    ).filter(
+        # ed <= k bounds the length difference; cheap pair pruning
+        F.abs(F.col("ln1") - F.col("ln2")) <= k
+    ).select("id1", "id2", "s1", "s2")
+
+    # ---- short arm: symmetric deletion (exact for pairs where BOTH
+    # strings are short enough that the q-gram bound is vacuous) ----
+    shorts = base.filter(F.col("ln") <= short_max)
+    var = materialize(
+        shorts.select(
+            "id", "s", F.explode(_del_variants(F.col("s"), k)).alias("v")
+        )
+    )
+    short_cand = salted_self_pairs(var, ["v"], "id", ["s"]).select(
+        "id1", "id2", "s1", "s2"
+    )
+
+    # groupBy (not .distinct()): aggregating the payloads puts an
+    # aggregation barrier between pair dedup and the caller's kernel
+    # filter — otherwise Catalyst pushes the (expensive) verification
+    # predicate below the dedup and evaluates it once per duplicate
+    # candidate (up to prefix_len times per pair).
+    return (
+        long_cand.unionByName(short_cand)
+        .groupBy("id1", "id2")
+        .agg(F.first("s1").alias("s1"), F.first("s2").alias("s2"))
+    )
+
+
+def fuzzy_self_join(
+    names: DataFrame, id_col: str, s_col: str, k: int = 2
+) -> DataFrame:
+    """All (id1, id2, dist) pairs with levenshtein distance <= k,
+    id1 < id2 — exact output (prefix-filter candidates verified by the
+    bounded 3-arg levenshtein kernel, which banded-DPs a 2k+1 diagonal
+    strip and early-exits above the threshold)."""
+    cand = ed_candidate_pairs(names, id_col, s_col, k)
+    return (
+        cand.withColumn("dist", F.levenshtein("s1", "s2", k))
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.col("id1"), F.col("id2"), F.col("dist")
+        )
+    )

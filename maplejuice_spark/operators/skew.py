@@ -21,13 +21,104 @@ graph_adjacency, different (skew-proof) plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
 from maplejuice_spark.registry import register
 
 N_SALT = 16
+
+# salted_self_pairs sizing: a hot key's bucket is split into
+# ceil(df / PAIR_CHUNK_TARGET) chunks (capped), so one task's pair
+# work is bounded by ~PAIR_CHUNK_TARGET^2 regardless of how hot the
+# key is. Replication per row is its key's chunk count + 1.
+PAIR_CHUNK_TARGET = 128
+PAIR_MAX_CHUNKS = 4096
+
+
+def salted_self_pairs(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    target: int = PAIR_CHUNK_TARGET,
+    max_chunks: int = PAIR_MAX_CHUNKS,
+) -> DataFrame:
+    """Skew-proof self-equi-join pair generator: every unordered pair of
+    DISTINCT-id rows sharing ``key_cols``, exactly once per (key, pair),
+    as (id1 < id2, <payload>1, <payload>2).
+
+    A plain self-join on the key puts a hot key's entire O(df^2) pair
+    stream in ONE task (sort-merge and hash shuffle joins both hash the
+    full key to one partition; AQE's skew splitting divides a
+    partition's INPUT rows, not the quadratic join fan-out). This is
+    the degenerate-blocking failure mode: uniform corpora collapse to
+    one bucket and one straggler task.
+
+    Triangle decomposition fixes the distribution without changing the
+    result: each key's bucket is split into C = ceil(df/target) chunks
+    (df from a per-key count, joined back without broadcasting); a row
+    in chunk c is re-emitted as the LEFT member of cells (c, c..C-1)
+    and the RIGHT member of cells (0..c, c). Every unordered pair
+    {x, y} of one bucket lands in exactly one cell — (chunk_x, chunk_y)
+    ordered — so each task handles at most ~target^2 pair work and a
+    key's pairs spread over C(C+1)/2 tasks. Total work is still the
+    true pair count (inherent: when the data is degenerate the OUTPUT
+    is quadratic), but no task is a straggler and no executor sees a
+    corpus-sized build side. Replication is df/target per row, capped
+    at max_chunks + 1.
+
+    Duplicate pairs across DIFFERENT keys are the caller's to dedup
+    (same contract as an equi-self-join).
+    """
+    counts = rows.groupBy(*key_cols).agg(F.count("*").alias("_df"))
+    r = rows.join(counts.hint("merge"), key_cols).withColumn(
+        "_C",
+        F.least(
+            F.ceil(F.col("_df") / F.lit(target)), F.lit(max_chunks)
+        ).cast("int"),
+    )
+    r = r.withColumn(
+        "_c",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("_C")).cast(
+            "int"
+        ),
+    )
+    keep = [id_col, *payload_cols]
+    left = r.select(
+        *key_cols,
+        F.col("_c").alias("_c1"),
+        F.explode(F.sequence(F.col("_c"), F.col("_C") - 1)).alias("_c2"),
+        *[F.col(c).alias(f"_l_{c}") for c in keep],
+    )
+    right = r.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(0), F.col("_c"))).alias("_c1"),
+        F.col("_c").alias("_c2"),
+        *[F.col(c).alias(f"_r_{c}") for c in keep],
+    )
+    lid, rid = F.col(f"_l_{id_col}"), F.col(f"_r_{id_col}")
+    swap = lid > rid
+
+    def side(c: str, first: bool) -> Column:
+        a, b = F.col(f"_l_{c}"), F.col(f"_r_{c}")
+        if not first:
+            a, b = b, a
+        return F.when(swap, b).otherwise(a)
+
+    return (
+        left.join(right.hint("merge"), [*key_cols, "_c1", "_c2"])
+        # diagonal cells see both orderings of a pair; off-diagonal
+        # cells see exactly one (possibly id-reversed) — normalize.
+        .filter((F.col("_c1") != F.col("_c2")) | (lid < rid))
+        .select(
+            side(id_col, True).alias("id1"),
+            side(id_col, False).alias("id2"),
+            *[side(c, True).alias(f"{c}1") for c in payload_cols],
+            *[side(c, False).alias(f"{c}2") for c in payload_cols],
+        )
+    )
 
 
 def salted_collect(

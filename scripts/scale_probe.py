@@ -72,6 +72,10 @@ PROBE = [
     "scd2_user_value_history",
     "interpolate_daily_values",
     "sample_weighted_pps",
+    # round-8: prefix-filter fuzzy join (replicas copy supplier names
+    # verbatim, so the TRUE pair count grows ~m^2 — the probe measures
+    # how the skew-proof plan absorbs an inherently quadratic output)
+    "levenshtein_similar_names",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"

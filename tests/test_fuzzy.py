@@ -1,0 +1,123 @@
+"""Differential tests for the Ed-Join prefix-filter fuzzy self-join
+(operators/fuzzy.py): the operator's output must equal a brute-force
+O(n^2) reference on adversarial corpora — uniform fixed-format strings
+(the blocking-degeneracy shape), short strings routed through the
+symmetric-deletion arm, duplicates, empty strings, and mixed lengths
+straddling the two arms."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from maplejuice_spark.operators.fuzzy import ed_candidate_pairs, fuzzy_self_join
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows: list[tuple[int, str]], k: int) -> set[tuple[int, int, int]]:
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (i1, s1), (i2, s2) = rows[i], rows[j]
+            if i1 > i2:
+                (i1, s1), (i2, s2) = (i2, s2), (i1, s1)
+            d = _lev(s1, s2)
+            if d <= k:
+                out.add((i1, i2, d))
+    return out
+
+
+def _run(spark, rows: list[tuple[int, str]], k: int = 2):
+    df = spark.createDataFrame(rows, ["id", "s"]).repartition(8)
+    got = {
+        (r.id1, r.id2, r.dist)
+        for r in fuzzy_self_join(df, "id", "s", k=k).collect()
+    }
+    assert got == _brute(rows, k)
+
+
+def test_uniform_fixed_format_corpus(spark):
+    """The shape that degenerates length/thirds blocking: constant
+    prefix, zero-padded numeric suffix (TPC-H supplier names)."""
+    rows = [(i, f"Supplier#{i:09d}") for i in range(1, 120)]
+    _run(spark, rows)
+
+
+def test_short_strings_deletion_arm(spark):
+    rows = [
+        (1, ""), (2, "a"), (3, "ab"), (4, "ba"), (5, "abc"), (6, "abcd"),
+        (7, "abcde"), (8, "xy"), (9, "x"), (10, "abde"), (11, "aaaaa"),
+        (12, "aaaab"), (13, "bbaaa"),
+    ]
+    _run(spark, rows)
+
+
+def test_mixed_lengths_straddle_arms(spark):
+    """Pairs spanning the short (<=5) / long (>=6) boundary must be
+    found by the q-gram arm (max length decides the guarantee)."""
+    rows = [
+        (1, "abcd"), (2, "abcdef"), (3, "abcde"), (4, "abcdefg"),
+        (5, "zbcdef"), (6, "abqqef"), (7, "bcdef"), (8, "abcdxf"),
+    ]
+    _run(spark, rows)
+
+
+def test_duplicates_and_repeated_grams(spark):
+    """Repeated-gram multisets (the (gram, occ) keying) and exact
+    duplicates (dist 0)."""
+    rows = [
+        (1, "0000000"), (2, "0000000"), (3, "0000001"), (4, "0010000"),
+        (5, "00000000"), (6, "000"), (7, "1111111"), (8, "0101010"),
+    ]
+    _run(spark, rows)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_random_differential(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "ab0"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 9))))
+        for i in range(80)
+    ]
+    _run(spark, rows)
+
+
+def test_candidates_are_superset(spark):
+    rows = [(i, f"Part#{i % 7}{i:04d}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    cand = {
+        (r.id1, r.id2)
+        for r in ed_candidate_pairs(df, "id", "s", k=2).collect()
+    }
+    truth = {(a, b) for a, b, _ in _brute(rows, 2)}
+    assert truth <= cand
+
+
+def test_no_corpus_broadcast_in_pair_joins(spark):
+    """Both candidate-generating self-joins must shuffle, never ship a
+    corpus-derived hashed relation; only the vocabulary-sized gram-df
+    table may broadcast."""
+    rows = [(i, f"Supplier#{i:09d}") for i in range(1, 50)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    plan = (
+        fuzzy_self_join(df, "id", "s", k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") <= 1  # the gram-df rank join only
