@@ -67,6 +67,10 @@ HEADLINE = [
     "multimodal_g711_features",
     # round-6: RLE8 compressed video (palette + run-length escapes)
     "multimodal_rle_video",
+    # round-8: substring-level dedup (Lee et al. 2022 window digests)
+    "substring_dedup_spans",
+    # round-8: corpus-learned BPE, training + application, UDF-free
+    "bpe_subword_stats",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

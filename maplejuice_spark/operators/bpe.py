@@ -1,0 +1,296 @@
+"""Corpus-learned BPE subword tokenizer — distributed training AND
+application, expressed entirely in relational operators (no UDF).
+
+Byte-pair encoding (Sennrich, Haddow, Birch, ACL 2016; the GPT-2
+tokenizer's published merges algorithm): start from characters, then
+repeatedly merge the most frequent adjacent symbol pair, never across
+word boundaries. Training pipelines need subword counts (not
+whitespace-token counts) for packing efficiency and mixture weighting;
+this module gives both the learned merge table and per-document
+subword statistics.
+
+Representation: a word is a symbol string ``" c h a r s "`` (symbols
+single-space separated, wrapped in spaces); a document is its words'
+symbol strings joined by ``\\n`` (the token class excludes both
+separators, and a merge pattern ``" l r "`` cannot span the newline,
+so word boundaries are structural, not special-cased).
+
+Merging a pair (l, r) is a LITERAL string replace of ``" l r "`` with
+``" lr "``, iterated to fixpoint. A single leftmost-non-overlapping
+replace pass is NOT the fixpoint (consecutive occurrences share the
+delimiter space: ``" a b a b "`` matches once per pass), so each rank
+applies the replace ``N_PASSES`` times — enough for any word up to
+~2^N_PASSES symbols, and the Spark side ASSERTS stability afterwards
+so an insufficient bound fails loudly rather than diverging from the
+oracle. This iterated-pass semantics is the module's *defined* merge
+order (it can differ from GPT-2's merge-first-occurrence-then-rescan
+on same-symbol runs like ``"aaaaa"`` — segment boundaries land
+differently, subword counts do not); both engines implement it with
+their identical leftmost-non-overlapping ``replace``, which is what
+makes the oracle exact.
+
+Applying ranks 1..K sequentially (each to fixpoint) equals the
+priority-queue application because a rank-k pair's symbols can only be
+produced by merges of rank < k — later merges consume symbols, never
+create earlier pairs.
+
+Scale (100 TB): training iterates K times over the WORD-FREQUENCY
+table (vocabulary-sized, zipf-bounded — the corpus itself is touched
+once, by the word-count aggregation); each iteration is one row-local
+pair explode + one hash agg + a 1-row argmax collect (a
+hyperparameter-sized driver action, like IVF centroids). Application
+is a chain of K*N_PASSES literal replaces inside one whole-stage
+codegen'd projection — ZERO exchanges, pure map over documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import TOKEN_CLASS, tokens
+from maplejuice_spark.registry import register
+
+N_MERGES = 6
+N_PASSES = 8  # replace passes per rank; covers words to ~2^8 symbols
+
+_SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
+
+# ---- shared SQL fragments (DuckDB oracle) ----
+
+# per-word symbol string: " c h a r s "
+_SQL_WORD_SYMS = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+
+_SQL_WC = f"""
+    wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    v0 AS (SELECT word, cnt, {_SQL_WORD_SYMS} AS s FROM wc)
+"""
+
+
+def _sql_rep_fixpoint(s: str, pat: str, rep: str, n: int = N_PASSES) -> str:
+    """Nested replace(...) text applying pat->rep n times."""
+    out = s
+    for _ in range(n):
+        out = f"replace({out}, {pat}, {rep})"
+    return out
+
+
+def _sql_learn_chain(k_max: int = N_MERGES) -> str:
+    """CTE chain v0 -> (p1, m1, v1) -> ... -> (pK, mK, vK): pK counts
+    adjacent pairs of vK-1 weighted by word count, mK is the argmax
+    (count DESC, then lexicographic), vK applies the merge."""
+    parts = [_SQL_WC]
+    for k in range(1, k_max + 1):
+        pat = "' ' || l || ' ' || r || ' '"
+        rep = "' ' || l || r || ' '"
+        parts.append(f"""
+    p{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
+      FROM (SELECT cnt, string_split(trim(s), ' ') AS syms FROM v{k - 1}),
+           unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      GROUP BY l, r
+    ),
+    m{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+    v{k} AS (
+      SELECT word, cnt, {_sql_rep_fixpoint("s", pat, rep)} AS s
+      FROM v{k - 1} CROSS JOIN m{k}
+    )""")
+    return ",".join(parts)
+
+
+def _learn_merges_spark(
+    spark: SparkSession, sf_dir: str, k_max: int = N_MERGES
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Distributed BPE training: returns the merge list [(rank, l, r,
+    freq)] and the final vocabulary frame (word, cnt, s)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v = wc.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+        ).alias("s"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k_max + 1):
+        # symbols materialized in their own projection (the
+        # _shingle_rows trap: referencing split() from inside the
+        # transform would re-split per element access)
+        syms = v.select("cnt", F.split(F.trim("s"), " ").alias("syms"))
+        idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not top:
+            raise RuntimeError(
+                f"BPE training exhausted pairs at rank {rank} — corpus "
+                "too small for N_MERGES"
+            )
+        m = top[0]
+        merges.append((rank, m.l, m.r, m.c))
+        pat, rep = f" {m.l} {m.r} ", f" {m.l}{m.r} "
+        col = F.col("s")
+        for _ in range(N_PASSES):
+            col = F.replace(col, F.lit(pat), F.lit(rep))
+        v = v.select("word", "cnt", col.alias("s"))
+        unstable = v.filter(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)) != F.col("s")
+        ).count()
+        if unstable:
+            raise RuntimeError(
+                f"BPE merge rank {rank} not at fixpoint after "
+                f"{N_PASSES} passes ({unstable} words) — raise N_PASSES"
+            )
+    return merges, v
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=f"""
+    WITH {_sql_learn_chain()}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT {k} AS rank, l AS left_sym, r AS right_sym, "
+          f"CAST(c AS BIGINT) AS freq FROM m{k}"
+          for k in range(1, N_MERGES + 1)
+      )}
+    ) ORDER BY rank
+    """,
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: rank, pair, corpus frequency at the
+    time of the merge. Deterministic — ties break lexicographically in
+    both engines (ASCII symbol alphabet, so collation agrees)."""
+    merges, _ = _learn_merges_spark(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            {
+                "rank": r,
+                "left_sym": l,
+                "right_sym": rt,
+                "freq": c,
+            }
+            for r, l, rt, c in merges
+        ]
+    ).select("rank", "left_sym", "right_sym", "freq")
+
+
+@register(
+    "bpe_subword_stats",
+    oracle=f"""
+    WITH {_sql_learn_chain()},
+    init AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform({_SQL_TOKENS},
+                 word -> {_SQL_WORD_SYMS}),
+               chr(10)) AS s,
+             len({_SQL_TOKENS}) AS n_words
+      FROM documents
+    ),
+    applied AS (
+      SELECT doc_id, n_words,
+             {_sql_rep_fixpoint(
+                 _sql_rep_fixpoint(
+                     _sql_rep_fixpoint(
+                         _sql_rep_fixpoint(
+                             _sql_rep_fixpoint(
+                                 _sql_rep_fixpoint(
+                                     "s",
+                                     "' ' || m1.l || ' ' || m1.r || ' '",
+                                     "' ' || m1.l || m1.r || ' '",
+                                 ),
+                                 "' ' || m2.l || ' ' || m2.r || ' '",
+                                 "' ' || m2.l || m2.r || ' '",
+                             ),
+                             "' ' || m3.l || ' ' || m3.r || ' '",
+                             "' ' || m3.l || m3.r || ' '",
+                         ),
+                         "' ' || m4.l || ' ' || m4.r || ' '",
+                         "' ' || m4.l || m4.r || ' '",
+                     ),
+                     "' ' || m5.l || ' ' || m5.r || ' '",
+                     "' ' || m5.l || m5.r || ' '",
+                 ),
+                 "' ' || m6.l || ' ' || m6.r || ' '",
+                 "' ' || m6.l || m6.r || ' '",
+             )} AS s
+      FROM init, m1, m2, m3, m4, m5, m6
+    )
+    SELECT doc_id, n_words,
+           len(regexp_extract_all(s, '[^ \n]+')) AS n_subwords,
+           length(regexp_replace(s, '[ \n]+', '', 'g')) AS n_chars
+    FROM applied
+    """,
+    tags=("text", "bpe", "tokenizer"),
+)
+def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword statistics under the corpus-learned merge
+    table: whitespace-token count, BPE subword count, and character
+    count — the inputs packing_efficiency / source_mixture_weights need
+    to reason in model tokens instead of whitespace tokens.
+
+    Plan: training as in bpe_learn_merges (K vocabulary-sized
+    iterations), then ONE row-local projection over documents applying
+    the K merges as literal replace chains — no exchange, no UDF, whole
+    plan codegen'd. The merge table reaches the executors as literals
+    (K strings — hyperparameter-sized, the legitimate driver-side
+    round, same discipline as IVF centroids)."""
+    merges, _ = _learn_merges_spark(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    init = toks.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.col("t"),
+                lambda w: F.concat(
+                    F.lit(" "), F.regexp_replace(w, "(.)", "$1 ")
+                ),
+            ),
+        ).alias("s"),
+    )
+    col = F.col("s")
+    for _, l, r, _c in merges:
+        pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        for _ in range(N_PASSES):
+            col = F.replace(col, pat, rep)
+    return init.select(
+        "doc_id",
+        "n_words",
+        F.size(F.regexp_extract_all(col, F.lit("[^ \n]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_subwords"),
+        F.length(F.regexp_replace(col, "[ \n]+", "")).cast("bigint").alias(
+            "n_chars"
+        ),
+    )

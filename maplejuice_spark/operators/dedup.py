@@ -839,3 +839,110 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_extra_norm_dups"
         ),
     )
+
+
+# Exact substring-level dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): training pipelines drop not just
+# duplicate DOCUMENTS but repeated long SPANS shared across documents
+# (boilerplate, licenses, templated text). The published method uses a
+# suffix array over the concatenated corpus; the Spark-native
+# equivalent below slides a fixed-width token window over each document
+# and groups window digests — a repeated >=W-token span across two
+# documents necessarily produces at least one colliding window digest.
+SPAN_WINDOW = 16  # tokens per window (Lee et al. use 50; the synthetic
+#                   docs run 10-99 tokens, so 16 keeps >=1 window for
+#                   most documents while spans stay long enough to be
+#                   meaningful)
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i:i+{SPAN_WINDOW}-1], ' ')) AS dig
+      FROM toks,
+           unnest(generate_series(1, len(t) - {SPAN_WINDOW} + 1)) AS u(i)
+      WHERE len(t) >= {SPAN_WINDOW}
+    ),
+    d AS (
+      SELECT dig, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY dig
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           COUNT(*) FILTER (d.nd > 1) AS n_dup_windows,
+           CAST(COUNT(*) FILTER (d.nd > 1) AS DOUBLE) / COUNT(*)
+             AS dup_ratio
+    FROM w JOIN d ON w.dig = d.dig
+    GROUP BY w.doc_id
+    """,
+    tags=("dedup", "substring", "spans"),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span accounting: how many of a document's
+    W-token windows also occur (verbatim) in at least one OTHER
+    document. The dup_ratio column is the curation signal — documents
+    dominated by spans that exist elsewhere are boilerplate-heavy and
+    get down-weighted or span-stripped in a training-data pipeline.
+
+    Plan: tokenize -> row-local window digests (md5 over each W-token
+    slice; the token array is materialized in its own projection first,
+    same trap as _shingle_rows — referencing the split expression from
+    inside the transform would re-run the regex per window) ->
+    checkpoint the (doc_id, dig) stream (BOTH consumers need it: the
+    per-digest distinct-doc count and the per-window join back) ->
+    digest groupBy -> merge-hinted equi-join -> per-doc aggregation.
+
+    Scale: every step is linear in corpus tokens. The window stream is
+    ~tokens-per-corpus rows of (id, 32-hex) — the same order of bytes a
+    suffix-array build materializes; the digest-count table is
+    corpus-derived so the join back is merge-hinted, never broadcast.
+    A span repeated in MILLIONS of documents is one hot digest GROUP
+    (counted distributively by the hash aggregate — no per-digest list
+    is ever collected), and the join back fans it out row-per-window,
+    not row-per-pair: cost stays linear in occurrences, unlike the
+    pair-expanding near-dup joins.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= SPAN_WINDOW
+    )
+    win = materialize(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("t") - (SPAN_WINDOW - 1)
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, SPAN_WINDOW)
+                        ).cast("binary")
+                    ),
+                )
+            ).alias("dig"),
+        )
+    )
+    dig_docs = win.groupBy("dig").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        win.join(dig_docs.hint("merge"), "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("nd") > 1, F.lit(1))).alias(
+                "n_dup_windows"
+            ),
+            (
+                F.count(F.when(F.col("nd") > 1, F.lit(1))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_ratio"),
+        )
+    )

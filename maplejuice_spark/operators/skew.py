@@ -73,29 +73,35 @@ def salted_self_pairs(
     (same contract as an equi-self-join).
     """
     counts = rows.groupBy(*key_cols).agg(F.count("*").alias("_df"))
+    # NB: chunk-count and chunk-index columns must not collide under
+    # Spark's default CASE-INSENSITIVE resolution ("_C" vs "_c" is ONE
+    # column to the analyzer: the second withColumn silently replaces
+    # the first) — hence _nchunks/_chunk.
     r = rows.join(counts.hint("merge"), key_cols).withColumn(
-        "_C",
+        "_nchunks",
         F.least(
             F.ceil(F.col("_df") / F.lit(target)), F.lit(max_chunks)
         ).cast("int"),
     )
     r = r.withColumn(
-        "_c",
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("_C")).cast(
-            "int"
-        ),
+        "_chunk",
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")), F.col("_nchunks")
+        ).cast("int"),
     )
     keep = [id_col, *payload_cols]
     left = r.select(
         *key_cols,
-        F.col("_c").alias("_c1"),
-        F.explode(F.sequence(F.col("_c"), F.col("_C") - 1)).alias("_c2"),
+        F.col("_chunk").alias("_c1"),
+        F.explode(
+            F.sequence(F.col("_chunk"), F.col("_nchunks") - 1)
+        ).alias("_c2"),
         *[F.col(c).alias(f"_l_{c}") for c in keep],
     )
     right = r.select(
         *key_cols,
-        F.explode(F.sequence(F.lit(0), F.col("_c"))).alias("_c1"),
-        F.col("_c").alias("_c2"),
+        F.explode(F.sequence(F.lit(0), F.col("_chunk"))).alias("_c1"),
+        F.col("_chunk").alias("_c2"),
         *[F.col(c).alias(f"_r_{c}") for c in keep],
     )
     lid, rid = F.col(f"_l_{id_col}"), F.col(f"_r_{id_col}")

@@ -44,8 +44,10 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import for registration side effects; deferred to avoid cycles.
     from maplejuice_spark.operators import (  # noqa: F401
         advanced,
+        bpe,
         cdc,
         dedup,
+        fuzzy,  # noqa: F401 — helpers only today, queries may register
         graph,
         multimodal,
         pipeline,

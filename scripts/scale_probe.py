@@ -220,8 +220,15 @@ def probe(
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from maplejuice_spark.functions import release_checkpoints
+
     out: dict[str, float] = {}
     for name in names:
+        # drain the previous query's checkpoint blocks and garbage
+        # OUTSIDE the timed window (same hygiene as bench.py) — at x10
+        # a predecessor's blocks otherwise surface as GC pauses inside
+        # this query's timing.
+        release_checkpoints(spark)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)

@@ -1,0 +1,91 @@
+"""Unit tests for the BPE module's defined merge semantics: leftmost
+non-overlapping literal replace, iterated to fixpoint per rank. The
+Spark expression chain must agree with a direct Python reference on
+adversarial inputs (same-symbol runs, where a single replace pass is
+NOT the fixpoint), and training must be deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maplejuice_spark.operators.bpe import (
+    N_PASSES,
+    _learn_merges_spark,
+    bpe_subword_stats,
+)
+
+
+def _ref_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python reference of the module's defined semantics."""
+    s = " " + " ".join(word) + " "
+    for l, r in merges:
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        for _ in range(N_PASSES):
+            s = s.replace(pat, rep)  # str.replace is leftmost non-overlap
+        assert s.replace(pat, rep) == s, "fixpoint bound too low"
+    return s.split()
+
+
+def _spark_apply(spark, word: str, merges: list[tuple[str, str]]) -> list[str]:
+    df = spark.createDataFrame([(word,)], ["w"])
+    col = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for l, r in merges:
+        pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        for _ in range(N_PASSES):
+            col = F.replace(col, pat, rep)
+    out = df.select(F.split(F.trim(col), " ").alias("syms")).collect()
+    return out[0].syms
+
+
+def test_same_symbol_runs_match_reference(spark):
+    """Runs like 'aaaaa' need multiple replace passes; Spark's chain
+    and the Python reference must segment identically."""
+    merges = [("a", "a"), ("aa", "aa"), ("aa", "a")]
+    for word in ["a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaaaa", "a" * 21]:
+        assert _spark_apply(spark, word, merges) == _ref_apply(word, merges)
+
+
+def test_mixed_merges_match_reference(spark):
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("in", "g")]
+    for word in ["the", "there", "thether", "inging", "thinging", "xyz"]:
+        assert _spark_apply(spark, word, merges) == _ref_apply(word, merges)
+
+
+def test_training_is_deterministic(spark, sf_dir):
+    m1, _ = _learn_merges_spark(spark, sf_dir, k_max=3)
+    m2, _ = _learn_merges_spark(spark, sf_dir, k_max=3)
+    assert m1 == m2
+    # merged symbols are concatenations of earlier symbols (rank
+    # ordering invariant that makes sequential application exact)
+    known = set("abcdefghijklmnopqrstuvwxyz"
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-")
+    for _rank, l, r, freq in m1:
+        assert all(ch in known for ch in l + r)
+        assert freq > 0
+        known.add(l + r)
+
+
+def test_subword_counts_conserve_chars(spark, sf_dir):
+    """Subwords partition each word's characters: total chars must
+    equal the sum of token lengths, and subword count is bounded by
+    char count below and word count above."""
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import tokens
+
+    stats = bpe_subword_stats(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    truth = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("tw"),
+        F.aggregate(
+            F.transform(tokens("text"), F.length),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("tc"),
+    )
+    j = stats.join(truth, "doc_id").collect()
+    assert j
+    for r in j:
+        assert r.n_words == r.tw
+        assert r.n_chars == r.tc
+        assert r.n_words <= r.n_subwords <= r.n_chars

@@ -121,3 +121,40 @@ def test_no_corpus_broadcast_in_pair_joins(spark):
         .toString()
     )
     assert plan.count("BroadcastHashJoin") <= 1  # the gram-df rank join only
+
+
+def test_salted_self_pairs_multichunk_exact(spark):
+    """Hot keys split across triangle cells (C > 1) must still emit
+    every unordered pair exactly once — regression test for the
+    case-insensitive column-name collision that silently truncated
+    C>1 cells (Spark resolves '_C' and '_c' as ONE column)."""
+    from maplejuice_spark.operators.skew import salted_self_pairs
+
+    rows = [(i, "K" if i <= 60 else f"k{i}", f"s{i}") for i in range(1, 80)]
+    df = spark.createDataFrame(rows, ["id", "key", "s"])
+    for target in (4, 8, 128):
+        got = salted_self_pairs(df, ["key"], "id", ["s"], target=target).collect()
+        pairs = {(r.id1, r.id2, r.s1, r.s2) for r in got}
+        expect = {
+            (a, b, f"s{a}", f"s{b}")
+            for a in range(1, 61)
+            for b in range(a + 1, 61)
+        }
+        assert pairs == expect, f"target={target}"
+        assert len(got) == len(pairs), "no duplicate cells"
+
+
+def test_fuzzy_multichunk_differential(spark):
+    """The full fuzzy join on a uniform corpus LARGE enough that hot
+    prefix buckets exceed PAIR_CHUNK_TARGET, so the real query path
+    exercises C > 1 triangle cells (the x10-sweep regression shape)."""
+    from maplejuice_spark.operators.skew import PAIR_CHUNK_TARGET
+
+    n = PAIR_CHUNK_TARGET + 72  # hot gram buckets reach ~n > target
+    rows = [(i, f"Supplier#{i:09d}") for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, ["id", "s"]).repartition(8)
+    got = {
+        (r.id1, r.id2, r.dist)
+        for r in fuzzy_self_join(df, "id", "s", k=2).collect()
+    }
+    assert got == _brute(rows, 2)
