@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
 from maplejuice_spark.functions import TOKEN_CLASS, tokens
+from maplejuice_spark.operators.pipeline import _SQL_PACK_BUCKET
 from maplejuice_spark.registry import register
 
 N_MERGES = 6
@@ -101,6 +102,50 @@ def _sql_learn_chain(k_max: int = N_MERGES) -> str:
       FROM v{k - 1} CROSS JOIN m{k}
     )""")
     return ",".join(parts)
+
+
+def _sql_apply_chain(s: str, k_max: int = N_MERGES) -> str:
+    """Nested replace text applying merge ranks 1..k_max (each to its
+    N_PASSES fixpoint) with pattern/replacement drawn from the m{k}
+    CTEs of _sql_learn_chain."""
+    out = s
+    for k in range(1, k_max + 1):
+        out = _sql_rep_fixpoint(
+            out,
+            f"' ' || m{k}.l || ' ' || m{k}.r || ' '",
+            f"' ' || m{k}.l || m{k}.r || ' '",
+        )
+    return out
+
+
+# Full learned-BPE per-document stats as one SQL body (shared by the
+# bpe_subword_stats oracle and the packing variant below).
+_SQL_BPE_DOC_STATS = f"""
+    WITH {{chain}},
+    init AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform({_SQL_TOKENS},
+                 word -> {_SQL_WORD_SYMS}),
+               chr(10)) AS s,
+             len({_SQL_TOKENS}) AS n_words
+      FROM documents
+    ),
+    applied AS (
+      SELECT doc_id, n_words, {{apply}} AS s
+      FROM init, {{m_list}}
+    ),
+    bpe_stats AS (
+      SELECT doc_id, n_words,
+             len(regexp_extract_all(s, '[^ \n]+')) AS n_subwords,
+             length(regexp_replace(s, '[ \n]+', '', 'g')) AS n_chars
+      FROM applied
+    )
+""".format(
+    chain=_sql_learn_chain(),
+    apply=_sql_apply_chain("s"),
+    m_list=", ".join(f"m{k}" for k in range(1, N_MERGES + 1)),
+)
 
 
 def _learn_merges_spark(
@@ -205,49 +250,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bpe_subword_stats",
     oracle=f"""
-    WITH {_sql_learn_chain()},
-    init AS (
-      SELECT doc_id,
-             array_to_string(
-               list_transform({_SQL_TOKENS},
-                 word -> {_SQL_WORD_SYMS}),
-               chr(10)) AS s,
-             len({_SQL_TOKENS}) AS n_words
-      FROM documents
-    ),
-    applied AS (
-      SELECT doc_id, n_words,
-             {_sql_rep_fixpoint(
-                 _sql_rep_fixpoint(
-                     _sql_rep_fixpoint(
-                         _sql_rep_fixpoint(
-                             _sql_rep_fixpoint(
-                                 _sql_rep_fixpoint(
-                                     "s",
-                                     "' ' || m1.l || ' ' || m1.r || ' '",
-                                     "' ' || m1.l || m1.r || ' '",
-                                 ),
-                                 "' ' || m2.l || ' ' || m2.r || ' '",
-                                 "' ' || m2.l || m2.r || ' '",
-                             ),
-                             "' ' || m3.l || ' ' || m3.r || ' '",
-                             "' ' || m3.l || m3.r || ' '",
-                         ),
-                         "' ' || m4.l || ' ' || m4.r || ' '",
-                         "' ' || m4.l || m4.r || ' '",
-                     ),
-                     "' ' || m5.l || ' ' || m5.r || ' '",
-                     "' ' || m5.l || m5.r || ' '",
-                 ),
-                 "' ' || m6.l || ' ' || m6.r || ' '",
-                 "' ' || m6.l || m6.r || ' '",
-             )} AS s
-      FROM init, m1, m2, m3, m4, m5, m6
-    )
-    SELECT doc_id, n_words,
-           len(regexp_extract_all(s, '[^ \n]+')) AS n_subwords,
-           length(regexp_replace(s, '[ \n]+', '', 'g')) AS n_chars
-    FROM applied
+    {_SQL_BPE_DOC_STATS}
+    SELECT doc_id, n_words, n_subwords, n_chars FROM bpe_stats
     """,
     tags=("text", "bpe", "tokenizer"),
 )
@@ -293,4 +297,54 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace(col, "[ \n]+", "")).cast("bigint").alias(
             "n_chars"
         ),
+    )
+
+
+@register(
+    "packing_efficiency_bpe",
+    oracle=f"""
+    {_SQL_BPE_DOC_STATS},
+    b AS (
+      SELECT n_subwords AS n_tokens,
+             CAST({_SQL_PACK_BUCKET} AS BIGINT) AS bucket
+      FROM bpe_stats
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket) AS BIGINT) AS padded_tokens,
+           1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                 / CAST(SUM(bucket) AS BIGINT) AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+    tags=("pipeline", "packing", "bpe", "agg"),
+)
+def packing_efficiency_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing_efficiency in MODEL tokens: the padded-sequence bucket
+    ladder applied to the corpus-learned BPE subword count instead of
+    the whitespace token count — what a training batcher actually pads.
+    Whitespace counts understate sequence lengths (subwords >= words),
+    so padding-waste decisions made on them bucket long documents one
+    ladder rung too low; this query is the corrected accounting.
+
+    Plan: the bpe_subword_stats projection (training: K vocabulary-sized
+    rounds; application: one codegen'd replace-chain map) followed by
+    the integer bucket CASE and one bounded-key groupBy — identical
+    scale shape to packing_efficiency."""
+    from maplejuice_spark.operators.pipeline import _PACK_BUCKETS
+
+    stats = bpe_subword_stats(spark, sf_dir)
+    bucket = F.lit(2 * _PACK_BUCKETS[-1])
+    for b in reversed(_PACK_BUCKETS):
+        bucket = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(bucket)
+    t = stats.select(F.col("n_subwords").alias("n_tokens")).select(
+        "n_tokens", bucket.cast("bigint").alias("bucket")
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+        F.sum("bucket").alias("padded_tokens"),
+        (
+            F.lit(1.0) - F.sum("n_tokens").cast("double") / F.sum("bucket")
+        ).alias("pad_waste"),
     )

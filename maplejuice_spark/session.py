@@ -70,7 +70,19 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # -Xms pinned to -Xmx: bench hygiene forces full GCs between
+        # queries (release_checkpoints), and G1 uncommits heap back to
+        # the OS on a full GC — the NEXT allocation-heavy run (Arrow
+        # batches in the multimodal codec queries) then pays heap
+        # re-expansion page faults inside its timed window, which
+        # showed up as 2-3.6x per-query spread in the round-7 driver
+        # bench. Committing the heap up front removes that mode; it is
+        # also the standard setting for latency-sensitive services.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -Xms"
+            + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
