@@ -188,7 +188,14 @@ def ed_candidate_pairs(
     # is triangle-split across tasks instead of streaming all its pairs
     # through one task (see salted_self_pairs).
     long_cand = salted_self_pairs(
-        prefix, ["gram", "occ"], "id", ["s", "ln"]
+        prefix,
+        ["gram", "occ"],
+        "id",
+        ["s", "ln"],
+        # (gram, occ) keys are vocabulary-bounded (charset^q x max
+        # occurrence), so the per-key count table legitimately ships
+        # broadcast — the prefix rows never shuffle for the count join
+        counts_broadcastable=True,
     ).filter(
         # ed <= k bounds the length difference; cheap pair pruning
         F.abs(F.col("ln1") - F.col("ln2")) <= k

@@ -44,6 +44,7 @@ def salted_self_pairs(
     payload_cols: list[str],
     target: int = PAIR_CHUNK_TARGET,
     max_chunks: int = PAIR_MAX_CHUNKS,
+    counts_broadcastable: bool = False,
 ) -> DataFrame:
     """Skew-proof self-equi-join pair generator: every unordered pair of
     DISTINCT-id rows sharing ``key_cols``, exactly once per (key, pair),
@@ -71,13 +72,22 @@ def salted_self_pairs(
 
     Duplicate pairs across DIFFERENT keys are the caller's to dedup
     (same contract as an equi-self-join).
+
+    ``counts_broadcastable``: set True ONLY when the caller can argue
+    the distinct-key count is bounded independently of the corpus
+    (e.g. a q-gram vocabulary) — the per-key count table then ships as
+    a broadcast and ``rows`` never shuffles for the count join. The
+    default merge join is the corpus-safe path.
     """
     counts = rows.groupBy(*key_cols).agg(F.count("*").alias("_df"))
+    counts = (
+        F.broadcast(counts) if counts_broadcastable else counts.hint("merge")
+    )
     # NB: chunk-count and chunk-index columns must not collide under
     # Spark's default CASE-INSENSITIVE resolution ("_C" vs "_c" is ONE
     # column to the analyzer: the second withColumn silently replaces
     # the first) — hence _nchunks/_chunk.
-    r = rows.join(counts.hint("merge"), key_cols).withColumn(
+    r = rows.join(counts, key_cols).withColumn(
         "_nchunks",
         F.least(
             F.ceil(F.col("_df") / F.lit(target)), F.lit(max_chunks)

@@ -70,19 +70,13 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # -Xms pinned to -Xmx: bench hygiene forces full GCs between
-        # queries (release_checkpoints), and G1 uncommits heap back to
-        # the OS on a full GC — the NEXT allocation-heavy run (Arrow
-        # batches in the multimodal codec queries) then pays heap
-        # re-expansion page faults inside its timed window, which
-        # showed up as 2-3.6x per-query spread in the round-7 driver
-        # bench. Committing the heap up front removes that mode; it is
-        # also the standard setting for latency-sensitive services.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Djava.net.preferIPv4Stack=true -Xms"
-            + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        )
+        # Measured and rejected: pinning -Xms to -Xmx (the standard
+        # latency-service setting, tried as a fix for the round-7
+        # multimodal bench spreads) costs scan-heavy queries ~30%
+        # steady-state on this heap size (q1 1.6 -> 2.1 s at sf0.1 —
+        # G1 young-gen sizing balloons with the committed heap) while
+        # the spread outliers did not reproduce locally either way.
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

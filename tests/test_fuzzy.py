@@ -120,7 +120,9 @@ def test_no_corpus_broadcast_in_pair_joins(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") <= 1  # the gram-df rank join only
+    # exactly the two vocabulary-sized broadcasts: the gram-df rank
+    # join and salted_self_pairs' per-key count join
+    assert plan.count("BroadcastHashJoin") <= 2
 
 
 def test_salted_self_pairs_multichunk_exact(spark):
