@@ -71,6 +71,8 @@ HEADLINE = [
     "substring_dedup_spans",
     # round-8: corpus-learned BPE, training + application, UDF-free
     "bpe_subword_stats",
+    # round-8: hybrid lexical+vector retrieval, RRF-fused
+    "hybrid_search_rrf",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

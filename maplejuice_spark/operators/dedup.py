@@ -946,3 +946,117 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "substring_dedup_longest_span",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{SPAN_WINDOW}-1], ' ')) AS dig
+      FROM toks,
+           unnest(generate_series(1, len(t) - {SPAN_WINDOW} + 1)) AS u(i)
+      WHERE len(t) >= {SPAN_WINDOW}
+    ),
+    d AS (
+      SELECT dig FROM w GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    dup AS (
+      SELECT w.doc_id, w.i,
+             w.i - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.i)
+               AS grp
+      FROM w JOIN d ON w.dig = d.dig
+    ),
+    runs AS (
+      SELECT doc_id, COUNT(*) AS span_windows, MIN(i) AS span_start
+      FROM dup GROUP BY doc_id, grp
+    ),
+    best AS (
+      SELECT doc_id, span_start, span_windows,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY span_windows DESC, span_start)
+               AS rk
+      FROM runs
+    )
+    SELECT doc_id, span_start, span_windows,
+           span_windows + {SPAN_WINDOW} - 1 AS span_tokens
+    FROM best WHERE rk = 1
+    """,
+    tags=("dedup", "substring", "spans", "window"),
+)
+def substring_dedup_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-stripping companion to substring_dedup_spans: for each
+    document with cross-document duplicated windows, the LONGEST
+    maximal run of consecutive duplicated window positions (ties ->
+    earliest start). A run of R consecutive duplicated W-token windows
+    pins a duplicated span of R + W - 1 tokens — the exact region a
+    Lee-et-al-style pipeline cuts out of the document.
+
+    Plan: window digests with their token position -> semi-join against
+    the >1-distinct-doc digest set (merge-hinted; corpus-derived) ->
+    gaps-and-islands (position minus per-doc row_number = island key) ->
+    per-island count/min -> per-doc top-1 window. Everything after the
+    digest join is per-doc window machinery on the (linear) duplicated-
+    window stream; WindowGroupLimit prunes the final rank before a full
+    sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= SPAN_WINDOW
+    )
+    winpos = materialize(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SPAN_WINDOW - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice(F.col("t"), i, SPAN_WINDOW)
+                            ).cast("binary")
+                        ).alias("dig"),
+                    ),
+                )
+            ).alias("w"),
+        ).select("doc_id", "w.i", "w.dig")
+    )
+    dupdig = (
+        winpos.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("dig")
+    )
+    dup = winpos.join(dupdig.hint("merge"), "dig", "left_semi")
+    isl = dup.withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("i")
+        ),
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("span_windows"),
+        F.min("i").alias("span_start"),
+    )
+    best = runs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("span_windows"), "span_start"
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "doc_id",
+        "span_start",
+        "span_windows",
+        (F.col("span_windows") + F.lit(SPAN_WINDOW - 1)).alias("span_tokens"),
+    )

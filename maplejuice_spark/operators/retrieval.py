@@ -1,0 +1,193 @@
+"""Hybrid retrieval: lexical + vector ranking fused with Reciprocal
+Rank Fusion (Cormack, Clarke, Buettcher, SIGIR 2009 — the standard
+score-free fusion every hybrid-search stack ships).
+
+A training-data curation pipeline retrieves with BOTH arms: a lexical
+arm (term overlap, idf-weighted) catches exact terminology; a vector
+arm (embedding cosine) catches paraphrase. RRF fuses the two ranked
+lists without comparing their incomparable scores:
+
+    rrf(d) = sum over arms of 1 / (K_RRF + rank_arm(d))
+
+The testdata's ``documents`` and ``embeddings`` tables share the id
+domain (doc_id == vec_id), so the fused entity is the document. The
+query set is the ANN family's convention (id % QUERY_MOD == 0).
+
+Cross-engine exactness: the lexical score is the integer idf analogue
+(sum of N // df over shared distinct terms — no float log), cosine uses
+the same sequential-fold arithmetic every ANN oracle states, ranks are
+integers, and the rrf score is a two-term sum of exact-denominator
+reciprocals added in a fixed (lexical, vector) order.
+
+Scale: the lexical arm is (doc, term) rows joined to the BROADCAST
+query-term set (|queries| x terms — hyperparameter-sized) and the
+vocabulary-sized df table; the vector arm is the guarded broadcast-
+small-query brute-force baseline (swap in the IVF-PQ composition for
+large query sets — same output contract). Per-arm candidate lists are
+cut to ARM_DEPTH by a window before fusion, so the fusion join touches
+|queries| x ARM_DEPTH rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import TOKEN_CLASS, dot, tokens
+from maplejuice_spark.operators.similarity import (
+    QUERY_MOD,
+    _normed_vecs,
+    _require_broadcast_small,
+    _sql_fold_dot,
+    _SQL_NORM,
+)
+from maplejuice_spark.registry import register
+
+K_RRF = 60  # the canonical RRF constant from the paper
+ARM_DEPTH = 50  # per-arm list depth entering fusion
+TOP_K = 5
+
+_SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lower(unnest({_SQL_TOKENS})) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    qterms AS (
+      SELECT doc_id AS query_id, term FROM toks
+      WHERE doc_id % {QUERY_MOD} = 0
+    ),
+    lex AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(SUM(n.n_docs // df.df) AS BIGINT) AS lex_score
+      FROM qterms q
+      JOIN toks t ON t.term = q.term AND t.doc_id <> q.query_id
+      JOIN df ON df.term = q.term CROSS JOIN n
+      GROUP BY q.query_id, t.doc_id
+    ),
+    lex_ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY lex_score DESC, doc_id) AS r_lex
+      FROM lex
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    normed AS (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),
+    cos AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             {_sql_fold_dot('q.vn', 'c.vn')} AS cos_sim
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    vec_ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS r_vec
+      FROM cos
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / ({K_RRF} + l.r_lex), 0.0)
+               + COALESCE(1.0 / ({K_RRF} + v.r_vec), 0.0) AS rrf_score
+      FROM (SELECT * FROM lex_ranked WHERE r_lex <= {ARM_DEPTH}) l
+      FULL OUTER JOIN
+           (SELECT * FROM vec_ranked WHERE r_vec <= {ARM_DEPTH}) v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT * FROM (
+      SELECT query_id, doc_id, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("retrieval", "hybrid", "rrf", "similarity", "text"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k hybrid retrieval per query document: idf-weighted lexical
+    overlap and embedding cosine, fused by reciprocal-rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).select("doc_id", F.lower("term").alias("term")).distinct()
+    df_tbl = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar — the same idf constant the
+    # oracle's CROSS JOIN n states (a driver-side scalar, not a collect
+    # of data rows)
+    qterms = toks.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    # The query set grows with the corpus (id % QUERY_MOD): both arms
+    # broadcast it, so enforce the same cap the ANN baseline does —
+    # beyond it, swap the vector arm for the IVF-PQ composition and the
+    # lexical arm for a shuffled term join (same output contract).
+    _require_broadcast_small(
+        qterms.select("query_id").distinct(),
+        "hybrid_search_rrf broadcasts the query set in both arms",
+        "reduce the query set or use the shuffled/IVF-PQ arms",
+        weight_per_query=2,  # ~a vector row + a term set per query
+        cache_key=f"hybrid_search_rrf:{sf_dir}",
+    )
+    lex = (
+        toks.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_tbl), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                (F.lit(n_docs).cast("bigint") / F.col("df")).cast("bigint")
+            ).alias("lex_score")
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), "doc_id"
+    )
+    lex_ranked = lex.select(
+        "query_id", "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    ).filter(F.col("r_lex") <= ARM_DEPTH)
+
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    cos = (
+        vecs.select(F.col("vec_id").alias("doc_id"), F.col("vn").alias("cv"))
+        .join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", dot("qv", "cv").alias("cos_sim"))
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "doc_id"
+    )
+    vec_ranked = cos.select(
+        "query_id", "doc_id", F.row_number().over(w_vec).alias("r_vec")
+    ).filter(F.col("r_vec") <= ARM_DEPTH)
+
+    fused = lex_ranked.join(
+        vec_ranked, ["query_id", "doc_id"], "full_outer"
+    ).select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(K_RRF) + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(K_RRF) + F.col("r_vec")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.row_number().over(w_f).alias("rank"),
+    ).filter(F.col("rank") <= TOP_K)

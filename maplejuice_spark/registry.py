@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pipeline,
         relational,
+        retrieval,
         sampling,
         similarity,
         skew,
