@@ -76,6 +76,11 @@ PROBE = [
     # verbatim, so the TRUE pair count grows ~m^2 — the probe measures
     # how the skew-proof plan absorbs an inherently quadratic output)
     "levenshtein_similar_names",
+    # round-8: substring-span dedup, BPE, hybrid retrieval
+    "substring_dedup_spans",
+    "substring_dedup_longest_span",
+    "bpe_subword_stats",
+    "hybrid_search_rrf",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
