@@ -1,0 +1,208 @@
+"""Embedding clustering: deterministic quantized k-means (Lloyd).
+
+Training-data pipelines cluster embeddings to balance topics, pick
+semantic-dedup representatives, and build IVF-style coarse quantizers.
+Lloyd's algorithm is the canonical iterative operator Spark lacks as a
+relational primitive; this module expresses it as K rounds of
+assign -> aggregate with a hyperparameter-sized driver round per
+iteration (the centroid table — same discipline as the BPE merge table
+and the IVF centroid literals).
+
+Determinism across engines is the hard part: a float centroid mean is
+an ORDER-DEPENDENT double sum, which can never hash-match between
+engines. The operator therefore runs on INT64-QUANTIZED vectors
+(component -> floor(x * 1e6); floor is bit-identical on the identical
+input doubles): squared-L2 distances, sums, and floor-division means
+are all exact integer arithmetic, order-independent by construction.
+Quantized Lloyd is standard practice (PQ codebook training quantizes
+harder than this); 1e-6 resolution is far below embedding noise.
+
+Ties: nearest-centroid ties pick the smallest cluster id; the
+floor-division mean uses the portable formula
+(sum - ((sum % n + n) % n)) / n (Spark's integer division truncates
+toward zero while DuckDB's // floors — the explicit formula floors in
+both). An emptied cluster simply drops out of the next round's
+centroid set in BOTH engines.
+
+Scale: each iteration scans the corpus once for assignment (row-local
+distance folds against K literal centroids — no join, no shuffle),
+then one (cluster, dim)-keyed partial-aggregated sum (K x DIM groups).
+The collected centroid table is K x DIM ints. ITERS and K are
+hyperparameters; the corpus is never collected or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import to_double_vec
+from maplejuice_spark.registry import register
+
+K_CLUSTERS = 4
+ITERS = 3
+DIM = 64
+QSCALE = 1_000_000  # quantization: floor(x * 1e6) per component
+
+_SQL_QVEC = (
+    f"list_transform(embedding::DOUBLE[], "
+    f"x -> CAST(floor(x * {QSCALE}) AS BIGINT))"
+)
+
+
+def _sql_int_dist(a: str, b: str) -> str:
+    """Exact integer squared-L2 fold (DuckDB)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, {DIM}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_kmeans_chain(iters: int = ITERS) -> str:
+    """CTE chain: q (quantized vecs) -> c0 (seed centroids) ->
+    (d1, a1, s1, c1) -> ... -> aN (final assignment)."""
+    floordiv = "CAST((sm - ((sm % n + n) % n)) / n AS BIGINT)"
+    parts = [
+        f"""
+    q AS (SELECT vec_id, {_SQL_QVEC} AS vq FROM embeddings),
+    c0 AS (SELECT vec_id AS k, vq AS cq FROM q WHERE vec_id < {K_CLUSTERS})
+    """
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    d{t} AS (
+      SELECT q.vec_id, c.k, {_sql_int_dist("q.vq", "c.cq")} AS dist
+      FROM q CROSS JOIN c{t - 1} c
+    ),
+    a{t} AS (
+      SELECT vec_id, k AS cluster_id FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, k) AS rn
+        FROM d{t}) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT a.cluster_id, i AS dim, SUM(q.vq[i]) AS sm, COUNT(*) AS n
+      FROM a{t} a JOIN q USING (vec_id),
+           unnest(generate_series(1, {DIM})) AS u(i)
+      GROUP BY a.cluster_id, i
+    ),
+    c{t} AS (
+      SELECT cluster_id AS k, list({floordiv} ORDER BY dim) AS cq
+      FROM s{t} GROUP BY cluster_id
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "kmeans_quantized_assign",
+    oracle=f"""
+    WITH {_sql_kmeans_chain()}
+    SELECT vec_id, cluster_id FROM a{ITERS}
+    """,
+    tags=("clustering", "kmeans", "similarity", "iterative"),
+)
+def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-vector cluster assignment after ITERS Lloyd rounds on
+    int64-quantized embeddings, seeded with the first K_CLUSTERS
+    vectors. The DuckDB oracle unrolls the identical rounds as a CTE
+    chain (the pagerank_3iter precedent for iterative operators)."""
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        # single-file input -> one partition; spread the fold-heavy
+        # assignment across all cores (no-op on pre-partitioned lakes)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform(
+                to_double_vec("embedding"),
+                lambda x: F.floor(x * QSCALE).cast("bigint"),
+            ).alias("vq"),
+        )
+    )
+
+    def centroid_lits(rows: list) -> list[tuple[int, list[int]]]:
+        return sorted((r.k, list(r.cq)) for r in rows)
+
+    seeds = vecs.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("k"), F.col("vq").alias("cq")
+    )
+    cents = centroid_lits(seeds.collect())  # K x DIM ints per round —
+    # the hyperparameter-sized driver round (IVF-centroid discipline)
+
+    def dist_to(cq: list[int]):
+        lit = F.array(*[F.lit(int(v)) for v in cq])
+        return F.aggregate(
+            F.zip_with("vq", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    assign = None
+    for _t in range(1, ITERS + 1):
+        dists = F.array(*[dist_to(cq) for _k, cq in cents])
+        ks = F.array(*[F.lit(int(k)) for k, _cq in cents])
+        # argmin with smallest-k tie-break: array_position finds the
+        # FIRST index holding the min; cents is sorted by k.
+        cluster = F.element_at(
+            ks, F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+        assign = vecs.select("vec_id", "vq", cluster.alias("cluster_id"))
+        sums = (
+            assign.select(
+                "cluster_id", F.posexplode("vq").alias("dim0", "val")
+            )
+            .groupBy("cluster_id", "dim0")
+            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+        )
+        # portable floor division (Spark's integer div truncates toward
+        # zero; this floors, matching DuckDB's //)
+        upd = sums.select(
+            "cluster_id",
+            "dim0",
+            (
+                (
+                    F.col("sm")
+                    - ((F.col("sm") % F.col("n") + F.col("n")) % F.col("n"))
+                )
+                / F.col("n")
+            )
+            .cast("bigint")
+            .alias("cv"),
+        )
+        rows = (
+            upd.groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim0", "cv"))
+                ).alias("pairs")
+            )
+            .select(
+                F.col("cluster_id").alias("k"),
+                F.transform("pairs", lambda p: p.cv).alias("cq"),
+            )
+            .collect()
+        )
+        cents = centroid_lits(rows)
+    return assign.select("vec_id", "cluster_id")
+
+
+@register(
+    "kmeans_cluster_sizes",
+    oracle=f"""
+    WITH {_sql_kmeans_chain()}
+    SELECT cluster_id, COUNT(*) AS n_members
+    FROM a{ITERS} GROUP BY cluster_id
+    """,
+    tags=("clustering", "kmeans", "agg"),
+)
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster population after the Lloyd rounds — the topic-balance
+    accounting a mixture-weighting pipeline reads."""
+    return (
+        kmeans_quantized_assign(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )

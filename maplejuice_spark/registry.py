@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         advanced,
         bpe,
         cdc,
+        clustering,
         dedup,
         fuzzy,  # noqa: F401 — helpers only today, queries may register
         graph,
