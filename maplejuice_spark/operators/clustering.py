@@ -109,7 +109,12 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64-quantized embeddings, seeded with the first K_CLUSTERS
     vectors. The DuckDB oracle unrolls the identical rounds as a CTE
     chain (the pagerank_3iter precedent for iterative operators)."""
-    vecs = (
+    assign, _cents = _kmeans_rounds(_quantized_vecs(spark, sf_dir))
+    return assign.select("vec_id", "cluster_id")
+
+
+def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "embeddings")
         # single-file input -> one partition; spread the fold-heavy
         # assignment across all cores (no-op on pre-partitioned lakes)
@@ -122,6 +127,11 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vq"),
         )
     )
+
+
+def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list]:
+    """ITERS Lloyd rounds; returns (assignment frame with vq carried,
+    final centroid list [(k, [int]*DIM)] sorted by k)."""
 
     def centroid_lits(rows: list) -> list[tuple[int, list[int]]]:
         return sorted((r.k, list(r.cq)) for r in rows)
@@ -186,7 +196,7 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         cents = centroid_lits(rows)
-    return assign.select("vec_id", "cluster_id")
+    return assign, cents
 
 
 @register(
@@ -205,4 +215,86 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_quantized_assign(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+@register(
+    "semantic_dedup_representatives",
+    oracle=f"""
+    WITH {_sql_kmeans_chain()},
+    final_d AS (
+      SELECT a.cluster_id, q.vec_id,
+             {_sql_int_dist("q.vq", "c.cq")} AS dist
+      FROM a{ITERS} a JOIN q USING (vec_id)
+      JOIN c{ITERS} c ON c.k = a.cluster_id
+    )
+    SELECT cluster_id, vec_id AS rep_vec_id, dist AS rep_dist,
+           n_members
+    FROM (
+      SELECT cluster_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY dist, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM final_d)
+    WHERE rn = 1
+    """,
+    tags=("clustering", "kmeans", "dedup", "semantic"),
+)
+def semantic_dedup_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic dedup by cluster representative: run the quantized
+    Lloyd rounds, then keep ONE member per cluster — the vector closest
+    to its final centroid (ties -> smallest vec_id). The non-kept
+    members are the semantic duplicates a curation pipeline drops or
+    down-weights; n_members is the dedup ratio accounting.
+
+    Everything reuses the exact-integer k-means machinery, so the
+    representative choice is engine-independent (integer distances,
+    deterministic ties)."""
+    from pyspark.sql import Window
+
+    assign, cents = _kmeans_rounds(_quantized_vecs(spark, sf_dir))
+
+    def dist_to_own(cluster_col, vq_col):
+        # distance to the row's own (final) centroid: CASE over the K
+        # literal centroids — K is a hyperparameter, the expression is
+        # K folds wide, row-local, no join
+        expr = None
+        for k, cq in cents:
+            lit = F.array(*[F.lit(int(v)) for v in cq])
+            d = F.aggregate(
+                F.zip_with(vq_col, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            expr = (
+                F.when(cluster_col == k, d)
+                if expr is None
+                else expr.when(cluster_col == k, d)
+            )
+        return expr
+
+    d = assign.select(
+        "vec_id",
+        "cluster_id",
+        dist_to_own(F.col("cluster_id"), F.col("vq")).alias("dist"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("dist", "vec_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        d.select(
+            "cluster_id",
+            "vec_id",
+            "dist",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("rep_vec_id"),
+            F.col("dist").alias("rep_dist"),
+            "n_members",
+        )
     )
