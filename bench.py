@@ -73,6 +73,9 @@ HEADLINE = [
     "bpe_subword_stats",
     # round-8: hybrid lexical+vector retrieval, RRF-fused
     "hybrid_search_rrf",
+    # round-8: deterministic quantized k-means + semantic dedup
+    "kmeans_quantized_assign",
+    "semantic_dedup_representatives",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import to_double_vec
+from maplejuice_spark.functions import materialize, to_double_vec
 from maplejuice_spark.registry import register
 
 K_CLUSTERS = 4
@@ -114,7 +114,12 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # checkpointed: every Lloyd round's assignment scan, centroid-sum
+    # agg, and the seed/final collects would otherwise re-read and
+    # re-quantize the embedding table once per action (measured ~5
+    # scans for 3 rounds). Same discipline as the ANN family's
+    # normalized-vector checkpoint.
+    return materialize(
         load_table(spark, sf_dir, "embeddings")
         # single-file input -> one partition; spread the fold-heavy
         # assignment across all cores (no-op on pre-partitioned lakes)
