@@ -76,6 +76,9 @@ HEADLINE = [
     # round-8: deterministic quantized k-means + semantic dedup
     "kmeans_quantized_assign",
     "semantic_dedup_representatives",
+    # round-9: minhash over the doc_id-bucketed persisted shingle store
+    # (the exchange-free verification-join layout)
+    "minhash_candidates_bucketed",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

@@ -239,9 +239,7 @@ _BAND_UNION = " UNION ALL ".join(
 )
 
 
-@register(
-    "minhash_candidates",
-    oracle=f"""
+_MINHASH_CANDIDATES_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
     ),
@@ -266,42 +264,19 @@ _BAND_UNION = " UNION ALL ".join(
            CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) AS jaccard
     FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
                  JOIN sizes s2 ON s2.doc_id = i.d2
-    """,
-    tags=("dedup", "minhash", "lsh"),
-)
-def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline: signatures -> band buckets ->
-    bucket-equi-join candidates -> exact Jaccard verification.
-
-    Scale: the per-doc shingle sets, sizes, and signatures are all
-    computed row-locally (_shingle_sets) — the corpus is NEVER exploded
-    or shuffled at shingle granularity. The only shuffles are over
-    doc-level rows: the (band, hash) bucket self-join pairs only
-    documents colliding in a band, and verification joins the candidate
-    pairs back to the per-doc shingle arrays on the high-cardinality
-    doc_id (merge-hinted: Catalyst's static estimate otherwise chose to
-    BROADCAST the array-carrying side, which built fine at the test
-    scales but OOM'd a stock 1 GiB driver at 600k docs and is exactly
-    the corpus-sized broadcast that can never ship at 100 TB; candidate
-    pairs grow ~linearly with the corpus, so neither side of the
-    verification join is broadcastable). The exact intersection is a
-    row-local array_intersect instead of a shingle-level equi-join.
-
-    The materialized subtree (shared by the signature branch and both
-    verification probes) holds one array row per document — the same
-    bytes a signature store would hold. NOTE on the obvious next step
-    (checkpoint pre-partitioned on doc_id so the probes skip their
-    exchanges): measured round 8, AQE DISCARDS a LogicalRDD's output
-    partitioning — with spark.sql.adaptive.enabled the probes re-shuffle
-    anyway and the up-front repartition+sort is pure added cost (+0.2 s
-    at sf0.1). The two probe exchanges ARE identical after
-    canonicalization, so Spark's ReusedExchange dedups them; a real
-    deployment gets the exchange-free layout by persisting the array
-    store as a doc_id-BUCKETED table (bucketing survives AQE; a
-    localCheckpoint cannot express it).
     """
-    sets = materialize(_shingle_sets(spark, sf_dir))  # shared 3x
-    sigs = _sigs_from_sets(sets)
+
+
+def _minhash_pipeline(sets: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
+    """LSH candidate generation + exact verification over a per-doc
+    shingle-set relation (doc_id, sh, n): signatures -> band buckets ->
+    band-equi self-join -> row-local array_intersect verify. Shared by
+    the checkpoint-backed and bucketed-table paths; ``sets`` is read
+    three times (signature branch + both verification probes). Pass a
+    precomputed ``sigs`` (doc_id, sig0..sig7) when the store persists
+    signatures — the band branch then never touches the arrays."""
+    if sigs is None:
+        sigs = _sigs_from_sets(sets)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -364,6 +339,162 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n1") + F.col("n2") - F.col("n_common"))
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "minhash_candidates",
+    oracle=_MINHASH_CANDIDATES_ORACLE,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    bucket-equi-join candidates -> exact Jaccard verification.
+
+    Scale: the per-doc shingle sets, sizes, and signatures are all
+    computed row-locally (_shingle_sets) — the corpus is NEVER exploded
+    or shuffled at shingle granularity. The only shuffles are over
+    doc-level rows: the (band, hash) bucket self-join pairs only
+    documents colliding in a band, and verification joins the candidate
+    pairs back to the per-doc shingle arrays on the high-cardinality
+    doc_id (merge-hinted: Catalyst's static estimate otherwise chose to
+    BROADCAST the array-carrying side, which built fine at the test
+    scales but OOM'd a stock 1 GiB driver at 600k docs and is exactly
+    the corpus-sized broadcast that can never ship at 100 TB; candidate
+    pairs grow ~linearly with the corpus, so neither side of the
+    verification join is broadcastable). The exact intersection is a
+    row-local array_intersect instead of a shingle-level equi-join.
+
+    The materialized subtree (shared by the signature branch and both
+    verification probes) holds one array row per document — the same
+    bytes a signature store would hold. NOTE on the obvious next step
+    (checkpoint pre-partitioned on doc_id so the probes skip their
+    exchanges): measured round 8, AQE DISCARDS a LogicalRDD's output
+    partitioning — with spark.sql.adaptive.enabled the probes re-shuffle
+    anyway and the up-front repartition+sort is pure added cost (+0.2 s
+    at sf0.1). The two probe exchanges ARE identical after
+    canonicalization, so Spark's ReusedExchange dedups them; a real
+    deployment gets the exchange-free layout by persisting the array
+    store as a doc_id-BUCKETED table — which is exactly what
+    minhash_candidates_bucketed does.
+    """
+    sets = materialize(_shingle_sets(spark, sf_dir))  # shared 3x
+    return _minhash_pipeline(sets)
+
+
+# (applicationId, sf_dir) -> catalog table name of the doc_id-bucketed
+# persisted shingle-set store. Built ONCE per session per sf_dir — the
+# single-session analog of the persisted signature store a 100 TB dedup
+# deployment maintains (built by ingest, read by every dedup job).
+_SHINGLE_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+# Bucket sizing: ~16 MB of COMPRESSED source text per bucket, clamped to
+# >= 8. Sizing buckets to the data (what an ingest pipeline does from its
+# own stats) instead of the session core count matters in BOTH
+# directions: at 100 TB it yields the thousands of buckets needed to
+# bound per-task bytes, while at bench scale it stops every downstream
+# stage from paying a 32-task scheduling wave to move a few hundred KB
+# (measured at sf0.1: 32 buckets -> 2.6 s, 8 -> 1.07 s, same plan).
+_BUCKET_TARGET_BYTES = 16 << 20
+
+
+def _doc_source_bytes(sf_dir: str) -> int:
+    """Compressed on-disk size of the documents source (file or dir)."""
+    import os
+
+    p = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(p)
+            for f in files
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
+
+def _bucketed_shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, sh, n) shingle-set relation as a doc_id-bucketed,
+    doc_id-sorted persisted table.
+
+    This is the round-8 AQE finding's real fix: AQE discards a
+    checkpoint's output partitioning (a repartition+localCheckpoint
+    re-shuffles anyway — measured, SCALE.md 8th probe), but bucket
+    metadata lives in the catalog and survives every optimizer phase,
+    so the verification joins consume the layout with ZERO exchange on
+    the array-carrying side — only the candidate-pair probe side (tiny
+    by LSH construction) shuffles into the bucket layout.
+    """
+    import hashlib
+
+    from maplejuice_spark.sources import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _SHINGLE_STORE_CACHE.get(key)
+    if table is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        table = f"mj_shingle_store_{digest}"
+        # the store persists the SIGNATURES alongside the arrays: the
+        # band branch then scans only the pruned (doc_id, sig*) columns
+        # — never decoding the shingle arrays, never re-hashing — while
+        # the verification probes read (doc_id, sh, n) bucket-aligned
+        sets = _shingle_sets(spark, sf_dir)
+        dig = sets.select(
+            "doc_id",
+            "sh",
+            "n",
+            F.transform("sh", lambda s: F.md5(s.cast("binary"))).alias("dig"),
+        )
+        store = dig.select(
+            "doc_id",
+            "sh",
+            "n",
+            *[
+                F.array_min(
+                    F.transform("dig", lambda d: F.substring(d, 4 * j + 1, 4))
+                ).alias(f"sig{j}")
+                for j in range(N_MINHASH)
+            ],
+        )
+        n_buckets = max(8, -(-_doc_source_bytes(sf_dir) // _BUCKET_TARGET_BYTES))
+        write_bucketed(
+            store,
+            table,
+            "doc_id",
+            buckets=n_buckets,
+            path=f"/tmp/mj_bucketed/{table}",
+        )
+        _SHINGLE_STORE_CACHE[key] = table
+    return spark.table(table)
+
+
+@register(
+    "minhash_candidates_bucketed",
+    oracle=_MINHASH_CANDIDATES_ORACLE,
+    tags=("dedup", "minhash", "lsh", "bucketed"),
+)
+def minhash_candidates_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """minhash_candidates over the PERSISTED doc_id-bucketed shingle-set
+    store — byte-identical output (same oracle), different storage
+    contract: the shingle sets are read from a bucketed table instead
+    of a per-invocation localCheckpoint, so both verification joins are
+    exchange-free on the corpus side (plan-pinned in test_plans.py) and
+    repeated dedup runs skip the tokenize/shingle pass entirely.
+
+    This is the deployment shape at 100 TB — ingest writes the
+    signature/array store once, bucketed on doc_id; every later dedup,
+    decontamination, or similarity job joins against it without ever
+    re-shuffling the corpus."""
+    store = _bucketed_shingle_store(spark, sf_dir)
+    return _minhash_pipeline(
+        store.select("doc_id", "sh", "n"),
+        sigs=store.select(
+            "doc_id", *[f"sig{j}" for j in range(N_MINHASH)]
+        ),
     )
 
 

@@ -86,6 +86,46 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a ``key``-bucketed (and, by default,
+    ``key``-sorted) table — the ONLY layout that makes later equi-joins
+    on ``key`` exchange-free under AQE.
+
+    Why a table and not a checkpoint: AQE discards a LogicalRDD's
+    output partitioning (measured, SCALE.md 8th probe — a
+    repartition+localCheckpoint re-shuffles anyway), while bucket
+    metadata lives in the catalog and survives every optimizer phase.
+    At 100 TB this is the persisted signature/array store a dedup
+    deployment maintains; joins against it shuffle only the probe side
+    into the bucket layout, never the corpus.
+
+    ``path`` makes the table EXTERNAL at that location (default: the
+    session warehouse dir). Bucketing requires the table write path —
+    a bare ``.save(path)`` cannot record bucket metadata.
+    """
+    w = df.write.mode("overwrite").format(fmt).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table written by ``write_bucketed``. A thin
+    ``spark.table`` wrapper kept for API symmetry — the bucket layout
+    is carried by catalog metadata, not by anything the reader does."""
+    return spark.table(table)
+
+
 def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Manifest of a written parquet dataset: one row per data file with
     its partition directory, byte size, and row count — the

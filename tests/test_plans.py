@@ -537,3 +537,23 @@ def test_semantic_dedup_selection_is_algebraic_not_window(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "Window" not in plan, plan[:2000]
     assert "partial" in plan.lower(), plan[:2000]
+
+
+def test_minhash_bucketed_verification_joins_exchange_free(spark, sf_dir):
+    """The doc_id-bucketed persisted shingle store must make BOTH
+    verification joins exchange-free on the array-carrying side: the
+    only shuffles left are the (band, h) bucket self-join and the tiny
+    candidate-pair probe side (d1/d2). 'doc_id' appearing as a shuffle
+    key would mean the corpus-side relation re-shuffled — the exact
+    cost the bucket layout exists to remove (round-8 AQE finding: a
+    checkpoint's partitioning is discarded; only bucketing survives)."""
+    from maplejuice_spark.registry import all_queries
+
+    df = all_queries()["minhash_candidates_bucketed"].fn(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Scan parquet spark_catalog.default.mj_shingle_store") >= 4
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    keys = _shuffle_keys(plan)
+    assert "doc_id" not in keys, keys
+    assert keys <= {"band", "d1", "d2"}, keys
