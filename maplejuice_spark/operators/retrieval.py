@@ -37,9 +37,11 @@ from maplejuice_spark.catalog import load_table
 from maplejuice_spark.functions import TOKEN_CLASS, dot, tokens
 from maplejuice_spark.operators.similarity import (
     QUERY_MOD,
+    _broadcast_small_ok,
+    _ivfpq_scored,
     _normed_vecs,
-    _require_broadcast_small,
     _sql_fold_dot,
+    _SQL_IVFPQ_SCORED_CTES,
     _SQL_NORM,
 )
 from maplejuice_spark.registry import register
@@ -51,10 +53,140 @@ TOP_K = 5
 _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
 
 
-@register(
-    "hybrid_search_rrf",
-    oracle=f"""
-    WITH toks AS (
+def _lex_ranked(
+    spark: SparkSession, sf_dir: str, shuffled: bool
+) -> DataFrame:
+    """Lexical arm: per-query ranked doc list by integer idf overlap
+    (sum over shared distinct terms of n_docs // df — DuckDB's integer
+    floor-division, stated with Spark's `div` so the arithmetic is
+    integral end-to-end at ANY magnitude, never a rounded double).
+
+    ``shuffled=False`` broadcasts the query-term set (guard-capped by
+    the caller); ``shuffled=True`` is the above-guard mode — every
+    |Q|- or vocabulary-derived relation joins by term-keyed shuffle
+    (merge-hinted), so the arm scales with executors, not driver
+    memory. Identical output either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).select("doc_id", F.lower("term").alias("term")).distinct()
+    df_tbl = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar — the same idf constant the
+    # oracle's CROSS JOIN n states (a driver-side scalar, not a collect
+    # of data rows)
+    qterms = toks.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    if shuffled:
+        q = qterms.hint("merge")
+        d = df_tbl.hint("merge")
+    else:
+        q = F.broadcast(qterms)
+        d = F.broadcast(df_tbl)
+    lex = (
+        toks.join(q, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(d, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr(f"{n_docs}L div df")).alias("lex_score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), "doc_id"
+    )
+    return lex.select(
+        "query_id", "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    ).filter(F.col("r_lex") <= ARM_DEPTH)
+
+
+def _vec_ranked_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector arm, broadcast-small mode: exact cosine against the whole
+    corpus with the query vectors broadcast (the ann_cosine_topk
+    baseline shape) — guard-capped by the caller."""
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    cos = (
+        vecs.select(F.col("vec_id").alias("doc_id"), F.col("vn").alias("cv"))
+        .join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", dot("qv", "cv").alias("cos_sim"))
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "doc_id"
+    )
+    return cos.select(
+        "query_id", "doc_id", F.row_number().over(w_vec).alias("r_vec")
+    ).filter(F.col("r_vec") <= ARM_DEPTH)
+
+
+def _vec_ranked_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector arm, above-guard mode: the production prune -> compress ->
+    refine ANN composition (IVF list pruning, shuffled ADC scoring,
+    exact cosine re-rank of the per-query ADC-top-ARM_DEPTH shortlist).
+    No |Q|-sized broadcast anywhere — the probe set, LUT, shortlist and
+    vector lookups all join by shuffle (merge-hinted). APPROXIMATE by
+    design (candidates outside the probed IVF lists are unseen), which
+    is the scale trade every hybrid stack makes; the ADC ordering uses
+    the decimal-exact sum, so the shortlist — and hence the output —
+    is still engine-deterministic and exactly oracle-able."""
+    from pyspark.sql import Window as W
+
+    scored = _ivfpq_scored(spark, sf_dir, shuffled=True)
+    aw = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    short = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= ARM_DEPTH)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"))
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    refined = (
+        short.join(cv.hint("merge"), "neighbor_id")
+        .join(qv.hint("merge"), "query_id")
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            dot("qv", "cv").alias("cos_sim"),
+        )
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "doc_id"
+    )
+    return refined.select(
+        "query_id", "doc_id", F.row_number().over(w_vec).alias("r_vec")
+    ).filter(F.col("r_vec") <= ARM_DEPTH)
+
+
+def _rrf_fused_topk(lex_ranked: DataFrame, vec_ranked: DataFrame) -> DataFrame:
+    """RRF fusion of the two per-arm ranked lists + final top-k."""
+    fused = lex_ranked.join(
+        vec_ranked, ["query_id", "doc_id"], "full_outer"
+    ).select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(K_RRF) + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(K_RRF) + F.col("r_vec")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.row_number().over(w_f).alias("rank"),
+    ).filter(F.col("rank") <= TOP_K)
+
+
+_SQL_LEX_CTES = f"""
+    toks AS (
       SELECT DISTINCT doc_id, lower(unnest({_SQL_TOKENS})) AS term
       FROM documents
     ),
@@ -77,21 +209,9 @@ _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY lex_score DESC, doc_id) AS r_lex
       FROM lex
-    ),
-    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    normed AS (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),
-    cos AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-             {_sql_fold_dot('q.vn', 'c.vn')} AS cos_sim
-      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id % {QUERY_MOD} = 0
-    ),
-    vec_ranked AS (
-      SELECT query_id, doc_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, doc_id) AS r_vec
-      FROM cos
-    ),
+    )"""
+
+_SQL_RRF_TAIL = f"""
     fused AS (
       SELECT COALESCE(l.query_id, v.query_id) AS query_id,
              COALESCE(l.doc_id, v.doc_id) AS doc_id,
@@ -108,86 +228,102 @@ _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
                                 ORDER BY rrf_score DESC, doc_id) AS rank
       FROM fused)
     WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_SQL_LEX_CTES},
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    normed AS (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),
+    cos AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             {_sql_fold_dot('q.vn', 'c.vn')} AS cos_sim
+      FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    vec_ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS r_vec
+      FROM cos
+    ),
+    {_SQL_RRF_TAIL}
     """,
     tags=("retrieval", "hybrid", "rrf", "similarity", "text"),
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k hybrid retrieval per query document: idf-weighted lexical
-    overlap and embedding cosine, fused by reciprocal-rank."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    ).select("doc_id", F.lower("term").alias("term")).distinct()
-    df_tbl = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # one scalar — the same idf constant the
-    # oracle's CROSS JOIN n states (a driver-side scalar, not a collect
-    # of data rows)
-    qterms = toks.filter(F.col("doc_id") % QUERY_MOD == 0).select(
-        F.col("doc_id").alias("query_id"), "term"
+    overlap and embedding cosine, fused by reciprocal-rank.
+
+    The query set grows with the corpus (id % QUERY_MOD) and the
+    broadcast-small arms ship it to every task, so the ANN family's
+    guard SELECTS the arm pair: below the cap, the exact broadcast
+    arms (this oracle's semantics); above it, the shuffled lexical arm
+    + IVF-PQ-refined vector arm — the hybrid_search_rrf_scaled
+    composition, which degrades recall (unprobed IVF lists go unseen),
+    never correctness or driver memory. A guard REFUSAL remains only
+    for the case with no scalable answer (nothing here)."""
+    qids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % QUERY_MOD == 0)
     )
-    # The query set grows with the corpus (id % QUERY_MOD): both arms
-    # broadcast it, so enforce the same cap the ANN baseline does —
-    # beyond it, swap the vector arm for the IVF-PQ composition and the
-    # lexical arm for a shuffled term join (same output contract).
-    _require_broadcast_small(
-        qterms.select("query_id").distinct(),
-        "hybrid_search_rrf broadcasts the query set in both arms",
-        "reduce the query set or use the shuffled/IVF-PQ arms",
+    if _broadcast_small_ok(
+        qids,
+        f"hybrid_search_rrf:{sf_dir}",
         weight_per_query=2,  # ~a vector row + a term set per query
-        cache_key=f"hybrid_search_rrf:{sf_dir}",
-    )
-    lex = (
-        toks.join(F.broadcast(qterms), "term")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(df_tbl), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                (F.lit(n_docs).cast("bigint") / F.col("df")).cast("bigint")
-            ).alias("lex_score")
-        )
-    )
-    w_lex = Window.partitionBy("query_id").orderBy(
-        F.desc("lex_score"), "doc_id"
-    )
-    lex_ranked = lex.select(
-        "query_id", "doc_id", F.row_number().over(w_lex).alias("r_lex")
-    ).filter(F.col("r_lex") <= ARM_DEPTH)
+    ):
+        lex_ranked = _lex_ranked(spark, sf_dir, shuffled=False)
+        vec_ranked = _vec_ranked_brute(spark, sf_dir)
+    else:
+        lex_ranked = _lex_ranked(spark, sf_dir, shuffled=True)
+        vec_ranked = _vec_ranked_ivfpq(spark, sf_dir)
+    return _rrf_fused_topk(lex_ranked, vec_ranked)
 
-    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
-    )
-    cos = (
-        vecs.select(F.col("vec_id").alias("doc_id"), F.col("vn").alias("cv"))
-        .join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
-        .select("query_id", "doc_id", dot("qv", "cv").alias("cos_sim"))
-    )
-    w_vec = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), "doc_id"
-    )
-    vec_ranked = cos.select(
-        "query_id", "doc_id", F.row_number().over(w_vec).alias("r_vec")
-    ).filter(F.col("r_vec") <= ARM_DEPTH)
 
-    fused = lex_ranked.join(
-        vec_ranked, ["query_id", "doc_id"], "full_outer"
-    ).select(
-        "query_id",
-        "doc_id",
-        (
-            F.coalesce(
-                F.lit(1.0) / (F.lit(K_RRF) + F.col("r_lex")), F.lit(0.0)
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(K_RRF) + F.col("r_vec")), F.lit(0.0)
-            )
-        ).alias("rrf_score"),
+@register(
+    "hybrid_search_rrf_scaled",
+    oracle=f"""
+    {_SQL_IVFPQ_SCORED_CTES},
+    vshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_sim DESC, neighbor_id)
+                 AS arank
+        FROM scored)
+      WHERE arank <= {ARM_DEPTH}
+    ),
+    vrer AS (
+      SELECT s.query_id, s.neighbor_id AS doc_id,
+             {_sql_fold_dot('qn.vn', 'cn.vn')} AS cos_sim
+      FROM vshort s
+      JOIN normed qn ON qn.vec_id = s.query_id
+      JOIN normed cn ON cn.vec_id = s.neighbor_id
+    ),
+    vec_ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS r_vec
+      FROM vrer
+    ),
+    {_SQL_LEX_CTES},
+    {_SQL_RRF_TAIL}
+    """,
+    tags=("retrieval", "hybrid", "rrf", "similarity", "ann", "ivf", "pq"),
+)
+def hybrid_search_rrf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search_rrf's ABOVE-GUARD composition, runnable (and
+    driver-gated) at any scale: shuffled term-join lexical arm + IVF-PQ
+    prune/compress/refine vector arm, RRF-fused. No |Q|-sized broadcast
+    anywhere in the plan. The vector arm is approximate by design
+    (candidates outside the N_PROBE probed IVF lists are unseen — the
+    recall/cost trade every production hybrid stack makes); both arms
+    remain exactly oracle-able because the ADC ordering uses the
+    decimal-exact sum and everything else is integer or fold-exact."""
+    return _rrf_fused_topk(
+        _lex_ranked(spark, sf_dir, shuffled=True),
+        _vec_ranked_ivfpq(spark, sf_dir),
     )
-    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
-    return fused.select(
-        "query_id",
-        "doc_id",
-        "rrf_score",
-        F.row_number().over(w_f).alias("rank"),
-    ).filter(F.col("rank") <= TOP_K)

@@ -72,17 +72,36 @@ def _require_broadcast_small(
     rows regardless of corpus size.
     """
     cap = MAX_BRUTE_FORCE_QUERIES // max(weight_per_query, 1)
-    memo = (cache_key or what, "", cap)
-    if cache_key is not None and memo in _BROADCAST_GUARD_OK:
-        return
-    if q.limit(cap + 1).count() > cap:
+    if not _broadcast_small_ok(
+        q, cache_key or what, weight_per_query, memoize=cache_key is not None
+    ):
         raise ValueError(
             f"{what}: more than {cap} queries (MAX_BRUTE_FORCE_QUERIES="
             f"{MAX_BRUTE_FORCE_QUERIES} vector-row equivalents / "
             f"weight {weight_per_query}); {hint}"
         )
-    if cache_key is not None:
+
+
+def _broadcast_small_ok(
+    q: DataFrame,
+    key: str,
+    weight_per_query: int = 1,
+    memoize: bool = True,
+) -> bool:
+    """Non-raising form of the broadcast-small precondition: True iff
+    the query set fits under the broadcast cap. Callers with a scalable
+    fallback path (e.g. hybrid_search_rrf's shuffled/IVF-PQ arms)
+    SELECT by this instead of refusing. Same bounded limit(cap+1)
+    probe, same positive-result memo (keyed by cap, so a monkeypatched
+    cap in tests re-probes)."""
+    cap = MAX_BRUTE_FORCE_QUERIES // max(weight_per_query, 1)
+    memo = (key, "", cap)
+    if memoize and memo in _BROADCAST_GUARD_OK:
+        return True
+    ok = q.limit(cap + 1).count() <= cap
+    if memoize and ok:
         _BROADCAST_GUARD_OK.add(memo)
+    return ok
 
 
 def _sql_fold_dot(a: str, b: str) -> str:
@@ -1088,12 +1107,25 @@ _SQL_IVFPQ_SCORED_CTES = f"""
     )"""
 
 
-def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_scored(
+    spark: SparkSession, sf_dir: str, shuffled: bool = False
+) -> DataFrame:
     """Shared IVF-PQ approximate scoring stage: every candidate that
     survives IVF list pruning, ADC-scored — (query_id, neighbor_id,
     approx_sim). Composed by ann_ivfpq_topk (ranks it directly) and
     ann_ivfpq_refined_topk (exact re-rank of the per-query shortlist);
     the oracle twin is ``_SQL_IVFPQ_SCORED_CTES``.
+
+    ``shuffled=True`` is the ABOVE-GUARD mode: the |Q|-derived
+    relations (probe set, per-query ADC lookup table) join by shuffle
+    (merge-hinted) instead of broadcast, so the query-set size is
+    unbounded — no guard, no |Q|-sized broadcast anywhere. The
+    hyperparameter-sized tables (centroids, PQ codebook) stay
+    broadcast in both modes. Identical output by construction. Note
+    for a real deployment: the probes<->lists join keys on cid, so its
+    parallelism is bounded by the centroid count — fine at
+    N_CENTROIDS ~ sqrt(corpus) (the production setting), coarse at
+    this module's toy N_CENTROIDS=8.
     """
     from pyspark.sql import Window as W
 
@@ -1112,15 +1144,16 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ivf.filter(
         (F.col("rnk") <= N_PROBE) & (F.col("vec_id") % QUERY_MOD == 0)
     ).select(F.col("vec_id").alias("query_id"), "cid")
-    _require_broadcast_small(
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
-        "the IVF-PQ paths broadcast the probe set and the per-query ADC "
-        "lookup table",
-        "shard the query set",
-        # N_PROBE tiny probe rows + 32 small LUT rows per query
-        weight_per_query=2,
-        cache_key=f"ivfpq_scored:{sf_dir}",
-    )
+    if not shuffled:
+        _require_broadcast_small(
+            vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
+            "the IVF-PQ paths broadcast the probe set and the per-query "
+            "ADC lookup table",
+            "shard the query set, or use the shuffled=True mode",
+            # N_PROBE tiny probe rows + 32 small LUT rows per query
+            weight_per_query=2,
+            cache_key=f"ivfpq_scored:{sf_dir}",
+        )
     subs = vecs.select(
         "vec_id",
         F.explode(
@@ -1161,6 +1194,18 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sub_dot(F.col("sv"), F.col("cw")).alias("part"),
         )
     )
+    if shuffled:
+        cand = (
+            lists.join(probes.hint("merge"), "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        return (
+            cand.join(codes.hint("merge"), "vec_id")
+            .join(qlut.hint("merge"), ["query_id", "s", "code"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(dsum("part").alias("approx_sim"))
+        )
     cand = (
         F.broadcast(probes)
         .join(lists, "cid")

@@ -1,0 +1,53 @@
+"""Hybrid retrieval: guard-selected arm composition.
+
+The broadcast-small guard must SELECT the scalable arms above the cap
+(round-8 VERDICT watch item #4: a refusal was honest but the production
+behavior is degrade-to-scalable, not stop)."""
+
+from __future__ import annotations
+
+
+def test_hybrid_guard_selects_scaled_arms_above_cap(
+    spark, sf_dir, monkeypatch
+):
+    """Force the fallback with a cap of 0 queries: hybrid_search_rrf
+    must silently compose the shuffled lexical arm + IVF-PQ vector arm
+    and return exactly what hybrid_search_rrf_scaled returns."""
+    import maplejuice_spark.operators.similarity as sim
+    from maplejuice_spark.operators.retrieval import (
+        hybrid_search_rrf,
+        hybrid_search_rrf_scaled,
+    )
+
+    want = sorted(map(tuple, hybrid_search_rrf_scaled(spark, sf_dir).collect()))
+
+    monkeypatch.setattr(sim, "MAX_BRUTE_FORCE_QUERIES", 1)  # cap//2 == 0
+    got_df = hybrid_search_rrf(spark, sf_dir)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+
+    # and it actually took the fallback: the brute-force arm ranks by
+    # exact cosine over the FULL corpus, the IVF-PQ arm only over the
+    # probed lists — at this corpus the two differ; equality with the
+    # scaled variant plus difference from the broadcast path pins the
+    # selection, not just the output contract
+    monkeypatch.setattr(sim, "MAX_BRUTE_FORCE_QUERIES", 100_000)
+    exact = sorted(map(tuple, hybrid_search_rrf(spark, sf_dir).collect()))
+    assert exact != got
+
+
+def test_hybrid_scaled_plan_has_no_query_sized_broadcast(spark, sf_dir):
+    """The scaled composition must not broadcast any |Q|- or
+    corpus-derived relation: the only broadcasts allowed are the
+    hyperparameter-sized IVF centroid table and PQ codebook (both
+    bounded by constants, not by data)."""
+    from maplejuice_spark import plans
+    from maplejuice_spark.operators.retrieval import hybrid_search_rrf_scaled
+
+    plan = plans.physical_plan(hybrid_search_rrf_scaled(spark, sf_dir))
+    # the probe/LUT/shortlist/qterms joins are all merge-hinted: every
+    # remaining broadcast join key must be a codebook/centroid column
+    import re
+
+    for m in re.finditer(r"BroadcastHashJoin \[([a-z_]+)#", plan):
+        assert m.group(1) in {"s", "code", "cid"}, m.group(0)
