@@ -89,3 +89,102 @@ def test_subword_counts_conserve_chars(spark, sf_dir):
         assert r.n_words == r.tw
         assert r.n_chars == r.tc
         assert r.n_words <= r.n_subwords <= r.n_chars
+
+
+def _rich_corpus(spark):
+    """Deterministic synthetic (doc_id, text) corpus with a pair space
+    deep enough for 256+ merges — the testdata documents table's fixed
+    tiny vocabulary fully fuses after 89 merges, which cannot exercise
+    the production-vocabulary axis. Hex words of varied length from
+    md5, built with the same expressions both engines share."""
+    return spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("-"), j.cast("string"))),
+                    1,
+                    (F.lit(6) + j % 11).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def test_arrow_apply_matches_codegen_at_256_merges(spark, sf_dir):
+    """The production-vocabulary path: batched training to 256 merges,
+    then the Arrow mapInPandas apply must be BYTE-identical to the
+    codegen replace-chain reference on every document (round-8 VERDICT
+    watch item #3 — the vocab-axis ceiling). The codegen side runs
+    chunked (materialize barrier per 32 ranks) because a 256 x
+    N_PASSES-deep expression is the ceiling being retired; the Arrow
+    kernel has no such axis."""
+    from maplejuice_spark.operators.bpe import (
+        apply_merges_arrow,
+        apply_merges_codegen,
+        doc_symbol_frame,
+        learn_merges_batched,
+    )
+
+    docs = _rich_corpus(spark)
+    merges = learn_merges_batched(spark, sf_dir, 256, batch=32, docs=docs)
+    assert len(merges) == 256
+    assert [m[0] for m in merges] == list(range(1, 257))
+
+    init = doc_symbol_frame(spark, sf_dir, docs=docs)
+    want = {
+        r.doc_id: r.s
+        for r in apply_merges_codegen(init, merges, chunk=32).collect()
+    }
+    got_df = apply_merges_arrow(init, merges)
+    got = {r.doc_id: r.s for r in got_df.collect()}
+    assert got == want
+
+    # plan: Arrow-batched (MapInPandas), never row-at-a-time Python
+    from maplejuice_spark import plans
+
+    plan = plans.physical_plan(got_df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_arrow_apply_matches_codegen_on_testdata(spark, sf_dir):
+    """Same differential on the REAL documents table at its full merge
+    capacity (the vocabulary fuses completely at 89): the two apply
+    kernels must agree byte-for-byte on every document."""
+    from maplejuice_spark.operators.bpe import (
+        apply_merges_arrow,
+        apply_merges_codegen,
+        doc_symbol_frame,
+        learn_merges_batched,
+    )
+
+    merges = learn_merges_batched(spark, sf_dir, 80, batch=16)
+    init = doc_symbol_frame(spark, sf_dir)
+    want = {
+        r.doc_id: r.s
+        for r in apply_merges_codegen(init, merges, chunk=20).collect()
+    }
+    got = {
+        r.doc_id: r.s
+        for r in apply_merges_arrow(init, merges).collect()
+    }
+    assert got == want
+
+
+def test_batched_training_first_round_is_sequential_prefix(spark, sf_dir):
+    """Sanity link between the two trainers: the batched trainer's #1
+    merge equals the sequential trainer's #1 merge (both are the global
+    argmax), and every batch is symbol-disjoint by construction."""
+    from maplejuice_spark.operators.bpe import learn_merges_batched
+
+    seq, _ = _learn_merges_spark(spark, sf_dir, 1)
+    bat = learn_merges_batched(spark, sf_dir, 8, batch=4)
+    assert (bat[0][1], bat[0][2]) == (seq[0][1], seq[0][2])
+    for rnd in (bat[:4], bat[4:]):
+        used = set()
+        for _rank, l, r, _c in rnd:
+            assert l not in used and r not in used
+            used.update((l, r))
