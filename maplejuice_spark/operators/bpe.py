@@ -230,11 +230,26 @@ def _assert_fixpoint(v: DataFrame, merges) -> None:
         )
 
 
+# (applicationId, sf_dir, k_max) -> learned merge table. The three BPE
+# queries (merge table, per-doc stats, packing) are three reads of ONE
+# trained tokenizer — a deployment trains once and ships merges.txt;
+# the memo is the single-session analog (the _normed_vecs / k-means
+# discipline; ADVICE r8 asked for exactly this on the clustering twin).
+# Only the K-string merge list is cached — the training vocabulary
+# checkpoint is NOT held, so release_checkpoints() frees it.
+_MERGES_CACHE: dict[tuple[str, str, int], list] = {}
+
+
 def _learn_merges_spark(
     spark: SparkSession, sf_dir: str, k_max: int = N_MERGES
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Distributed BPE training: returns the merge list [(rank, l, r,
-    freq)] and the final vocabulary frame (word, cnt, s)."""
+    freq)] and the final vocabulary frame (word, cnt, s) — the frame is
+    None on a memo hit (no current caller consumes it)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k_max)
+    hit = _MERGES_CACHE.get(key)
+    if hit is not None:
+        return hit, None
     v = _vocab_frame(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k_max + 1):
@@ -254,6 +269,7 @@ def _learn_merges_spark(
             )
         )
     _assert_fixpoint(v, merges)
+    _MERGES_CACHE[key] = merges
     return merges, v
 
 
