@@ -610,6 +610,136 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_topk_pairs(dsh, k=20)
 
 
+# Containment threshold: flag an eval doc when >= NUM/DEN of its
+# (df-capped) shingles appear in a single train doc. Integer-exact
+# compare (n_common * DEN >= n * NUM), same discipline as
+# ngram_decontamination's n_hit*10 >= n_sh.
+CONTAIN_NUM, CONTAIN_DEN = 1, 2
+
+
+@register(
+    "eval_contamination_containment",
+    oracle=f"""
+    WITH dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+      )
+    ),
+    kept AS (
+      SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    dshf AS (SELECT d.doc_id, d.shingle FROM dsh d JOIN kept USING (shingle)),
+    lbl AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               BETWEEN '0' AND 'b' AS is_train
+      FROM documents
+    ),
+    esz AS (
+      SELECT f.doc_id, COUNT(*) AS n
+      FROM dshf f JOIN lbl ON lbl.doc_id = f.doc_id
+      WHERE NOT is_train GROUP BY f.doc_id
+    ),
+    inter AS (
+      SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id,
+             COUNT(*) AS n_common
+      FROM dshf e JOIN lbl le ON le.doc_id = e.doc_id AND NOT le.is_train
+           JOIN dshf t ON t.shingle = e.shingle
+           JOIN lbl lt ON lt.doc_id = t.doc_id AND lt.is_train
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT eval_doc_id, train_doc_id, n_common,
+             ROW_NUMBER() OVER (PARTITION BY eval_doc_id
+                                ORDER BY n_common DESC, train_doc_id) AS rn
+      FROM inter
+    )
+    SELECT b.eval_doc_id, b.train_doc_id, CAST(b.n_common AS BIGINT) AS n_common,
+           CAST(b.n_common AS DOUBLE) / s.n AS containment
+    FROM best b JOIN esz s ON s.doc_id = b.eval_doc_id
+    WHERE rn = 1 AND b.n_common * {CONTAIN_DEN} >= s.n * {CONTAIN_NUM}
+    """,
+    tags=("pipeline", "dedup", "decontamination", "containment"),
+)
+def eval_contamination_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy eval-set decontamination by SHINGLE CONTAINMENT — the
+    asymmetric cousin of Jaccard a curation pipeline runs before
+    publishing eval numbers: for each eval-split document, the train
+    document covering the largest share of its trigram shingles (ties
+    -> smallest train id), reported when coverage >= 1/2. Jaccard
+    misses the "eval doc embedded in a longer train doc" leak
+    (the union denominator dilutes it); containment's denominator is
+    the eval doc alone. Split = train_val_test_split's md5(doc_id)
+    rule, so membership is a pure function of the stable id.
+
+    Semantics: computed over the df-capped shingle space (boilerplate
+    shingles with df > MAX_SHINGLE_DF are dropped from both the
+    intersection and the eval sizes — the ngram_jaccard_topk cap,
+    stated identically in the oracle).
+
+    Scale: the df cap bounds a hot shingle's pair blowup; the argmax
+    per eval doc is an ALGEBRAIC min(struct(-n_common, train_id)) —
+    partial-aggregable, no window. Every join is merge-hinted (both
+    sides corpus-derived at sweep scale); in a real deployment the
+    eval side is tiny and the at-scale plan broadcasts the eval
+    shingle set against every train shard instead.
+    """
+    dsh = materialize(_shingle_rows(spark, sf_dir).distinct())
+    cnt = dsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = cnt.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
+    dshf = materialize(dsh.join(kept.hint("merge"), "shingle"))
+    is_train = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    ).between("0", "b")
+    ev = dshf.filter(~is_train)
+    tr = dshf.filter(is_train)
+    esz = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ev.alias("e")
+        .join(tr.alias("t").hint("merge"), F.col("t.shingle") == F.col("e.shingle"))
+        .groupBy(
+            F.col("e.doc_id").alias("eval_doc_id"),
+            F.col("t.doc_id").alias("train_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    best = (
+        inter.groupBy("eval_doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_common")).alias("neg"),
+                    F.col("train_doc_id").alias("tid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "eval_doc_id",
+            F.col("b.tid").alias("train_doc_id"),
+            (-F.col("b.neg")).alias("n_common"),
+        )
+    )
+    return (
+        best.join(
+            esz.withColumnRenamed("doc_id", "eval_doc_id").hint("merge"),
+            "eval_doc_id",
+        )
+        .filter(
+            F.col("n_common") * CONTAIN_DEN >= F.col("n") * CONTAIN_NUM
+        )
+        .select(
+            "eval_doc_id",
+            "train_doc_id",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n")).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 _SIMHASH_BITS = 32
 
 _SQL_BITSUMS = ", ".join(
