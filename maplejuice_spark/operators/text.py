@@ -483,3 +483,198 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac"
         ),
     )
+
+
+# ---- Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003) ----
+#
+# The robust local fingerprinting scheme plagiarism/near-dup systems
+# (MOSS) use: hash every character k-gram of the squashed text, slide a
+# w-window over the hash sequence, keep each window's minimum (ties ->
+# RIGHTMOST occurrence, the paper's robust-winnowing rule). Guarantee:
+# any shared substring of length >= k + w - 1 yields a shared selected
+# fingerprint, while storage is ~2/(w+1) of the k-gram count. This
+# complements the existing dedup family: substring_dedup catches exact
+# token-window repeats, MinHash ranks whole-document similarity —
+# winnowing localizes PARTIAL overlap with positions.
+
+K_WINNOW = 7  # char k-gram size over the squashed text (noise floor)
+W_WINNOW = 4  # window size; match guarantee at k + w - 1 = 10 chars
+
+_SQL_WINNOW_SEL = f"""
+    wnorm AS (
+      SELECT doc_id,
+             lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS s
+      FROM documents
+    ),
+    wg AS (SELECT doc_id, s, length(s) - {K_WINNOW} + 1 AS m FROM wnorm),
+    wh AS (
+      SELECT doc_id, m,
+             CASE WHEN m >= 1 THEN
+               list_transform(generate_series(1, m),
+                 i -> substr(md5(substr(s, i, {K_WINNOW})), 1, 8))
+             ELSE [] END AS H,
+             CASE WHEN m >= {W_WINNOW} THEN {W_WINNOW} ELSE m END AS weff
+      FROM wg
+    ),
+    wf AS (
+      SELECT doc_id, m,
+             CASE WHEN m >= 1 THEN
+               list_transform(generate_series(1, m - weff + 1), i ->
+                 lpad(CAST(i + weff - list_indexof(
+                        list_reverse(list_slice(H, i, i + weff - 1)),
+                        list_min(list_slice(H, i, i + weff - 1)))
+                      AS VARCHAR), 6, '0')
+                 || ':' || list_min(list_slice(H, i, i + weff - 1)))
+             ELSE [] END AS fps
+      FROM wh
+    ),
+    wsel AS (
+      SELECT doc_id, m, list_sort(list_distinct(fps)) AS sel FROM wf
+    )"""
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m, sel): per-document winnowing selection — sel is the
+    position-sorted distinct list of "pppppp:hhhhhhhh" fingerprints
+    (zero-padded 1-based k-gram position : 8-hex k-gram hash).
+
+    Entirely ROW-LOCAL: normalize -> k-gram hash array -> window minima
+    -> distinct/sort, one projection chain, no explode, no shuffle.
+    The hash array and the window selection live in their own
+    projections (the _shingle_rows trap: inlining the md5 transform
+    into the window lambdas would re-hash per window access)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norm = docs.select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", "[^A-Za-z0-9]", "")).alias("s"),
+    )
+    g = norm.select(
+        "doc_id", "s", (F.length("s") - K_WINNOW + 1).alias("m")
+    )
+    h = g.select(
+        "doc_id",
+        "m",
+        F.when(
+            F.col("m") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.col("m")),
+                lambda i: F.substring(
+                    F.md5(F.col("s").substr(i, F.lit(K_WINNOW)).cast("binary")),
+                    1,
+                    8,
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("H"),
+        F.least(F.lit(W_WINNOW), F.col("m")).alias("weff"),
+    )
+
+    def win(i):
+        sl = F.slice("H", i, F.col("weff"))
+        mn = F.array_min(sl)
+        rpos = i + F.col("weff") - F.array_position(F.reverse(sl), mn)
+        return F.concat(
+            F.lpad(rpos.cast("string"), 6, "0"), F.lit(":"), mn
+        )
+
+    f = h.select(
+        "doc_id",
+        "m",
+        F.when(
+            F.col("m") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.col("m") - F.col("weff") + 1), win
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("fps"),
+    )
+    return f.select(
+        "doc_id", "m", F.array_sort(F.array_distinct("fps")).alias("sel")
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH {_SQL_WINNOW_SEL}
+    SELECT doc_id,
+           CAST(CASE WHEN m >= 0 THEN m ELSE 0 END AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_fp,
+           md5(array_to_string(sel, '|')) AS fp_digest
+    FROM wsel
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint accounting: k-gram count,
+    selected-fingerprint count, and an order-sensitive md5 digest of
+    the full (position, hash) selection — the digest pins every
+    selected fingerprint value-exactly in ONE row per document, so the
+    oracle verifies the whole selection without shipping ~n/2 rows per
+    document through the compare."""
+    sel = _winnow_selected(spark, sf_dir)
+    return sel.select(
+        "doc_id",
+        F.greatest(F.col("m"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.size("sel").cast("bigint").alias("n_fp"),
+        F.md5(F.concat_ws("|", "sel").cast("binary")).alias("fp_digest"),
+    )
+
+
+@register(
+    "winnowing_matches",
+    oracle=f"""
+    WITH {_SQL_WINNOW_SEL},
+    dsh AS (
+      SELECT DISTINCT doc_id, substr(unnest(sel), 8, 8) AS shingle
+      FROM wsel
+    ),
+    kept AS (
+      SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    dshf AS (SELECT d.doc_id, d.shingle FROM dsh d JOIN kept USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dshf GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
+      FROM dshf x JOIN dshf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.d1, i.d2,
+           CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) AS jaccard
+    FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+                 JOIN sizes s2 ON s2.doc_id = i.d2
+    ORDER BY jaccard DESC, i.d1, i.d2 LIMIT 20
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup", "ngram-jaccard"),
+)
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by Jaccard over SELECTED winnowing
+    fingerprints (hashes only — positions are for alignment, matching
+    is on hash identity, per the paper). Because winnowing keeps
+    ~2/(w+1) of the k-grams, this is the cheap screen a plagiarism/
+    partial-overlap detector runs before positional alignment; the
+    pair machinery (df cap, merge-hinted inverted-index self-join,
+    capped-space sizes) is jaccard_topk_pairs, shared with
+    ngram_jaccard_topk."""
+    from maplejuice_spark.operators.dedup import jaccard_topk_pairs
+
+    # explode_OUTER, then drop the null rows AFTER the Generate: a bare
+    # explode lets InferFiltersFromGenerate add `size(sel) > 0`, which
+    # predicate pushdown alias-substitutes into a pre-Generate Filter
+    # that inlines and re-evaluates the ENTIRE winnowing chain per row
+    # (the _shingle_sets trap — measured minutes vs ~1 s at sf0.001).
+    # The outer explode infers no such filter; the isNotNull below is
+    # on the GENERATED column, so it cannot be pushed past the Generate.
+    dsh = (
+        _winnow_selected(spark, sf_dir)
+        .select("doc_id", F.explode_outer("sel").alias("x"))
+        .filter(F.col("x").isNotNull())
+        .select("doc_id", F.substring("x", 8, 8).alias("shingle"))
+        .distinct()
+    )
+    return jaccard_topk_pairs(dsh, k=20)
