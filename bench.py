@@ -79,6 +79,10 @@ HEADLINE = [
     # round-9: minhash over the doc_id-bucketed persisted shingle store
     # (the exchange-free verification-join layout)
     "minhash_candidates_bucketed",
+    # round-9: winnowing fingerprint selection (row-local SIGMOD'03)
+    "winnowing_fingerprints",
+    # round-9: containment-based fuzzy eval decontamination
+    "eval_contamination_containment",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,
