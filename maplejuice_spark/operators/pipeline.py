@@ -409,3 +409,71 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.cast("double") / (n_sources * F.col("src_tokens"))
         ).alias("sampling_weight"),
     )
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (greatest(len(toks) - 32, 0) + 23) // 24 + 1))
+               AS chunk_idx
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(
+             list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+             AS BIGINT) AS n_tokens
+    FROM idx
+    """,
+    tags=("pipeline", "north-star"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    fixed-size training chunks (W=32 tokens, stride 24 -> 8-token
+    overlap), the standard pre-tokenization step before sequence
+    packing. Chunk count is ceil(max(n-W,0)/S)+1, so every token lands
+    in >=1 chunk and the final chunk may be short.
+
+    Plan: one scan -> row-local tokenize -> Generate (explode of a
+    sequence literal in the row) -> projection. NO shuffle at all: at
+    100 TB this is a streaming map whose output is ~1.33x the input
+    tokens (W/S). The chunk text itself is returned so the oracle
+    hash checks exact window boundaries, not just counts.
+
+    Pushdown note: the chunk_idx sequence is derived from the SAME
+    row-local `toks` array the slices read, and the explode is plain
+    (non-outer) over a sequence that is always non-empty for surviving
+    rows — InferFiltersFromGenerate has nothing to push that would
+    re-evaluate the tokenizer (the winnowing_matches trap documented in
+    SELFCHECK_r9.md does not arise: the generator input is guarded by
+    an explicit pre-Generate size(toks) > 0 filter on the scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w, s = 32, 24
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_chunks = F.expr(f"(greatest(size(toks) - {w}, 0) + {s - 1}) div {s} + 1")
+    idx = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (n_chunks - 1).cast("bigint"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * s + 1).cast("int"), F.lit(w)
+    )
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )

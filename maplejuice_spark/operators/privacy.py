@@ -1,0 +1,215 @@
+"""PII detection and redaction operators.
+
+A training-data pipeline must find and scrub personally identifiable
+information before a corpus ships. The reference has no PII surface
+(its corpus is the MP1 demo log set), so this family is a north-star
+addition: regex-class detection (email / phone / IPv4 / SSN-shaped ids)
+and in-place redaction, expressed entirely with codegen'd
+``regexp_extract_all`` / ``regexp_replace`` — no Python in the hot path.
+
+The driver corpus is digit-free word salad, so (exactly like the
+multimodal codec family synthesizes binary payloads) the PII-bearing
+text is DERIVED deterministically from the ``customer`` table inside
+the query: each customer row yields a contact-card sentence whose
+email/phone/ip/ssn fields are arithmetic functions of ``c_custkey``,
+with per-class presence varied by key residues so detection is
+non-vacuous in every class (present AND absent rows). The oracle
+builds the identical string with DuckDB ``printf`` and must match
+value-level — construction, detection, and redaction are all checked.
+
+Regex dialect: patterns are restricted to the Java-regex / RE2 common
+subset (character classes, bounded repeats, alternation-free) so Spark
+and DuckDB match byte-identically; no lookaround, no backreferences.
+
+Scale (100 TB): both queries are pure map work over the scan — the
+regex kernels run inside WholeStageCodegen, redaction streams through
+with no shuffle at all, and detection shuffles only the per-segment
+counter rows. Skew-free by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.registry import register
+
+# Java-regex / RE2 common-subset patterns (see module docstring).
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+RE_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+RE_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+RE_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+# NOTE: phone (3-3-4) and ssn (3-2-4) cannot match inside each other —
+# the middle-group width disambiguates at every offset; IPv4 is
+# dot-separated so it never overlaps the dash classes; the email
+# pattern requires '@' which the numeric classes never produce.
+
+
+def _profile_text() -> Column:
+    """Deterministic PII-bearing contact card from a customer row.
+
+    Email is always present; phone / ip / ssn appear on key residues
+    (k%3!=0, k%2==0, k%5==0) so every class has hit and miss rows.
+    Mirrors ``_SQL_PROFILE`` exactly — keep the two in lockstep.
+    """
+    k = F.col("c_custkey")
+    base = F.format_string(
+        "Reach %s at user%d@example.com.", F.col("c_name"), k
+    )
+    phone = F.when(
+        k % 3 != 0,
+        F.format_string(
+            " Call %03d-%03d-%04d today.",
+            k % 800 + 100, (k * 7) % 1000, (k * 13) % 10000,
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        k % 2 == 0,
+        F.format_string(
+            " Last login from 10.%d.%d.%d at dawn.",
+            k % 256, (k * 3) % 256, (k * 5) % 256,
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        k % 5 == 0,
+        F.format_string(
+            " Case ref %03d-%02d-%04d is on file.",
+            (k * 11) % 1000, (k * 17) % 100, (k * 19) % 10000,
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(base, phone, ip, ssn)
+
+
+# DuckDB twin of _profile_text(); printf %03d pads identically to
+# java.util.Formatter for the non-negative operands used here.
+_SQL_PROFILE = """
+      printf('Reach %s at user%d@example.com.', c_name, c_custkey)
+      || CASE WHEN c_custkey % 3 != 0 THEN
+           printf(' Call %03d-%03d-%04d today.',
+                  c_custkey % 800 + 100, (c_custkey * 7) % 1000,
+                  (c_custkey * 13) % 10000)
+         ELSE '' END
+      || CASE WHEN c_custkey % 2 = 0 THEN
+           printf(' Last login from 10.%d.%d.%d at dawn.',
+                  c_custkey % 256, (c_custkey * 3) % 256,
+                  (c_custkey * 5) % 256)
+         ELSE '' END
+      || CASE WHEN c_custkey % 5 = 0 THEN
+           printf(' Case ref %03d-%02d-%04d is on file.',
+                  (c_custkey * 11) % 1000, (c_custkey * 17) % 100,
+                  (c_custkey * 19) % 10000)
+         ELSE '' END
+"""
+
+
+def _n_matches(pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.col("card"), F.lit(pattern), F.lit(0)))
+
+
+@register(
+    "pii_detect",
+    oracle=f"""
+    WITH cards AS (
+      SELECT c_mktsegment, {_SQL_PROFILE} AS card FROM customer
+    ),
+    per_row AS (
+      SELECT c_mktsegment,
+             len(regexp_extract_all(card, '{RE_EMAIL}')) AS e,
+             len(regexp_extract_all(card, '{RE_PHONE}')) AS p,
+             len(regexp_extract_all(card, '{RE_IPV4}')) AS i,
+             len(regexp_extract_all(card, '{RE_SSN}')) AS s
+      FROM cards
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(e) AS BIGINT) AS emails,
+           CAST(SUM(p) AS BIGINT) AS phones,
+           CAST(SUM(i) AS BIGINT) AS ipv4s,
+           CAST(SUM(s) AS BIGINT) AS ssns,
+           CAST(SUM(CASE WHEN p + i + s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_beyond_email
+    FROM per_row GROUP BY c_mktsegment
+    """,
+    tags=("privacy", "text", "north-star"),
+)
+def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment PII census over the synthesized contact cards.
+
+    Plan: scan -> codegen'd regex projection -> partial agg -> one
+    segment-keyed exchange (5 groups). The regex work is entirely
+    map-side; at 100 TB only counter rows shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    per_row = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        _profile_text().alias("card"),
+    ).select(
+        "segment",
+        _n_matches(RE_EMAIL).alias("e"),
+        _n_matches(RE_PHONE).alias("p"),
+        _n_matches(RE_IPV4).alias("i"),
+        _n_matches(RE_SSN).alias("s"),
+    )
+    return per_row.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("e").cast("bigint").alias("emails"),
+        F.sum("p").cast("bigint").alias("phones"),
+        F.sum("i").cast("bigint").alias("ipv4s"),
+        F.sum("s").cast("bigint").alias("ssns"),
+        F.sum(
+            F.when(F.col("p") + F.col("i") + F.col("s") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("rows_beyond_email"),
+    )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH cards AS (
+      SELECT c_custkey, {_SQL_PROFILE} AS card FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(card, '{RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{RE_IPV4}', '<IP>', 'g'),
+               '{RE_PHONE}', '<PHONE>', 'g'),
+             '{RE_SSN}', '<SSN>', 'g') AS redacted,
+           len(regexp_extract_all(card, '{RE_EMAIL}'))
+             + len(regexp_extract_all(card, '{RE_IPV4}'))
+             + len(regexp_extract_all(card, '{RE_PHONE}'))
+             + len(regexp_extract_all(card, '{RE_SSN}')) AS n_redactions
+    FROM cards
+    """,
+    tags=("privacy", "text", "north-star"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub every PII class in place (email -> ip -> phone -> ssn; the
+    order is part of the contract — classes are non-overlapping here,
+    but a fixed order makes the composition well-defined anyway).
+
+    Plan: pure projection — zero exchanges; the whole redaction
+    pipeline fuses into the parquet scan at any scale. Output keeps the
+    full redacted string so the oracle hash checks every byte.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cards = cust.select("c_custkey", _profile_text().alias("card"))
+    red = F.col("card")
+    for pat, tag in (
+        (RE_EMAIL, "<EMAIL>"),
+        (RE_IPV4, "<IP>"),
+        (RE_PHONE, "<PHONE>"),
+        (RE_SSN, "<SSN>"),
+    ):
+        red = F.regexp_replace(red, pat, tag)
+    n_red = sum(
+        (_n_matches(p) for p in (RE_EMAIL, RE_IPV4, RE_PHONE, RE_SSN)),
+        start=F.lit(0),
+    )
+    return cards.select(
+        "c_custkey",
+        red.alias("redacted"),
+        n_red.cast("bigint").alias("n_redactions"),
+    )

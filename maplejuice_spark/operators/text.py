@@ -678,3 +678,179 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return jaccard_topk_pairs(dsh, k=20)
+
+
+# Topic taxonomy over the corpus vocabulary: tiny, static, broadcast.
+TAXONOMY = {
+    "relational": ("join", "filter", "scan", "table", "query"),
+    "streaming": ("stream", "window", "batch"),
+    "layout": ("row", "column", "sort", "hash", "part"),
+    "scale": ("big", "small", "fast", "slow"),
+}
+
+_SQL_TAXONOMY_VALUES = ", ".join(
+    f"('{tok}', '{topic}')"
+    for topic, toks in sorted(TAXONOMY.items())
+    for tok in toks
+)
+
+
+@register(
+    "taxonomy_tag_docs",
+    oracle=f"""
+    WITH kw(token, topic) AS (VALUES {_SQL_TAXONOMY_VALUES}),
+    toks AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, t.lang, kw.topic, COUNT(*) AS cnt
+      FROM toks t JOIN kw USING (token)
+      GROUP BY t.doc_id, t.lang, kw.topic
+    ),
+    best AS (
+      SELECT doc_id, lang, MAX(cnt) AS mc FROM hits GROUP BY doc_id, lang
+    ),
+    winner AS (
+      SELECT h.doc_id, h.lang, MAX(h.topic) AS topic, MAX(h.cnt) AS cnt
+      FROM hits h JOIN best b
+        ON h.doc_id = b.doc_id AND h.cnt = b.mc
+      GROUP BY h.doc_id, h.lang
+    )
+    SELECT topic, lang, COUNT(*) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS winner_hits
+    FROM winner GROUP BY topic, lang
+    """,
+    tags=("text", "north-star"),
+)
+def taxonomy_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-taxonomy document classification (FlashText-style tagging
+    reduced to a broadcast join): explode tokens, join the static
+    keyword->topic dictionary, count hits per (doc, topic), pick each
+    document's argmax topic with a deterministic tie-break (highest
+    count, then lexicographically greatest topic — one struct-max, no
+    window), then roll up winners per (topic, lang).
+
+    Plan: Generate -> broadcast hash join (dictionary is bytes-tiny) ->
+    two partial-agg hash aggregations keyed by doc_id -> one final
+    bounded agg. Per-doc state never exceeds |topics| rows, so the
+    doc-keyed exchange carries counters only — at 100 TB the text
+    stays map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kw = spark.createDataFrame(
+        [
+            (tok, topic)
+            for topic, toks in sorted(TAXONOMY.items())
+            for tok in toks
+        ],
+        "token string, topic string",
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    )
+    hits = (
+        toks.join(F.broadcast(kw), "token")
+        .groupBy("doc_id", "lang", "topic")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    winner = hits.groupBy("doc_id", "lang").agg(
+        F.max(F.struct("cnt", "topic")).alias("b")
+    )
+    return (
+        winner.select(
+            F.col("b.topic").alias("topic"), "lang", F.col("b.cnt").alias("cnt")
+        )
+        .groupBy("topic", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cnt").cast("bigint").alias("winner_hits"),
+        )
+    )
+
+
+@register(
+    "bigram_coverage_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, toks,
+             unnest(range(1, len(toks))) AS i
+      FROM t WHERE len(toks) >= 2
+    ),
+    bgs AS (
+      SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS bg FROM pos
+    ),
+    counts AS (SELECT bg, COUNT(*) AS n FROM bgs GROUP BY bg),
+    topk AS (SELECT bg FROM counts ORDER BY n DESC, bg LIMIT 500),
+    per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS tot,
+             CAST(SUM(CASE WHEN bg IN (SELECT bg FROM topk)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS h
+      FROM bgs GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(SUM(tot) AS BIGINT) AS total_bigrams,
+           CAST(SUM(h) AS BIGINT) AS known_bigrams,
+           CAST(SUM(CASE WHEN 2 * h >= tot THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_ge_half
+    FROM per_doc GROUP BY source
+    """,
+    tags=("text", "quality", "north-star"),
+)
+def bigram_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model coverage (the integer-exact
+    core of a CCNet-style perplexity filter): learn the corpus's top-500
+    bigrams (count desc, bigram asc — a total order, so the cut is
+    deterministic), then score every document by how many of its bigram
+    occurrences the model knows, rolled up per source with a
+    docs-at->=50%-coverage count (2*h >= tot keeps it in integers).
+
+    Plan: the bigram stream is built row-locally (element_at over a
+    sequence — no self-join), then (1) a bigram-keyed partial agg +
+    TakeOrderedAndProject picks the vocabulary (500 rows, broadcast
+    back), (2) a doc-keyed partial agg scores documents against the
+    broadcast, (3) a source-keyed bounded agg rolls up. Two corpus
+    scans total; the only exchanges carry (bigram, count) and per-doc
+    counter rows. The model table is vocabulary-bounded, so the
+    broadcast survives any corpus size — the same discipline as the
+    tf-idf and hybrid-retrieval arms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokens("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bgs = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    topk = (
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bg")
+        .limit(500)
+        .select("bg", F.lit(1).alias("known"))
+    )
+    per_doc = (
+        bgs.join(F.broadcast(topk), "bg", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum(F.coalesce(F.col("known"), F.lit(0))).cast("bigint").alias("h"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("tot").cast("bigint").alias("total_bigrams"),
+        F.sum("h").cast("bigint").alias("known_bigrams"),
+        F.sum(F.when(2 * F.col("h") >= F.col("tot"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_ge_half"),
+    )

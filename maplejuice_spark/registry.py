@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph,
         multimodal,
         pipeline,
+        privacy,
         relational,
         retrieval,
         sampling,
