@@ -83,6 +83,12 @@ HEADLINE = [
     "winnowing_fingerprints",
     # round-9: containment-based fuzzy eval decontamination
     "eval_contamination_containment",
+    # round-9: PII redaction (zero-exchange regex projection)
+    "pii_redact",
+    # round-9: context-window chunking (shuffle-free Generate)
+    "chunk_documents",
+    # round-9: bigram-LM coverage scoring (CCNet-filter core)
+    "bigram_coverage_by_source",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

@@ -545,3 +545,48 @@ def packing_efficiency_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum("n_tokens").cast("double") / F.sum("bucket")
         ).alias("pad_waste"),
     )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    {_SQL_BPE_DOC_STATS}
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(b.n_words) AS BIGINT) AS words,
+           CAST(SUM(b.n_subwords) AS BIGINT) AS subwords,
+           CAST(SUM(b.n_subwords) AS DOUBLE) / CAST(SUM(b.n_words) AS BIGINT)
+             AS fertility
+    FROM bpe_stats b JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    tags=("text", "bpe", "tokenizer"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (model subwords per whitespace word) per
+    language — THE per-language health metric of a production tokenizer:
+    a lang whose fertility is far above the corpus mean is under-served
+    by the learned vocabulary and will consume proportionally more
+    context window per sentence.
+
+    Plan: the memoized merge table (one training per session) + the
+    codegen'd apply projection, joined to the lang column and rolled up
+    per lang. The fertility double is ONE division of two exact BIGINT
+    sums, so it is bit-identical across engines (the decimal-exact
+    discipline of functions.dec_to_double, trivially satisfied).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = bpe_subword_stats(spark, sf_dir)
+    j = stats.join(docs.select("doc_id", "lang"), "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_subwords").cast("bigint").alias("subwords"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        "subwords",
+        (F.col("subwords").cast("double") / F.col("words")).alias("fertility"),
+    )

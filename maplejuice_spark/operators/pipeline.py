@@ -477,3 +477,89 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS dg,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'b' THEN 1 ELSE 0 END AS in_store_side
+      FROM documents
+    ),
+    store AS (SELECT DISTINCT dg FROM d WHERE in_store_side = 1),
+    batch AS (SELECT doc_id, source, dg FROM d WHERE in_store_side = 0),
+    per_dg AS (
+      SELECT b.dg, MIN(b.doc_id) AS keeper,
+             MAX(CASE WHEN s.dg IS NOT NULL THEN 1 ELSE 0 END) AS in_store
+      FROM batch b LEFT JOIN store s USING (dg)
+      GROUP BY b.dg
+    ),
+    labeled AS (
+      SELECT b.source,
+             CASE WHEN p.in_store = 1 THEN 'dropped_existing'
+                  WHEN b.doc_id = p.keeper THEN 'admitted'
+                  ELSE 'dropped_within' END AS status,
+             b.doc_id
+      FROM batch b JOIN per_dg p USING (dg)
+    )
+    SELECT source, status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM labeled GROUP BY source, status
+    """,
+    tags=("pipeline", "dedup", "north-star"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-store) exact dedup: the shape of a corpus
+    that GROWS — a new ingest batch is deduped against the digest store
+    of everything already admitted AND within itself (keeper = min
+    doc_id per digest), with per-source admitted / dropped_existing /
+    dropped_within accounting. The store/batch split reuses the
+    md5(doc_id) residue convention of train_val_test_split, so both
+    engines derive the identical 75/25 store/batch partition from the
+    data alone.
+
+    Plan: one scan -> digest projection; the store side reduces to
+    DISTINCT digests (16-byte rows); the batch classifies via ONE
+    digest-keyed left join + per-digest agg, then a digest-keyed join
+    back to batch rows. Every exchange carries digests + counters, never
+    text. At 100 TB the store is a persisted digest table (bucketed by
+    digest — the minhash_candidates_bucketed layout), making the
+    store-probe join exchange-free on the store side; the within-batch
+    shuffle is sized by the INGEST, not the corpus — the property that
+    makes re-deduping a growing corpus affordable at all.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("dg"),
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        ).alias("hexd"),
+    )
+    store = (
+        d.where(F.col("hexd").between("0", "b")).select("dg").distinct()
+    )
+    batch = d.where(~F.col("hexd").between("0", "b")).select(
+        "doc_id", "source", "dg"
+    )
+    per_dg = (
+        batch.join(store.withColumn("hit", F.lit(1)), "dg", "left")
+        .groupBy("dg")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.max(F.coalesce(F.col("hit"), F.lit(0))).alias("in_store"),
+        )
+    )
+    labeled = batch.join(per_dg, "dg").select(
+        "source",
+        F.when(F.col("in_store") == 1, "dropped_existing")
+        .when(F.col("doc_id") == F.col("keeper"), "admitted")
+        .otherwise("dropped_within")
+        .alias("status"),
+        "doc_id",
+    )
+    return labeled.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -163,9 +163,9 @@ def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pii_redact",
-    oracle=f"""
+# Shared by the batch query below and the streaming twin
+# (streaming.stream_pii_redact): one oracle, one projection.
+SQL_REDACT_ORACLE = f"""
     WITH cards AS (
       SELECT c_custkey, {_SQL_PROFILE} AS card FROM customer
     )
@@ -182,19 +182,12 @@ def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
              + len(regexp_extract_all(card, '{RE_PHONE}'))
              + len(regexp_extract_all(card, '{RE_SSN}')) AS n_redactions
     FROM cards
-    """,
-    tags=("privacy", "text", "north-star"),
-)
-def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scrub every PII class in place (email -> ip -> phone -> ssn; the
-    order is part of the contract — classes are non-overlapping here,
-    but a fixed order makes the composition well-defined anyway).
+"""
 
-    Plan: pure projection — zero exchanges; the whole redaction
-    pipeline fuses into the parquet scan at any scale. Output keeps the
-    full redacted string so the oracle hash checks every byte.
-    """
-    cust = load_table(spark, sf_dir, "customer")
+
+def redact_frame(cust: DataFrame) -> DataFrame:
+    """The redaction projection over a customer frame (batch OR
+    streaming — it is stateless, so the same plan serves both)."""
     cards = cust.select("c_custkey", _profile_text().alias("card"))
     red = F.col("card")
     for pat, tag in (
@@ -213,3 +206,20 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("redacted"),
         n_red.cast("bigint").alias("n_redactions"),
     )
+
+
+@register(
+    "pii_redact",
+    oracle=SQL_REDACT_ORACLE,
+    tags=("privacy", "text", "north-star"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub every PII class in place (email -> ip -> phone -> ssn; the
+    order is part of the contract — classes are non-overlapping here,
+    but a fixed order makes the composition well-defined anyway).
+
+    Plan: pure projection — zero exchanges; the whole redaction
+    pipeline fuses into the parquet scan at any scale. Output keeps the
+    full redacted string so the oracle hash checks every byte.
+    """
+    return redact_frame(load_table(spark, sf_dir, "customer"))

@@ -842,3 +842,60 @@ def stream_user_minmax_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"mj_stream_user_minmax_{_STREAM_RUN_SEQ[0]}"
         run_stream_to_memory(out, name, mode="update")
         return spark.table(name)
+
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+def stream_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the customer parquet (same dir-vs-file
+    source selection as stream_events — see its round-6 layout note)."""
+    from maplejuice_spark.catalog import _ensure_read_confs
+
+    _ensure_read_confs(spark)
+    path = os.path.join(sf_dir, "customer.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(CUSTOMER_SCHEMA).parquet(path)
+    return (
+        spark.readStream.schema(CUSTOMER_SCHEMA)
+        .option("pathGlobFilter", "customer.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _register_stream_pii_redact() -> None:
+    from maplejuice_spark.operators.privacy import SQL_REDACT_ORACLE, redact_frame
+
+    @register(
+        "stream_pii_redact",
+        oracle=SQL_REDACT_ORACLE,
+        tags=("streaming", "privacy", "stateless"),
+    )
+    def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Scrub-on-ingest: the PII redaction projection running as TRUE
+        Structured Streaming (file source -> stateless map -> append-mode
+        memory sink, availableNow) — the deployment shape where records
+        are scrubbed BEFORE first persistence, so no unredacted copy ever
+        lands in the lake. Stateless, so identical results to the batch
+        twin (pii_redact) under any micro-batching; same oracle.
+
+        Scale: no state store, no watermark, no shuffle — throughput is
+        bounded by the regex kernels alone, and the stream scales by
+        adding source partitions.
+        """
+        out = redact_frame(stream_customers(spark, sf_dir))
+        _STREAM_RUN_SEQ[0] += 1
+        name = f"mj_stream_pii_redact_{_STREAM_RUN_SEQ[0]}"
+        run_stream_to_memory(out, name, mode="append")
+        return spark.table(name)
+
+
+_register_stream_pii_redact()

@@ -1,0 +1,115 @@
+"""Targeted properties for the round-9 privacy/pipeline additions, beyond
+the auto-parametrized oracle and plan-lint rows:
+
+- redaction completeness: re-running every detector over the REDACTED
+  text finds nothing (the property a scrubber actually promises);
+- redaction accounting: n_redactions matches the construction residues;
+- chunk reconstruction: stitching chunk 0 plus each later chunk's
+  post-overlap suffix reproduces the original token stream exactly
+  (no token lost or duplicated by the W/S windowing);
+- taxonomy tie-break: Spark's max(struct(cnt, topic)) picks highest
+  count then lexicographically greatest topic — pinned on a synthetic
+  frame so the contract outlives the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from maplejuice_spark.operators.privacy import (
+    RE_EMAIL,
+    RE_IPV4,
+    RE_PHONE,
+    RE_SSN,
+    pii_redact,
+)
+from maplejuice_spark.operators.pipeline import chunk_documents
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import tokens
+
+
+def test_redacted_text_has_no_residual_pii(spark, sf_dir):
+    red = pii_redact(spark, sf_dir)
+    residual = red.select(
+        *[
+            F.sum(
+                F.size(F.regexp_extract_all("redacted", F.lit(p), F.lit(0)))
+            ).alias(name)
+            for name, p in (
+                ("emails", RE_EMAIL),
+                ("phones", RE_PHONE),
+                ("ips", RE_IPV4),
+                ("ssns", RE_SSN),
+            )
+        ]
+    ).collect()[0]
+    assert tuple(residual) == (0, 0, 0, 0)
+
+
+def test_redaction_count_matches_residues(spark, sf_dir):
+    rows = pii_redact(spark, sf_dir).select(
+        "c_custkey", "n_redactions"
+    ).collect()
+    assert rows
+    for r in rows:
+        k = r["c_custkey"]
+        want = 1 + (k % 3 != 0) + (k % 2 == 0) + (k % 5 == 0)
+        assert r["n_redactions"] == want, k
+
+
+def test_chunks_reconstruct_original_token_stream(spark, sf_dir):
+    w, s = 32, 24
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .toPandas()
+    )
+    chunks = chunk_documents(spark, sf_dir).toPandas()
+    by_doc = {
+        doc_id: g.sort_values("chunk_idx")
+        for doc_id, g in chunks.groupby("doc_id")
+    }
+    checked = 0
+    for _, row in docs.iterrows():
+        toks = list(row["toks"])
+        if not toks:
+            assert row["doc_id"] not in by_doc
+            continue
+        g = by_doc[row["doc_id"]]
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        rebuilt: list[str] = []
+        for idx, ctext, ntok in zip(
+            g["chunk_idx"], g["chunk_text"], g["n_tokens"]
+        ):
+            ctoks = ctext.split(" ")
+            assert len(ctoks) == ntok
+            assert len(ctoks) <= w
+            rebuilt.extend(ctoks if idx == 0 else ctoks[w - s :])
+        assert rebuilt == toks, row["doc_id"]
+        # every chunk except possibly the last is full-width
+        assert all(n == w for n in g["n_tokens"][:-1])
+        checked += 1
+    assert checked > 0
+
+
+def test_taxonomy_struct_max_tiebreak(spark):
+    hits = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1, 1, 2, 2],
+                "topic": ["alpha", "zeta", "mid", "b", "a"],
+                "cnt": [3, 3, 2, 5, 7],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["b"]["topic"], r["b"]["cnt"])
+        for r in hits.groupBy("doc_id")
+        .agg(F.max(F.struct("cnt", "topic")).alias("b"))
+        .collect()
+    }
+    # doc 1: tie at cnt=3 -> lexicographically greatest topic wins
+    assert got[1] == ("zeta", 3)
+    # doc 2: plain argmax
+    assert got[2] == ("a", 7)
