@@ -355,3 +355,74 @@ def hybrid_search_rrf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lex_ranked(spark, sf_dir, shuffled=True),
         _vec_ranked_ivfpq(spark, sf_dir),
     )
+
+
+RAG_K = 3  # retrieved passages per query
+SNIPPET_W = 32  # leading tokens per passage (chunk_documents' W)
+
+
+@register(
+    "rag_context_assembly",
+    oracle=f"""
+    WITH {_SQL_LEX_CTES},
+    top3 AS (SELECT query_id, doc_id, r_lex FROM lex_ranked
+             WHERE r_lex <= {RAG_K}),
+    snips AS (
+      SELECT doc_id,
+             array_to_string(list_slice({_SQL_TOKENS}, 1, {SNIPPET_W}), ' ')
+               AS snippet,
+             CAST(len(list_slice({_SQL_TOKENS}, 1, {SNIPPET_W})) AS BIGINT)
+               AS ntok
+      FROM documents
+    )
+    SELECT t.query_id,
+           string_agg(s.snippet, chr(10) || chr(10) ORDER BY t.r_lex)
+             AS context,
+           CAST(SUM(s.ntok) AS BIGINT) AS n_ctx_tokens,
+           COUNT(*) AS n_retrieved
+    FROM top3 t JOIN snips s USING (doc_id)
+    GROUP BY t.query_id
+    """,
+    tags=("retrieval", "pipeline", "north-star"),
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG context building: retrieve each query's top-3
+    documents with the lexical idf arm (the memoized inverted index),
+    snip each hit to its leading 32 tokens (chunk_documents' window
+    width), and assemble the prompt context in rank order — the
+    composition a retrieval-augmented training/eval pipeline runs per
+    example. The assembled context STRING is the output, so the oracle
+    hash pins retrieval order, snippet boundaries, and separators, not
+    just ids.
+
+    Plan: the lexical arm's ranked list (rank window cut to K=3 — a
+    WindowGroupLimit prune) joined to the snippet projection (row-local
+    slice of the scan), then one query-keyed agg whose rank-ordered
+    concatenation is an in-group sort_array over <=K struct rows —
+    per-group state is K snippets, never the corpus. The snippet join
+    keys by doc_id: at 100 TB that is the index->store lookup every
+    retrieval system pays, here a shuffle of |Q| x K id rows against
+    the document store.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = _lex_ranked(spark, sf_dir, shuffled=False).filter(
+        F.col("r_lex") <= RAG_K
+    )
+    snip = F.slice(tokens("text"), 1, SNIPPET_W)
+    snips = docs.select(
+        "doc_id",
+        F.array_join(snip, " ").alias("snippet"),
+        F.size(snip).cast("bigint").alias("ntok"),
+    )
+    j = ranked.join(snips, "doc_id")
+    return j.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("r_lex", "snippet"))),
+                lambda x: x["snippet"],
+            ),
+            "\n\n",
+        ).alias("context"),
+        F.sum("ntok").cast("bigint").alias("n_ctx_tokens"),
+        F.count(F.lit(1)).alias("n_retrieved"),
+    )

@@ -557,3 +557,56 @@ def test_minhash_bucketed_verification_joins_exchange_free(spark, sf_dir):
     keys = _shuffle_keys(plan)
     assert "doc_id" not in keys, keys
     assert keys <= {"band", "d1", "d2"}, keys
+
+
+def test_pii_redact_zero_exchange(spark, sf_dir):
+    """Redaction must fuse into the scan: a projection-only plan (no
+    Exchange at all) is what lets it stream through 100 TB."""
+    from maplejuice_spark.operators.privacy import pii_redact
+
+    df = pii_redact(spark, sf_dir)
+    assert plans.count_shuffles(df) == 0, plans.physical_plan(df)[:2000]
+
+
+def test_chunk_documents_zero_exchange(spark, sf_dir):
+    """Chunking is Generate + projection — shuffle-free by design."""
+    from maplejuice_spark.operators.pipeline import chunk_documents
+
+    df = chunk_documents(spark, sf_dir)
+    assert plans.count_shuffles(df) == 0, plans.physical_plan(df)[:2000]
+
+
+def test_taxonomy_dict_join_is_broadcast(spark, sf_dir):
+    """The keyword dictionary must broadcast; a shuffled join on the
+    exploded token stream would shuffle the corpus."""
+    from maplejuice_spark.operators.text import taxonomy_tag_docs
+
+    df = taxonomy_tag_docs(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # and the exploded token stream itself must NOT be exchanged before
+    # the dictionary join: the only exchanges are the counter aggs
+    assert plan.count("SortMergeJoin") == 0, plan[:3000]
+
+
+def test_bigram_model_join_is_broadcast(spark, sf_dir):
+    """The top-500 bigram model must reach the scoring join as a
+    broadcast (vocabulary-bounded), never a corpus-wide shuffle join."""
+    from maplejuice_spark.operators.text import bigram_coverage_by_source
+
+    df = bigram_coverage_by_source(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_dedup_incremental_exchanges_digests_only(spark, sf_dir):
+    """Every exchange in the incremental-dedup plan must carry digest/
+    counter columns only — never the document text."""
+    from maplejuice_spark.operators.pipeline import dedup_incremental
+
+    df = dedup_incremental(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
