@@ -1321,3 +1321,138 @@ def substring_dedup_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_windows",
         (F.col("span_windows") + F.lit(SPAN_WINDOW - 1)).alias("span_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup with reassembly (MassiveText / RefinedWeb shape)
+# ---------------------------------------------------------------------------
+
+LINE_W = 12  # tokens per derived "line" (the corpus has no newlines)
+
+
+@register(
+    "line_dedup_reassemble",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    ),
+    skel AS (
+      SELECT doc_id, ln,
+             md5(array_to_string(
+               list_slice(toks, ln * {LINE_W} + 1, ln * {LINE_W} + {LINE_W}),
+               ' ')) AS dg
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, (len(toks) + {LINE_W - 1}) // {LINE_W}))
+                     AS ln
+            FROM t)
+    ),
+    kd AS (SELECT dg, MIN(doc_id) AS kdoc FROM skel GROUP BY dg),
+    keep AS (
+      SELECT s.dg, s.doc_id AS kdoc, MIN(s.ln) AS kln
+      FROM skel s JOIN kd ON s.dg = kd.dg AND s.doc_id = kd.kdoc
+      GROUP BY s.dg, s.doc_id
+    ),
+    surv AS (
+      SELECT s.doc_id, s.ln
+      FROM skel s JOIN keep k
+        ON s.dg = k.dg AND s.doc_id = k.kdoc AND s.ln = k.kln
+    ),
+    perdoc AS (
+      SELECT v.doc_id, COUNT(*) AS n_kept,
+             string_agg(
+               array_to_string(
+                 list_slice(t.toks,
+                            v.ln * {LINE_W} + 1,
+                            v.ln * {LINE_W} + {LINE_W}), ' '),
+               ' ' ORDER BY v.ln) AS kept_text
+      FROM surv v JOIN t ON v.doc_id = t.doc_id
+      GROUP BY v.doc_id
+    )
+    SELECT t.doc_id,
+           CAST((len(t.toks) + {LINE_W - 1}) // {LINE_W} AS BIGINT)
+             AS n_lines,
+           CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(p.kept_text, '') AS kept_text
+    FROM t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+    """,
+    tags=("dedup", "pipeline", "north-star"),
+)
+def line_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup with document reassembly — the
+    MassiveText/RefinedWeb "remove duplicated lines, keep the first
+    occurrence" pass. Lines are derived deterministically as
+    non-overlapping LINE_W-token windows (the corpus has no newlines);
+    the keeper of each distinct line is the globally-least
+    (doc_id, line_no) occurrence; every document is returned with its
+    surviving lines re-concatenated in order (possibly empty).
+
+    Scale (100 TB): document TEXT never enters the dedup decision —
+    the skeleton shuffled into the keeper aggregation and the
+    survivor election is (doc_id, line_no, md5) only, and survivors
+    flow back as (doc_id, line_no) id-lists joined to the tokenized
+    doc on doc_id, where the kept text is re-derived ROW-LOCALLY from
+    the token array. Text therefore crosses exactly one exchange: the
+    output-sized doc_id join. The keeper side is corpus-sized (one row
+    per distinct line), so the join is merge-hinted, never broadcast.
+    Reference parity: the reference's only dedup-adjacent behavior is
+    distinct-key grouping (MapleJuice.cpp:260-281); this is the
+    keyed-keeper-election generalization of it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = materialize(
+        docs.select("doc_id", tokens("text").alias("toks")).where(
+            F.size("toks") > 0
+        )
+    )
+    n_lines = F.expr(f"(size(toks) + {LINE_W - 1}) div {LINE_W}")
+    line_txt = F.array_join(
+        F.slice(
+            F.col("toks"),
+            (F.col("ln") * LINE_W + 1).cast("int"),
+            F.lit(LINE_W),
+        ),
+        " ",
+    )
+    skel = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (n_lines - 1).cast("bigint"))
+        ).alias("ln"),
+        "toks",
+    ).select("doc_id", "ln", F.md5(line_txt).alias("dg"))
+    keepers = skel.groupBy("dg").agg(
+        F.min(F.struct("doc_id", "ln")).alias("k")
+    )
+    surv = (
+        skel.join(keepers.hint("merge"), "dg")
+        .where(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("ln") == F.col("k.ln"))
+        )
+        .select("doc_id", "ln")
+    )
+    per_doc = surv.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("ln")).alias("keep_lns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.coalesce("keep_lns", F.expr("CAST(array() AS array<bigint>)")),
+            lambda i: F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (i * LINE_W + 1).cast("int"),
+                    F.lit(LINE_W),
+                ),
+                " ",
+            ),
+        ),
+        " ",
+    )
+    return t.join(per_doc.hint("merge"), "doc_id", "left").select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        rebuilt.alias("kept_text"),
+    )

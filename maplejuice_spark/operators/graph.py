@@ -312,3 +312,105 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, mode-label, deterministic)
+# ---------------------------------------------------------------------------
+
+LPA_ITER = 3
+# argmax(cnt) with min-label tie-break as ONE integer: key = cnt*64 - lab.
+# Labels live in [0, N_NODES) ⊂ [0, 64), so (cnt, lab) -> key is injective
+# and max(key) == (max cnt, then min lab) — portable to any engine with
+# arg_max/max_by over integers (no struct-comparison semantics needed).
+_LPA_PACK = 64
+
+
+def _lpa_oracle(n_iter: int = LPA_ITER) -> str:
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "und AS (SELECT src AS v, dst AS nbr FROM edges WHERE src <> dst"
+        " UNION SELECT dst, src FROM edges WHERE src <> dst),",
+        "nodes AS (SELECT DISTINCT v AS node FROM und),",
+        "l0 AS (SELECT node, node AS lab FROM nodes),",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"c{i} AS (SELECT u.v, l.lab, COUNT(*) AS cnt"
+            f" FROM und u JOIN l{i - 1} l ON u.nbr = l.node"
+            f" GROUP BY u.v, l.lab),"
+        )
+        parts.append(
+            f"l{i} AS (SELECT v AS node,"
+            f" arg_max(lab, cnt * {_LPA_PACK} - lab) AS lab"
+            f" FROM c{i} GROUP BY v),"
+        )
+    parts.append(
+        f"sizes AS (SELECT lab, COUNT(*) AS community_size"
+        f" FROM l{n_iter} GROUP BY lab)"
+    )
+    parts.append(
+        f"SELECT l.node, l.lab AS community, s.community_size"
+        f" FROM l{n_iter} l JOIN sizes s ON l.lab = s.lab"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "clustering"),
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over the undirected orders graph: every node starts as its own
+    community; each round it adopts the MOST FREQUENT label among its
+    neighbors, ties broken toward the smallest label — which makes the
+    classic randomized algorithm deterministic and oracle-able. Distinct
+    from ``dedup_clusters``' min-label propagation (pure connectivity):
+    mode-propagation partitions dense regions within a component.
+
+    Scale (100 TB): each round is ONE equi-join (labels x adjacency on
+    the neighbor key) + ONE (node, label) count aggregation + ONE
+    per-node argmax — all partial-aggregable, no windows, no driver
+    round-trips. The adjacency is loop-invariant and materialized once
+    (at deployment: partitioned by nbr and cached, so every round
+    reuses the same exchange — the Pregel layout). Label frames are
+    one-row-per-node, corpus-sized at 100 TB: merge-hinted, never
+    broadcast. The (cnt, label) argmax is packed into a single integer
+    key (labels < 64 by construction here; a deployment widens the
+    pack factor to the label-id bound), so the reduction is a plain
+    max — partition-order independent, bit-identical across engines.
+    """
+    sym = _edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    und = materialize(
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .union(sym.select(F.col("dst").alias("v"), F.col("src").alias("nbr")))
+        .distinct()
+    )
+    nodes = und.select(F.col("v").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(LPA_ITER):
+        cnt = (
+            und.join(
+                labels.withColumnRenamed("node", "nbr").hint("merge"),
+                "nbr",
+            )
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = cnt.groupBy(F.col("v").alias("node")).agg(
+            F.max_by(
+                "lab", F.col("cnt") * _LPA_PACK - F.col("lab")
+            ).alias("lab")
+        )
+    sizes = labels.groupBy("lab").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes.hint("merge"), "lab").select(
+        "node",
+        F.col("lab").alias("community"),
+        "community_size",
+    )

@@ -563,3 +563,107 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order sharding (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+SHARD_BUDGET = 512  # token budget per training shard
+_N_BLOCK_HEX = 2  # md5-prefix hex chars per prefix-sum block (PHYSICAL only)
+
+
+@register(
+    "shard_packing_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS sk,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, sk, nt,
+             SUM(nt) OVER (ORDER BY sk, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT CAST((cum - nt) // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS shard_tokens,
+           arg_min(doc_id, sk) AS first_doc,
+           arg_max(doc_id, sk) AS last_doc
+    FROM c GROUP BY 1
+    """,
+    tags=("pipeline", "north-star", "prefix-sum"),
+)
+def shard_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order sharding: documents are laid out in
+    a reproducible global shuffle order (sorted by md5(doc_id) — the
+    engine-independent analog of a seeded epoch shuffle), then packed
+    CONTIGUOUSLY into token-budget shards: a document whose running
+    token offset is t lands in shard t div SHARD_BUDGET. The manifest
+    reports each shard's document count, token total, and first/last
+    document in shuffle order.
+
+    The hard part at 100 TB is the global running sum. A bare
+    ``SUM OVER (ORDER BY ...)`` window (what the oracle states) plans
+    as a SINGLE-partition exchange in Spark — the whole corpus through
+    one task. This implementation is the classic two-level distributed
+    prefix sum instead: the shuffle-key space is cut into ordered
+    blocks (md5-prefix ranges); per-block token sums (one tiny row per
+    block) get exclusive block offsets via a window over the
+    block-count-sized table; each row's global offset is then its
+    block's offset plus a within-block running sum — a window
+    partitioned BY BLOCK, so no single-partition stage ever sees the
+    corpus. Block fan-out is purely PHYSICAL (offsets are identical
+    under any blocking — the result is blocking-independent, which is
+    why the oracle can state the plain window); a real ingest sizes it
+    from corpus stats, exactly like the bucket-count lesson in
+    SELFCHECK_r9.md. The manifest aggregation itself exchanges
+    (shard_id, counters) only — document text never leaves the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("sk"),
+        F.size(tokens("text")).cast("bigint").alias("nt"),
+    ).withColumn("blk", F.substring("sk", 1, _N_BLOCK_HEX))
+    from pyspark.sql import Window as W
+
+    blk_sums = d.groupBy("blk").agg(F.sum("nt").alias("blk_nt"))
+    # Exclusive prefix over the BLOCK table: |blocks| rows (16^k —
+    # constant, never corpus-sized), so the single-partition window is
+    # bounded by construction.
+    blk_off = blk_sums.select(
+        "blk",
+        (
+            F.coalesce(
+                F.sum("blk_nt").over(
+                    W.orderBy("blk").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("blk_off"),
+    )
+    within = F.sum("nt").over(
+        W.partitionBy("blk").orderBy("sk", "doc_id")
+    )
+    c = d.join(F.broadcast(blk_off), "blk").select(
+        "doc_id",
+        "sk",
+        "nt",
+        (F.col("blk_off") + within).alias("cum"),
+    )
+    return c.groupBy(
+        F.expr(f"(cum - nt) div {SHARD_BUDGET}").cast("bigint").alias(
+            "shard_id"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("shard_tokens"),
+        F.min_by("doc_id", "sk").alias("first_doc"),
+        F.max_by("doc_id", "sk").alias("last_doc"),
+    )
