@@ -426,3 +426,229 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ntok").cast("bigint").alias("n_ctx_tokens"),
         F.count(F.lit(1)).alias("n_retrieved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (Carbonell & Goldstein, SIGIR 1998)
+# ---------------------------------------------------------------------------
+
+N_CAND = 16  # ANN shortlist depth entering the reranker
+MMR_K = 5  # diversified picks per query
+# λ = 0.7: score = 0.7·rel − 0.3·max-sim-to-selected. Stated as double
+# literals on both engines (DuckDB parses bare 0.7 as DECIMAL — cast).
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    sel = "CAST(0.7 AS DOUBLE) * r.rel - CAST(0.3 AS DOUBLE) * m.ms"
+    parts = [
+        "WITH vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),",
+        f"normed AS MATERIALIZED (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),",
+        f"qn AS MATERIALIZED (SELECT vec_id AS query_id, vn AS qv FROM normed"
+        f" WHERE vec_id % {QUERY_MOD} = 0),",
+        "pairs AS MATERIALIZED (SELECT q.query_id, c.vec_id AS neighbor_id,"
+        " q.qv AS qv, c.vn AS cv FROM qn q JOIN normed c"
+        " ON c.vec_id <> q.query_id),",
+        f"scored AS MATERIALIZED (SELECT query_id, neighbor_id,"
+        f" {_sql_fold_dot('qv', 'cv')} AS rel FROM pairs),",
+        f"cand AS MATERIALIZED (SELECT * FROM scored QUALIFY row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY rel DESC, neighbor_id)"
+        f" <= {N_CAND}),",
+        "cv AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, c.rel, n.vn"
+        " FROM cand c JOIN normed n ON c.neighbor_id = n.vec_id),",
+        "sims AS MATERIALIZED (SELECT x.query_id, x.neighbor_id AS a,"
+        " y.neighbor_id AS b,"
+        f" {_sql_fold_dot('x.vn', 'y.vn')} AS sim"
+        " FROM cv x JOIN cv y ON x.query_id = y.query_id"
+        " AND x.neighbor_id <> y.neighbor_id),",
+        "m1 AS MATERIALIZED (SELECT query_id, MAX(rel) AS m FROM cand"
+        " GROUP BY query_id),",
+        "w1 AS MATERIALIZED (SELECT c.query_id, MIN(c.neighbor_id) AS cand"
+        " FROM cand c JOIN m1 USING (query_id) WHERE c.rel = m1.m"
+        " GROUP BY c.query_id),",
+        "s1 AS MATERIALIZED (SELECT query_id, cand, CAST(1 AS BIGINT) AS pick"
+        " FROM w1),",
+        "rem1 AS MATERIALIZED (SELECT c.* FROM cand c LEFT JOIN w1"
+        " ON c.query_id = w1.query_id AND c.neighbor_id = w1.cand"
+        " WHERE w1.cand IS NULL),",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"ms{i} AS MATERIALIZED (SELECT si.query_id, si.a AS cand, MAX(si.sim)"
+            f" AS ms FROM sims si JOIN s{p} s ON si.query_id ="
+            f" s.query_id AND si.b = s.cand GROUP BY si.query_id,"
+            f" si.a),"
+        )
+        parts.append(
+            f"sc{i} AS MATERIALIZED (SELECT r.query_id, r.neighbor_id,"
+            f" {sel} AS score FROM rem{p} r JOIN ms{i} m"
+            f" ON r.query_id = m.query_id AND r.neighbor_id ="
+            f" m.cand),"
+        )
+        parts.append(
+            f"mx{i} AS MATERIALIZED (SELECT query_id, MAX(score) AS m FROM sc{i}"
+            f" GROUP BY query_id),"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT s.query_id, MIN(s.neighbor_id) AS cand"
+            f" FROM sc{i} s JOIN mx{i} USING (query_id)"
+            f" WHERE s.score = mx{i}.m GROUP BY s.query_id),"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT * FROM s{p} UNION ALL SELECT query_id,"
+            f" cand, CAST({i} AS BIGINT) AS pick FROM w{i}),"
+        )
+        parts.append(
+            f"rem{i} AS MATERIALIZED (SELECT r.* FROM rem{p} r LEFT JOIN w{i}"
+            f" ON r.query_id = w{i}.query_id AND r.neighbor_id ="
+            f" w{i}.cand WHERE w{i}.cand IS NULL),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT s.query_id, s.pick, s.cand AS neighbor_id,"
+        f" c.rel AS rel_cos FROM s{k} s JOIN cand c"
+        f" ON s.query_id = c.query_id AND s.cand = c.neighbor_id"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "similarity", "iterative", "north-star"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): from each query's N_CAND-deep exact-cosine shortlist,
+    greedily pick MMR_K results maximizing
+    ``0.7·relevance − 0.3·max-similarity-to-already-picked`` — the
+    standard diversity pass between retrieval and prompt assembly
+    (RAG stacks dedupe near-identical passages with exactly this).
+
+    Determinism: every argmax is the two-step MAX-then-MIN-id election
+    (never engine-specific struct comparison), and all scores are
+    sequential-fold cosines and literal double arithmetic — the oracle
+    unrolls the identical K-step greedy as CTEs.
+
+    Scale (100 TB): the reranker's working set is |queries| × N_CAND
+    rows by construction — candidate pairwise similarity is N_CAND²
+    per query (bounded, computed once and materialized), and each of
+    the K unrolled steps is a bounded join + partial-aggregable max.
+    The corpus appears ONLY in the shortlist stage (here the guarded
+    broadcast brute-force baseline; above the guard the shortlist
+    swaps to the IVF-PQ composition exactly like hybrid_search_rrf —
+    the rerank contract is "any ranked candidate list").
+    """
+    from maplejuice_spark.functions import materialize
+    from maplejuice_spark.operators.similarity import (
+        _require_broadcast_small,
+    )
+
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    _require_broadcast_small(
+        q,
+        "mmr_diversified_topk's shortlist stage is the broadcast-small"
+        " brute-force baseline",
+        "swap the shortlist to the IVF-PQ composition for large query"
+        " sets (the rerank stages are query-set-bounded either way)",
+        weight_per_query=1,
+        cache_key=f"mmr_diversified_topk:{sf_dir}",
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", "cv", dot("qv", "cv").alias("rel")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), "neighbor_id"
+    )
+    cand = materialize(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_CAND)
+        .select("query_id", "neighbor_id", "rel", "cv")
+    )
+    a = cand.select(
+        "query_id", F.col("neighbor_id").alias("a"), F.col("cv").alias("av")
+    )
+    b = cand.select(
+        "query_id", F.col("neighbor_id").alias("b"), F.col("cv").alias("bv")
+    )
+    sims = materialize(
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select("query_id", "a", "b", dot("av", "bv").alias("sim"))
+    )
+    slim = cand.select("query_id", "neighbor_id", "rel")
+    m1 = slim.groupBy("query_id").agg(F.max("rel").alias("m"))
+    # Each round's winner frame is materialized: it is a <=|Q|-row
+    # leaf, and every later round references ALL earlier winners (the
+    # selected-set union and the anti-join chain) — left lazy, the
+    # unrolled plan duplicates prior-round subtrees combinatorially
+    # (measured: 300s of driver planning at sf0.001; linear with
+    # leaves). Same discipline as dedup_clusters' per-iteration
+    # checkpoint, at hyperparameter-sized cost (K tiny jobs).
+    w1 = materialize(
+        slim.join(m1, "query_id")
+        .where(F.col("rel") == F.col("m"))
+        .groupBy("query_id")
+        .agg(F.min("neighbor_id").alias("cand"))
+    )
+    selected = w1.select(
+        "query_id", "cand", F.lit(1).cast("bigint").alias("pick")
+    )
+    remaining = slim.join(
+        w1.withColumnRenamed("cand", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    for i in range(2, MMR_K + 1):
+        ms = (
+            sims.join(
+                selected.select("query_id", F.col("cand").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        sc = remaining.join(ms, ["query_id", "neighbor_id"]).select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")
+            ).alias("score"),
+        )
+        mx = sc.groupBy("query_id").agg(F.max("score").alias("m"))
+        wk = materialize(
+            sc.join(mx, "query_id")
+            .where(F.col("score") == F.col("m"))
+            .groupBy("query_id")
+            .agg(F.min("neighbor_id").alias("cand"))
+        )
+        selected = selected.unionByName(
+            wk.select(
+                "query_id",
+                "cand",
+                F.lit(i).cast("bigint").alias("pick"),
+            )
+        )
+        remaining = remaining.join(
+            wk.withColumnRenamed("cand", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return selected.join(
+        slim.withColumnRenamed("neighbor_id", "cand"),
+        ["query_id", "cand"],
+    ).select(
+        "query_id",
+        "pick",
+        F.col("cand").alias("neighbor_id"),
+        F.col("rel").alias("rel_cos"),
+    )
