@@ -89,6 +89,14 @@ HEADLINE = [
     "chunk_documents",
     # round-9: bigram-LM coverage scoring (CCNet-filter core)
     "bigram_coverage_by_source",
+    # round-9: corpus-wide line dedup with document reassembly
+    "line_dedup_reassemble",
+    # round-9: token-budget shard manifest (distributed prefix sum)
+    "shard_packing_manifest",
+    # round-9: mode-label LPA communities (iterative join-agg)
+    "label_propagation_communities",
+    # round-9: MMR diversified reranking over the ANN shortlist
+    "mmr_diversified_topk",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

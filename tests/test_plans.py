@@ -610,3 +610,64 @@ def test_dedup_incremental_exchanges_digests_only(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_line_dedup_text_stays_out_of_dedup_exchanges(spark, sf_dir):
+    """The line-dedup decision must exchange (doc_id, line_no, digest)
+    skeletons only; the token arrays may cross exactly ONE exchange —
+    the output-sized doc_id reassembly join."""
+    from maplejuice_spark.operators.dedup import line_dedup_reassemble
+
+    df = line_dedup_reassemble(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    tok_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "toks#" in line
+    ]
+    assert len(tok_exchanges) <= 1, "\n".join(tok_exchanges)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_shard_packing_no_corpus_single_partition(spark, sf_dir):
+    """The global running sum must be the two-level prefix sum: the
+    only single-partition exchange is the block-count-sized offset
+    window, block offsets reach the corpus as a broadcast, and the
+    corpus-side window partitions BY BLOCK."""
+    from maplejuice_spark.operators.pipeline import shard_packing_manifest
+
+    df = shard_packing_manifest(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the corpus-side running sum is partitioned by blk — a partition-
+    # less corpus window would hash everything into one task
+    assert "hashpartitioning(blk#" in plan, plan[:3000]
+
+
+def test_lpa_no_broadcast_no_cartesian(spark, sf_dir):
+    """LPA's label frames are one-row-per-node (corpus-sized at 100 TB):
+    every per-iteration join must stay a merge join, never a broadcast,
+    and no iteration may degrade to a cross join."""
+    from maplejuice_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    df = label_propagation_communities(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_mmr_rerank_stages_are_leaf_bounded(spark, sf_dir):
+    """The MMR rounds operate on materialized candidate/sim leaves:
+    the final plan must reference LogicalRDD scans (the checkpointed
+    shortlist), not re-derive the corpus cosine stage per round."""
+    from maplejuice_spark.operators.retrieval import mmr_diversified_topk
+
+    df = mmr_diversified_topk(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan[:3000]
+    assert "Scan parquet" not in plan, plan[:3000]
