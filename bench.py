@@ -97,6 +97,10 @@ HEADLINE = [
     "label_propagation_communities",
     # round-9: MMR diversified reranking over the ANN shortlist
     "mmr_diversified_topk",
+    # round-9: integer-exact power iteration (spectral core of PCA)
+    "power_iteration_topcomp",
+    # round-9: per-user Markov transition matrix over event sequences
+    "event_transition_matrix",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

@@ -412,3 +412,121 @@ def semantic_dedup_representatives(
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: dominant principal direction of the embedding Gram
+# ---------------------------------------------------------------------------
+
+PI_B = 32  # component quantization: q = floor(x * PI_B)
+PI_S = 16384  # iterate rescale bound (2^14)
+PI_ITER = 3
+
+
+def _pi_oracle(n_iter: int = PI_ITER) -> str:
+    resc = (
+        f"CASE WHEN s < 0 THEN -((-s) // GREATEST(m // {PI_S}, 1))"
+        f" ELSE s // GREATEST(m // {PI_S}, 1) END"
+    )
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding::DOUBLE[],"
+        f" x -> CAST(floor(x * {PI_B}) AS BIGINT)) AS vq"
+        " FROM embeddings),",
+        "g AS MATERIALIZED ("
+        f" SELECT ti.i AS i, tj.j AS j,"
+        f" CAST(SUM(vq[ti.i + 1] * vq[tj.j + 1]) AS BIGINT) AS g"
+        f" FROM q, range(0, {DIM}) ti(i), range(0, {DIM}) tj(j)"
+        " GROUP BY 1, 2),",
+        f"v0 AS MATERIALIZED (SELECT r.range AS dim,"
+        f" CAST({PI_S} AS BIGINT) AS comp FROM range(0, {DIM}) r),",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT g.i AS dim,"
+            f" CAST(SUM(g.g * v.comp) AS BIGINT) AS s"
+            f" FROM g JOIN v{k - 1} v ON g.j = v.dim GROUP BY 1),"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT MAX(ABS(s)) AS m FROM s{k}),"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT dim,"
+            f" CAST({resc} AS BIGINT) AS comp FROM s{k}, m{k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT dim, comp FROM v{n_iter}")
+    return "\n".join(parts)
+
+
+@register(
+    "power_iteration_topcomp",
+    oracle=_pi_oracle(),
+    tags=("clustering", "linalg", "iterative", "north-star"),
+)
+def power_iteration_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding Gram
+    matrix G = Σ q qᵀ by three power-iteration rounds — the spectral
+    core of PCA whitening / spiked-covariance diagnostics over an
+    embedding store, in EXACT integer arithmetic: components quantize
+    to q = floor(x·32); iterates renormalize by integer division
+    (v' = sign(s)·(|s| div max(m div S, 1)) — abs-split so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree on negatives)
+    instead of a float norm, so every engine computes bit-identical
+    BIGINTs and the oracle is the recurrence unrolled.
+
+    Scale (100 TB): the Gram is the ONLY corpus-sized stage — a
+    row-local DIM² outer-product fanout collapsed by map-side partial
+    aggregation into DIM² = 4096 groups (at deployment: a mapInArrow
+    per-partition Gram partial in one pass; the DataFrame form keeps
+    the same partial-agg property). Every iteration then runs on
+    DIM- and DIM²-sized frames: the iterate (64 rows) broadcasts,
+    the matrix-vector product is one partial-aggregable join-agg, and
+    each round's iterate is materialized (a constant-size leaf — the
+    MMR lesson: lazily-unrolled rounds duplicate subtrees in both
+    Catalyst and the oracle). Overflow headroom: |q| ≤ ~64 for unit-ish
+    components, so |G_ij| ≤ 2^12·n (int64-safe to n ≈ 2^51) and
+    |G·v| ≤ 2^12·n·2^15·64 — int64-safe to n ≈ 10^9 vectors; past
+    that, widen the sums to decimal(38,0) (both engines exact).
+    """
+    q = materialize(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform(
+                to_double_vec("embedding"),
+                lambda x: F.floor(x * PI_B).cast("bigint"),
+            ).alias("vq"),
+        )
+    )
+    e1 = q.select("vq", F.posexplode("vq").alias("i", "qi"))
+    e2 = e1.select("i", "qi", F.posexplode("vq").alias("j", "qj"))
+    g = materialize(
+        e2.groupBy(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+        ).agg(F.sum(F.col("qi") * F.col("qj")).alias("g"))
+    )
+    v = spark.range(DIM).select(
+        F.col("id").alias("dim"), F.lit(PI_S).cast("bigint").alias("comp")
+    )
+    for _ in range(PI_ITER):
+        s = (
+            g.join(F.broadcast(v), g["j"] == v["dim"])
+            .groupBy(g["i"].alias("dim"))
+            .agg(F.sum(F.col("g") * F.col("comp")).alias("s"))
+        )
+        m = s.agg(F.max(F.abs("s")).alias("m"))
+        v = materialize(
+            s.crossJoin(F.broadcast(m)).select(
+                "dim",
+                F.expr(
+                    f"CAST(CASE WHEN s < 0"
+                    f" THEN -((-s) div GREATEST(m div {PI_S}, 1))"
+                    f" ELSE s div GREATEST(m div {PI_S}, 1) END"
+                    f" AS BIGINT)"
+                ).alias("comp"),
+            )
+        )
+    return v.select("dim", "comp")

@@ -1012,3 +1012,71 @@ def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id) AS prev_type
+      FROM e
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    rt AS (SELECT prev_type, SUM(n_transitions) AS row_total FROM t
+           GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n_transitions AS BIGINT) AS n_transitions,
+           CAST(rt.row_total AS BIGINT) AS row_total,
+           CAST(t.n_transitions AS DOUBLE) / CAST(rt.row_total AS DOUBLE)
+             AS p_transition
+    FROM t JOIN rt USING (prev_type)
+    """,
+    tags=("window", "sequence", "north-star"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive event-type bigrams (ordered by timestamp,
+    ties broken by event_id) counted into a |types|² matrix with
+    row-normalized transition probabilities — the behavioral-sequence
+    model behind next-event prediction and curriculum ordering of
+    interaction logs.
+
+    Exactness: the probability is ONE division of two exact BIGINTs —
+    bit-identical across engines. Scale (100 TB): the lag window
+    partitions by user (the sessionize shape — parallel across users,
+    no global order), the bigram count partial-aggregates into a
+    |types|²-bounded matrix, and the row-total join is matrix-sized.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", ts_us_div("ts").alias("tus"), "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    rt = t.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return t.join(rt, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.col("row_total").cast("bigint").alias("row_total"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("row_total").cast("double")
+        ).alias("p_transition"),
+    )

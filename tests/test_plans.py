@@ -671,3 +671,17 @@ def test_mmr_rerank_stages_are_leaf_bounded(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "Scan ExistingRDD" in plan, plan[:3000]
     assert "Scan parquet" not in plan, plan[:3000]
+
+
+def test_power_iteration_rounds_read_leaves(spark, sf_dir):
+    """The power-iteration rounds must run on the materialized Gram and
+    iterate leaves — re-deriving the corpus outer-product stage per
+    round would scan the embedding table N_ITER times."""
+    from maplejuice_spark.operators.clustering import (
+        power_iteration_topcomp,
+    )
+
+    df = power_iteration_topcomp(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan[:3000]
+    assert "Scan parquet" not in plan, plan[:3000]
