@@ -101,6 +101,8 @@ HEADLINE = [
     "power_iteration_topcomp",
     # round-9: per-user Markov transition matrix over event sequences
     "event_transition_matrix",
+    # round-9: DataFrame-native distributed bloom prefilter + exact verify
+    "bloom_prefilter_decontamination",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

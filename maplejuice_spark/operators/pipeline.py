@@ -667,3 +667,172 @@ def shard_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "sk").alias("first_doc"),
         F.max_by("doc_id", "sk").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (DataFrame-native distributed bloom)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bits(h: str, n_bits: int) -> tuple:
+    """Two bit positions for a 32-hex-char md5 digest column named
+    ``h``: independent 15-hex-digit slices reduced mod n_bits. Returns
+    ((block, mask), (block, mask)) Column pairs."""
+    out = []
+    for lo in (1, 17):
+        bit = (
+            f"(cast(conv(substring({h}, {lo}, 15), 16, 10) as bigint)"
+            f" % {n_bits})"
+        )
+        out.append(
+            (
+                F.expr(f"cast({bit} div 64 as bigint)").alias("blk"),
+                F.expr(f"shiftleft(1L, cast({bit} % 64 as int))"),
+            )
+        )
+    return tuple(out)
+
+
+@register(
+    "bloom_prefilter_decontamination",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS l,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND 'b' THEN 'train' ELSE 'eval' END
+               AS split
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(l) - 2),
+               i -> md5(l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])))) AS h
+      FROM assigned WHERE len(l) >= 3
+    ),
+    ev AS (SELECT DISTINCT h FROM sh WHERE split = 'eval'),
+    tr AS (
+      SELECT t.doc_id, t.source,
+             COUNT(*) AS n_sh,
+             CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM sh t LEFT JOIN ev e ON t.h = e.h
+      WHERE t.split = 'train'
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           COUNT(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN n_hit * 2 >= n_sh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits
+    FROM tr GROUP BY source
+    """,
+    tags=("pipeline", "decontamination", "bloom", "north-star"),
+)
+def bloom_prefilter_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination with a DISTRIBUTED BLOOM PREFILTER — the shape
+    the exact check takes when the reference digest set is too large to
+    broadcast raw (ngram_decontamination's premise inverted): the eval
+    shingle set is folded into a fixed-width bloom bitmap built with
+    plain DataFrame ops — (bit-block, OR-mask) rows partial-aggregated
+    by ``bit_or`` into at most n_bits/64 rows — which IS broadcastable
+    at any reference-set size. Train shingles test two md5-slice bit
+    positions against the broadcast bitmap; only prefilter survivors
+    reach the exact digest join, whose result is identical to the
+    bloom-free plan (a bloom has no false negatives — both bits of
+    every present key are set by construction), so the ORACLE is the
+    plain exact decontamination: the bitmap is pure physics, like
+    shard_packing_manifest's blocking. Flag threshold: >=50% of a train
+    doc's distinct shingles found in the eval set.
+
+    Sizing: n_bits = next-pow2(16x the counted reference-set size)
+    (>= 2^16) — ~4.6% false-positive rate at 2 hashes at ANY scale, the
+    way a real ingest sizes its filter from its own stats; the count is
+    one driver scalar (the n_docs discipline). At 100 TB the exact join
+    is merge-hinted (the reference set is NOT broadcastable — that is
+    the premise), and the prefilter cuts its probe side by ~20x.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        tokens("text").alias("l"),
+        F.when(hexd.between("0", "b"), "train").otherwise("eval").alias(
+            "split"
+        ),
+    ).filter(F.size("l") >= 3)
+    sh = materialize(
+        assigned.select(
+            "doc_id",
+            "source",
+            "split",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 2),"
+                        " i -> md5(cast(concat_ws(' ', element_at(l, i),"
+                        " element_at(l, i + 1), element_at(l, i + 2))"
+                        " as binary)))"
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    ev = materialize(
+        sh.filter(F.col("split") == "eval").select("h").distinct()
+    )
+    n_ref = ev.count()
+    n_bits = 1 << max(16, (16 * max(n_ref, 1)).bit_length())
+    (b1, m1), (b2, m2) = _bloom_bits("h", n_bits)
+    bloom = materialize(
+        ev.select(b1, m1.alias("mask"))
+        .unionByName(ev.select(b2, m2.alias("mask")))
+        .groupBy("blk")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    tr = sh.filter(F.col("split") == "train")
+    (tb1, tm1), (tb2, tm2) = _bloom_bits("h", n_bits)
+    probe = tr.select(
+        "doc_id", "h", tb1.alias("blk1"), tm1.alias("mask1"),
+        tb2.alias("blk2"), tm2.alias("mask2"),
+    )
+    g1 = F.broadcast(bloom.withColumnRenamed("blk", "blk1")
+                     .withColumnRenamed("bits", "bits1"))
+    g2 = F.broadcast(bloom.withColumnRenamed("blk", "blk2")
+                     .withColumnRenamed("bits", "bits2"))
+    survivors = (
+        probe.join(g1, "blk1", "left")
+        .join(g2, "blk2", "left")
+        .where(
+            (F.coalesce("bits1", F.lit(0)).bitwiseAND(F.col("mask1")) != 0)
+            & (F.coalesce("bits2", F.lit(0)).bitwiseAND(F.col("mask2")) != 0)
+        )
+        .select("doc_id", "h")
+    )
+    hits = (
+        survivors.join(ev.hint("merge"), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_doc = (
+        tr.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .join(hits.hint("merge"), "doc_id", "left")
+        .select(
+            "source",
+            "n_sh",
+            F.coalesce("n_hit", F.lit(0).cast("bigint")).alias("n_hit"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(
+            (F.col("n_hit") * 2 >= F.col("n_sh")).cast("bigint")
+        ).alias("n_flagged"),
+        F.sum("n_hit").cast("bigint").alias("total_hits"),
+    )

@@ -685,3 +685,22 @@ def test_power_iteration_rounds_read_leaves(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "Scan ExistingRDD" in plan, plan[:3000]
     assert "Scan parquet" not in plan, plan[:3000]
+
+
+def test_bloom_decontamination_plan_shape(spark, sf_dir):
+    """The bloom bitmap (bounded at n_bits/64 rows) must reach both
+    bit-test joins as a broadcast; the exact verification join must NOT
+    be a broadcast (the premise is a non-broadcastable reference set)."""
+    from maplejuice_spark.operators.pipeline import (
+        bloom_prefilter_decontamination,
+    )
+
+    df = bloom_prefilter_decontamination(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # formatted plans list each node twice (tree + detail section):
+    # count the tree lines, which carry the build-side annotation
+    assert plan.count("BroadcastHashJoin LeftOuter BuildRight") == 2, (
+        plan[:3000]
+    )
+    assert "SortMergeJoin LeftSemi" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
