@@ -899,3 +899,55 @@ def _register_stream_pii_redact() -> None:
 
 
 _register_stream_pii_redact()
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same dir-vs-file
+    source selection as stream_events — see its round-6 layout note)."""
+    from maplejuice_spark.catalog import _ensure_read_confs
+
+    _ensure_read_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@register(
+    "stream_dedup_docs",
+    oracle="SELECT DISTINCT md5(text) AS content_digest FROM documents",
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — ``dropDuplicates`` on the content digest
+    as TRUE Structured Streaming (file source -> stateful dedup ->
+    append sink): the admit-on-first-sight gate an ingest pipeline runs
+    so a duplicate document never lands twice. The output is the SET of
+    admitted digests, which is arrival-order invariant (which physical
+    copy wins is not — deliberately excluded from the output contract),
+    so the oracle is the batch DISTINCT.
+
+    Scale: the dedup state store is keyed by the 128-bit digest and
+    hash-partitioned — the streaming twin of dedup_exact's one-shuffle
+    plan. A production deployment bounds state with a watermark on the
+    ingest timestamp (dropDuplicatesWithinWatermark); the availableNow
+    harness run is finite so the unbounded form is exact here.
+    """
+    src = stream_documents(spark, sf_dir)
+    out = (
+        src.select(F.md5(F.col("text").cast("binary")).alias("content_digest"))
+        .dropDuplicates(["content_digest"])
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_dedup_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(out, name, mode="append")
+    return spark.table(name)
