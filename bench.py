@@ -103,6 +103,8 @@ HEADLINE = [
     "event_transition_matrix",
     # round-9: DataFrame-native distributed bloom prefilter + exact verify
     "bloom_prefilter_decontamination",
+    # round-9: sparse TF-IDF cosine similarity join (df-capped)
+    "tfidf_cosine_topk_pairs",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

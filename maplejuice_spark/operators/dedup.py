@@ -1456,3 +1456,121 @@ def line_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
         rebuilt.alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity join (weighted complement of Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_cosine_topk_pairs",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, shingle, COUNT(*) AS tf FROM occ
+      GROUP BY doc_id, shingle
+    ),
+    dfs AS (
+      SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    v AS (
+      SELECT t.doc_id, t.shingle,
+             CAST(t.tf * (nd.n_docs // d.df) AS BIGINT) AS e
+      FROM tf t JOIN dfs d USING (shingle) CROSS JOIN nd
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(SUM(e * e) AS BIGINT) AS n2 FROM v
+      GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2,
+             CAST(SUM(x.e * y.e) AS BIGINT) AS num
+      FROM v x JOIN v y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.d1, i.d2, i.num,
+           CAST(i.num AS DOUBLE)
+             / (sqrt(CAST(s1.n2 AS DOUBLE)) * sqrt(CAST(s2.n2 AS DOUBLE)))
+             AS cos_tfidf
+    FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1
+                 JOIN sizes s2 ON s2.doc_id = i.d2
+    ORDER BY cos_tfidf DESC, i.d1, i.d2 LIMIT 20
+    """,
+    tags=("dedup", "similarity", "tfidf", "north-star"),
+)
+def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by SPARSE TF-IDF COSINE over the df-capped
+    trigram-shingle space — the weighted complement of
+    ngram_jaccard_topk: term frequency and integer idf (n_docs div df,
+    the engine's exact-idf discipline) weight the overlap, so a pair
+    sharing rare shingles outranks one sharing common ones even at the
+    same set-level Jaccard. This is the classic sparse-vector
+    similarity join (Bayardo et al., WWW'07 problem statement), with
+    the df cap as the hot-term pair-blowup bound.
+
+    Exactness: vector entries (tf·w), pair dot products, and norms²
+    are BIGINT-exact; the cosine is one division of correctly-rounded
+    casts and sqrts — bit-identical across engines even when the exact
+    integers exceed 2^53 (both engines round the SAME integer to the
+    SAME nearest double).
+
+    Scale (100 TB): identical skeleton to the Jaccard join — inverted-
+    index self-join within df-capped shingles only (a hot shingle in k
+    docs would otherwise emit O(k²) pairs into one task), partial-
+    aggregable dot products, global top-k via TakeOrderedAndProject.
+    """
+    occ = _shingle_rows(spark, sf_dir)
+    tf = occ.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfs = (
+        tf.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    v = materialize(
+        tf.join(dfs.hint("merge"), "shingle").select(
+            "doc_id",
+            "shingle",
+            (F.col("tf") * F.expr(f"{n_docs}L div df"))
+            .cast("bigint")
+            .alias("e"),
+        )
+    )
+    sizes = v.groupBy("doc_id").agg(
+        F.sum(F.col("e") * F.col("e")).cast("bigint").alias("n2")
+    )
+    x = v.select(F.col("doc_id").alias("d1"), "shingle", F.col("e").alias("e1"))
+    y = v.select(F.col("doc_id").alias("d2"), "shingle", F.col("e").alias("e2"))
+    inter = (
+        x.join(y.hint("merge"), "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("e1") * F.col("e2")).cast("bigint").alias("num"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n2").alias("n2a"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n2").alias("n2b"))
+    return (
+        inter.join(s1.hint("merge"), "d1")
+        .join(s2.hint("merge"), "d2")
+        .select(
+            "d1",
+            "d2",
+            "num",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                )
+            ).alias("cos_tfidf"),
+        )
+        .orderBy(F.desc("cos_tfidf"), "d1", "d2")
+        .limit(20)
+    )
