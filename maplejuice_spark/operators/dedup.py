@@ -1574,3 +1574,141 @@ def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_tfidf"), "d1", "d2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD 1995)
+# ---------------------------------------------------------------------------
+
+SNM_W = 3  # neighborhood window: pair ranks (r, r+d] for d in 1..W
+SNM_KEY_TOKENS = 4  # sort key = first K tokens of the document
+_SNM_BLOCK_HEX = 2  # md5-prefix chars per rank block (PHYSICAL only)
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    ),
+    keyed AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, 1, {SNM_KEY_TOKENS}), ' ')
+               AS k,
+             list_distinct(toks) AS s
+      FROM t
+    ),
+    ranked AS (
+      SELECT doc_id, k, s,
+             row_number() OVER (ORDER BY k, doc_id) AS r
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(b.r - a.r AS BIGINT) AS rank_dist,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+             CAST(len(a.s) AS BIGINT) AS n1, CAST(len(b.s) AS BIGINT) AS n2
+      FROM ranked a JOIN ranked b
+        ON b.r > a.r AND b.r <= a.r + {SNM_W}
+    )
+    SELECT d1, d2, rank_dist,
+           CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, d1, d2 LIMIT 20
+    """,
+    tags=("dedup", "sorted-neighborhood", "north-star"),
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidate generation (Hernandez &
+    Stolfo, SIGMOD 1995): documents sort by a semantic key (their
+    leading {SNM_KEY_TOKENS} tokens), and only rows within W ranks of
+    each other pair up — O(n·W) candidates by construction, the classic
+    alternative to LSH banding when near-dups share prefixes. Pairs are
+    verified with exact token-set Jaccard; top-20 returned.
+
+    The hard part at scale is the GLOBAL RANK (the oracle's bare
+    row_number window = one corpus-sized partition in Spark). Same
+    answer as shard_packing_manifest: a two-level distributed prefix —
+    per-block COUNTS (md5-prefix blocks of the sort-key space... no:
+    blocks must partition the SORT KEY's order, so blocks are leading
+    key fragments) get exclusive offsets via a block-count-sized
+    window; within-block row_numbers are by-block windows. Blocking is
+    physical-only: ranks are identical under any blocking. Neighbor
+    pairing is W equi-joins on (rank = rank + d) — id-keyed exchanges;
+    token sets join back by doc_id only for surviving pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = materialize(
+        docs.select("doc_id", tokens("text").alias("toks")).where(
+            F.size("toks") > 0
+        )
+    )
+    keyed = t.select(
+        "doc_id",
+        F.array_join(F.slice("toks", 1, SNM_KEY_TOKENS), " ").alias("k"),
+        F.array_distinct("toks").alias("s"),
+    )
+    # Two-level global rank: blocks are leading sort-key fragments (so
+    # block order == key order); per-block counts are tiny, the offset
+    # window runs over |blocks| rows, the per-row window partitions by
+    # block. Ranks are blocking-independent — the oracle states the
+    # plain window.
+    from pyspark.sql import Window as W
+
+    blk = keyed.withColumn("blk", F.substring("k", 1, _SNM_BLOCK_HEX))
+    cnts = blk.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
+    offs = cnts.select(
+        "blk",
+        F.coalesce(
+            F.sum("c").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    rn = F.row_number().over(W.partitionBy("blk").orderBy("k", "doc_id"))
+    ranked = materialize(
+        blk.join(F.broadcast(offs), "blk").select(
+            "doc_id", "s", (F.col("off") + rn).cast("bigint").alias("r")
+        )
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("d1"), F.col("s").alias("s1"), F.col("r")
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("d2"),
+        F.col("s").alias("s2"),
+        F.col("r").alias("rb"),
+    )
+    shifted = a.select(
+        "d1",
+        "s1",
+        "r",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, SNM_W + 1)])
+        ).alias("d"),
+    ).select("d1", "s1", "r", (F.col("r") + F.col("d")).alias("rb"))
+    pairs = shifted.join(b.hint("merge"), "rb").select(
+        "d1",
+        "d2",
+        (F.col("rb") - F.col("r")).cast("bigint").alias("rank_dist"),
+        F.size(F.array_intersect("s1", "s2"))
+        .cast("bigint")
+        .alias("n_common"),
+        F.size("s1").cast("bigint").alias("n1"),
+        F.size("s2").cast("bigint").alias("n2"),
+    )
+    return (
+        pairs.select(
+            "d1",
+            "d2",
+            "rank_dist",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(20)
+    )
