@@ -363,3 +363,119 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exchange-free bucketed fact join (the generalized write_bucketed story)
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> (orders_table, lineitem_table). The
+# bucketed pair is written once per session — the single-session analog
+# of the co-bucketed fact tables a warehouse maintains precisely so
+# their joins never exchange.
+_BUCKETED_FACTS_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+_FACT_BUCKET_TARGET_BYTES = 16 << 20
+
+
+def _bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.sources import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BUCKETED_FACTS_CACHE.get(key)
+    if hit is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+        def _sz(name: str) -> int:
+            p = f"{sf_dir}/{name}.parquet"
+            if os.path.isdir(p):
+                return sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _d, fs in os.walk(p)
+                    for f in fs
+                )
+            return os.path.getsize(p)
+
+        # ONE bucket count for both sides (exchange-free SMJ requires
+        # matching layouts), sized to the LARGER fact's ingest bytes
+        n_buckets = max(
+            8,
+            -(-max(_sz("orders"), _sz("lineitem"))
+              // _FACT_BUCKET_TARGET_BYTES),
+        )
+        ot = f"mj_orders_bkt_{digest}"
+        lt = f"mj_lineitem_bkt_{digest}"
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"),
+            ot,
+            "o_orderkey",
+            buckets=n_buckets,
+            path=f"/tmp/mj_bucketed/{ot}",
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"),
+            lt,
+            "l_orderkey",
+            buckets=n_buckets,
+            path=f"/tmp/mj_bucketed/{lt}",
+        )
+        hit = (ot, lt)
+        _BUCKETED_FACTS_CACHE[key] = hit
+    return hit
+
+
+@register(
+    "bucketed_join_order_lineitem",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_line_items,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketed", "storage"),
+)
+def bucketed_join_order_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The orders-lineitem fact join over CO-BUCKETED persisted tables:
+    both sides are written once with ``sources.write_bucketed`` on the
+    order key with ONE shared bucket count (sized to ingest bytes, the
+    SELFCHECK_r9 lesson), so the join consumes the catalog bucket
+    layout with ZERO Exchange — only the final counter aggregation
+    shuffles (plan-pinned). This generalizes the minhash shingle-store
+    finding to the warehouse's canonical fact-fact join: bucket
+    metadata survives AQE where checkpoint partitioning does not
+    (SCALE.md 8th probe), which at 100 TB is the difference between
+    shuffling the lineitem table per query and never shuffling it.
+
+    From pyspark import: the reference reaches key-aligned layouts by
+    writing per-key SDFS files (MapleJuice.cpp:260-281, the per-key
+    export); bucketing is the Spark-native form of the same idea.
+    """
+    ot, lt = _bucketed_facts(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    o = spark.table(ot).select("o_orderkey", "o_orderpriority")
+    li = spark.table(lt).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_returnflag"
+    )
+    # merge-hinted: at gate scales Catalyst would broadcast the small
+    # orders side, which hides exactly the layout this query exists to
+    # demonstrate — at 100 TB neither fact side broadcasts, and the SMJ
+    # consumes both bucket layouts with zero Exchange.
+    return o.hint("merge").join(li, "o_orderkey").groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_line_items"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias(
+            "n_returned"
+        ),
+    )

@@ -704,3 +704,22 @@ def test_bloom_decontamination_plan_shape(spark, sf_dir):
     )
     assert "SortMergeJoin LeftSemi" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_fact_join_is_exchange_free(spark, sf_dir):
+    """The co-bucketed orders-lineitem join must consume the catalog
+    bucket layout: a merge join with ZERO Exchange beneath it — the
+    only exchange in the whole plan is the final counter aggregation."""
+    from maplejuice_spark.operators.sql_queries import (
+        bucketed_join_order_lineitem,
+    )
+
+    df = bucketed_join_order_lineitem(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    tree = plan.split("\n\n")[0]
+    exchange_lines = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(exchange_lines) == 1, "\n".join(exchange_lines)
+    join_pos = tree.index("SortMergeJoin")
+    assert "Exchange" not in tree[join_pos:], tree[join_pos:][:1500]
