@@ -836,3 +836,82 @@ def bloom_prefilter_decontamination(
         ).alias("n_flagged"),
         F.sum("n_hit").cast("bigint").alias("total_hits"),
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    sw AS (
+      SELECT source, src_tokens,
+             CAST(src_tokens AS DOUBLE)
+               / CAST(SUM(src_tokens) OVER () AS BIGINT) AS p,
+             sqrt(CAST(src_tokens AS DOUBLE)
+               / CAST(SUM(src_tokens) OVER () AS BIGINT)) AS w
+      FROM s
+    ),
+    z AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(w ORDER BY source)),
+               (a, b) -> a + b) AS z
+      FROM sw
+    )
+    SELECT source, src_tokens, p AS actual_share,
+           w / z AS temp_weight,
+           (w / z) / p AS upweight_factor
+    FROM sw, z
+    """,
+    tags=("pipeline", "mixture", "north-star"),
+)
+def mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based mixture reweighting at alpha = 0.5 (the
+    multilingual-balancing rule of mT5/XLM-R): each source's sampling
+    probability is proportional to its token share raised to alpha —
+    sqrt here, chosen deliberately because IEEE sqrt is CORRECTLY
+    ROUNDED in both engines while pow(x, 0.5) need not be. The
+    normalizer Z = sum of the per-source sqrt weights is a SEQUENTIAL
+    FOLD over the source-sorted list (the dot-product discipline), not
+    a free-order SUM — float addition is not associative, and with the
+    window-total shares exact this fold is the only order-sensitive
+    step.
+
+    Scale: the corpus-sized work is one partial-agg'd groupBy; shares,
+    weights, and the fold all run on the sources-sized frame.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("src_tokens")
+    )
+    total = F.sum("src_tokens").over(W.partitionBy())
+    sw = s.select(
+        "source",
+        "src_tokens",
+        (F.col("src_tokens").cast("double") / total).alias("p"),
+        F.sqrt(F.col("src_tokens").cast("double") / total).alias("w"),
+    )
+    z = sw.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "w"))),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
+    )
+    return sw.crossJoin(F.broadcast(z)).select(
+        "source",
+        "src_tokens",
+        F.col("p").alias("actual_share"),
+        (F.col("w") / F.col("z")).alias("temp_weight"),
+        ((F.col("w") / F.col("z")) / F.col("p")).alias("upweight_factor"),
+    )
