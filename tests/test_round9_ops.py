@@ -1,0 +1,170 @@
+"""Property tests for the round-9 operator batch — invariants the
+oracle hash-compare cannot state directly (set-level and structural
+properties rather than value equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import tokens
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Every member's two bit positions must be set in the bloom built
+    over the member set — the property that lets the oracle omit the
+    bloom entirely."""
+    from maplejuice_spark.operators.pipeline import _bloom_bits
+
+    n_bits = 1 << 16
+    members = spark.range(500).select(
+        F.md5(F.col("id").cast("string").cast("binary")).alias("h")
+    )
+    (b1, m1), (b2, m2) = _bloom_bits("h", n_bits)
+    bloom = (
+        members.select(b1, m1.alias("mask"))
+        .unionByName(members.select(b2, m2.alias("mask")))
+        .groupBy("blk")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    (p1, pm1), (p2, pm2) = _bloom_bits("h", n_bits)
+    probe = members.select("h", p1.alias("blk1"), pm1.alias("mask1"),
+                           p2.alias("blk2"), pm2.alias("mask2"))
+    g1 = bloom.withColumnRenamed("blk", "blk1").withColumnRenamed(
+        "bits", "bits1"
+    )
+    g2 = bloom.withColumnRenamed("blk", "blk2").withColumnRenamed(
+        "bits", "bits2"
+    )
+    missed = (
+        probe.join(g1, "blk1", "left")
+        .join(g2, "blk2", "left")
+        .where(
+            (F.coalesce("bits1", F.lit(0)).bitwiseAND(F.col("mask1")) == 0)
+            | (F.coalesce("bits2", F.lit(0)).bitwiseAND(F.col("mask2")) == 0)
+        )
+        .count()
+    )
+    assert missed == 0
+
+
+def test_line_dedup_keeps_every_first_occurrence(spark, sf_dir):
+    """Global invariants on the real corpus: every doc row is returned,
+    n_kept <= n_lines, and the total kept lines equal the number of
+    DISTINCT lines in the corpus (first occurrences exactly)."""
+    from maplejuice_spark.operators.dedup import (
+        LINE_W,
+        line_dedup_reassemble,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    lines = t.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(toks) + {LINE_W - 1})"
+                f" div {LINE_W} - 1),"
+                f" i -> array_join(slice(toks, cast(i * {LINE_W} + 1"
+                f" as int), {LINE_W}), ' '))"
+            )
+        ).alias("line")
+    )
+    n_distinct = lines.distinct().count()
+    out = line_dedup_reassemble(spark, sf_dir)
+    assert out.count() == t.count()
+    row = out.agg(F.sum("n_kept").alias("nk")).collect()[0]
+    assert row.nk == n_distinct
+
+
+def test_shard_manifest_conservation(spark, sf_dir):
+    """Shards partition the corpus: doc counts and token sums across
+    shards equal the corpus totals, and shard ids are dense from 0."""
+    from maplejuice_spark.operators.pipeline import (
+        shard_packing_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    total_docs = docs.count()
+    total_tokens = (
+        docs.select(F.size(tokens("text")).cast("bigint").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    m = shard_packing_manifest(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in m) == total_docs
+    assert sum(r.shard_tokens for r in m) == total_tokens
+    ids = sorted(r.shard_id for r in m)
+    assert ids == list(range(len(ids)))
+
+
+def test_lpa_labels_are_member_nodes(spark, sf_dir):
+    """Every community label must itself be a node of the graph (labels
+    only ever copy node ids), and sizes must sum to the node count."""
+    from maplejuice_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    out = label_propagation_communities(spark, sf_dir).collect()
+    nodes = {r.node for r in out}
+    assert {r.community for r in out} <= nodes
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r.community, set()).add(r.node)
+    for r in out:
+        assert r.community_size == len(sizes[r.community])
+
+
+def test_mmr_picks_are_distinct_and_start_at_top_rel(spark, sf_dir):
+    """Per query: K distinct picks, pick ranks dense 1..K, and pick 1 is
+    the relevance argmax (min id on ties) of the shortlist."""
+    from maplejuice_spark.operators.retrieval import (
+        MMR_K,
+        mmr_diversified_topk,
+    )
+
+    rows = mmr_diversified_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == MMR_K
+        assert len({r.neighbor_id for r in rs}) == MMR_K
+        assert sorted(r.pick for r in rs) == list(range(1, MMR_K + 1))
+        top = max(rs, key=lambda r: (r.rel_cos, -r.neighbor_id))
+        first = next(r for r in rs if r.pick == 1)
+        assert first.rel_cos >= top.rel_cos or first.neighbor_id == (
+            top.neighbor_id
+        )
+
+
+def test_snm_pairs_are_within_window(spark, sf_dir):
+    """Every returned pair's rank distance must be within the SNM
+    window and strictly positive."""
+    from maplejuice_spark.operators.dedup import (
+        SNM_W,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = sorted_neighborhood_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rank_dist <= SNM_W
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_power_iteration_output_shape(spark, sf_dir):
+    """64 dims, bounded integer components (|comp| can exceed the
+    rescale target only by the documented div slack), not all zero."""
+    from maplejuice_spark.operators.clustering import (
+        DIM,
+        PI_S,
+        power_iteration_topcomp,
+    )
+
+    rows = power_iteration_topcomp(spark, sf_dir).collect()
+    assert len(rows) == DIM
+    comps = [r.comp for r in rows]
+    assert any(c != 0 for c in comps)
+    assert max(abs(c) for c in comps) <= 2 * PI_S
