@@ -652,3 +652,79 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand").alias("neighbor_id"),
         F.col("rel").alias("rel_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data for retrievers)
+# ---------------------------------------------------------------------------
+
+HN_DEPTH = 20  # lexical candidate depth per query
+HN_TAU = 0.35  # semantic ceiling: below this cosine, a lexical hit is "hard"
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_SQL_LEX_CTES},
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    normed AS (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),
+    top AS (
+      SELECT query_id, doc_id, r_lex FROM lex_ranked
+      WHERE r_lex <= {HN_DEPTH}
+    ),
+    j AS (
+      SELECT t.query_id, t.doc_id, t.r_lex,
+             {_sql_fold_dot('qn.vn', 'dn.vn')} AS cos_sim
+      FROM top t JOIN normed qn ON qn.vec_id = t.query_id
+                 JOIN normed dn ON dn.vec_id = t.doc_id
+    )
+    SELECT query_id, doc_id, CAST(r_lex AS BIGINT) AS r_lex, cos_sim
+    FROM j WHERE cos_sim < CAST({HN_TAU} AS DOUBLE)
+    """,
+    tags=("retrieval", "similarity", "pipeline", "north-star"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training (the
+    DPR/SBERT data-prep step): candidates that score HIGH on the
+    lexical arm (top-HN_DEPTH idf overlap — they look relevant) but LOW
+    on the semantic arm (cosine < HN_TAU — they aren't) are exactly the
+    negatives that teach a dual encoder to beat BM25. Output is the
+    full mined set per query with both evidence columns.
+
+    Exactness: the lexical rank is integer, the cosine is the
+    sequential-fold double, and the threshold compare is against a
+    double literal — all engine-identical. Scale: the lexical arm is
+    the memoized inverted index (guard-selected broadcast/shuffled
+    modes, as hybrid_search_rrf); the semantic check touches ONLY the
+    |Q| x HN_DEPTH candidate pairs via two id-keyed merge joins into
+    the normalized-vector store — never a corpus x corpus stage.
+    """
+    qids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % QUERY_MOD == 0)
+    )
+    shuffled = not _broadcast_small_ok(
+        qids, f"hard_negative_mining:{sf_dir}", weight_per_query=1
+    )
+    top = _lex_ranked(spark, sf_dir, shuffled=shuffled).filter(
+        F.col("r_lex") <= HN_DEPTH
+    )
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    qn = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    dn = vecs.select(
+        F.col("vec_id").alias("doc_id"), F.col("vn").alias("dv")
+    )
+    j = (
+        top.join(qn.hint("merge"), "query_id")
+        .join(dn.hint("merge"), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("r_lex").cast("bigint").alias("r_lex"),
+            dot("qv", "dv").alias("cos_sim"),
+        )
+    )
+    return j.where(F.col("cos_sim") < F.lit(HN_TAU))
