@@ -530,3 +530,91 @@ def power_iteration_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return v.select("dim", "comp")
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity / diversity audit against the held ground-truth labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_cluster_purity",
+    oracle=f"""
+    WITH {_sql_kmeans_chain()},
+    lab AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+    ),
+    cl AS (
+      SELECT a.cluster_id, l.label, COUNT(*) AS c
+      FROM a{ITERS} a JOIN lab l USING (vec_id)
+      GROUP BY a.cluster_id, l.label
+    ),
+    agg AS (
+      SELECT cluster_id, SUM(c) AS n, SUM(c * c) AS ss, MAX(c) AS cmax
+      FROM cl GROUP BY cluster_id
+    ),
+    maj AS (
+      SELECT cl.cluster_id, MIN(cl.label) AS majority_label
+      FROM cl JOIN agg USING (cluster_id)
+      WHERE cl.c = agg.cmax GROUP BY cl.cluster_id
+    )
+    SELECT a.cluster_id, CAST(a.n AS BIGINT) AS n,
+           m.majority_label, CAST(a.cmax AS BIGINT) AS n_majority,
+           CAST(a.n * a.n - a.ss AS DOUBLE)
+             / CAST(a.n * a.n AS DOUBLE) AS gini
+    FROM agg a JOIN maj m USING (cluster_id)
+    """,
+    tags=("clustering", "kmeans", "quality", "north-star"),
+)
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit joining the trained k-means assignment
+    against the corpus's held ground-truth ``label`` column — the
+    check a topic-balancing pipeline runs before trusting clusters for
+    mixture weighting: per cluster, its size, majority true label
+    (ties -> smallest label), majority count, and Gini impurity.
+
+    Gini is computed as (n² - Σc²)/n² in EXACT int64 arithmetic with a
+    single final division — engine-identical, unlike the textbook
+    1 - Σ(c/n)² whose float sum is order-dependent. (At cluster sizes
+    beyond ~3·10⁹ rows n² overflows int64; a production audit switches
+    the two products to DECIMAL(38,0) — the dec_to_double path this
+    repo already tests — without changing the plan shape.)
+
+    Scale (100 TB): reads the memoized trained model (one Lloyd
+    training shared across the clustering family); the label join is
+    id-keyed; both aggregations are partial-agg'd with at most
+    K_CLUSTERS x |labels| groups, and the majority election joins two
+    K-row frames.
+    """
+    assign, _cents = _trained_model(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    cl = (
+        assign.select("vec_id", "cluster_id")
+        .join(lab, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cl.groupBy("cluster_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.max("c").alias("cmax"),
+    )
+    maj = (
+        cl.join(agg.select("cluster_id", "cmax"), "cluster_id")
+        .where(F.col("c") == F.col("cmax"))
+        .groupBy("cluster_id")
+        .agg(F.min("label").alias("majority_label"))
+    )
+    gini = (
+        (F.col("n") * F.col("n") - F.col("ss")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    return agg.join(maj, "cluster_id").select(
+        "cluster_id",
+        F.col("n").cast("bigint").alias("n"),
+        "majority_label",
+        F.col("cmax").cast("bigint").alias("n_majority"),
+        gini.alias("gini"),
+    )

@@ -1712,3 +1712,130 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "d1", "d2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (lines duplicated across >= BP_K documents)
+# ---------------------------------------------------------------------------
+
+BP_K = 3  # a line present in >= BP_K distinct docs is boilerplate
+
+
+@register(
+    "boilerplate_line_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    ),
+    skel AS (
+      SELECT doc_id, ln,
+             md5(array_to_string(
+               list_slice(toks, ln * {LINE_W} + 1, ln * {LINE_W} + {LINE_W}),
+               ' ')) AS dg
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, (len(toks) + {LINE_W - 1}) // {LINE_W}))
+                     AS ln
+            FROM t)
+    ),
+    bp AS (
+      SELECT dg FROM (
+        SELECT dg, COUNT(DISTINCT doc_id) AS nd FROM skel GROUP BY dg
+      ) WHERE nd >= {BP_K}
+    ),
+    surv AS (
+      SELECT doc_id, ln FROM skel
+      WHERE dg NOT IN (SELECT dg FROM bp)
+    ),
+    perdoc AS (
+      SELECT v.doc_id, COUNT(*) AS n_kept,
+             string_agg(
+               array_to_string(
+                 list_slice(t.toks,
+                            v.ln * {LINE_W} + 1,
+                            v.ln * {LINE_W} + {LINE_W}), ' '),
+               ' ' ORDER BY v.ln) AS kept_text
+      FROM surv v JOIN t ON v.doc_id = t.doc_id
+      GROUP BY v.doc_id
+    )
+    SELECT t.doc_id,
+           CAST((len(t.toks) + {LINE_W - 1}) // {LINE_W} AS BIGINT)
+             AS n_lines,
+           CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(p.kept_text, '') AS kept_text
+    FROM t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+    """,
+    tags=("dedup", "pipeline", "quality", "north-star"),
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping — the MassiveText/RefinedWeb complement of
+    line_dedup_reassemble: a line whose text occurs in >= BP_K DISTINCT
+    documents is boilerplate (nav bars, license banners, cookie
+    notices), and EVERY occurrence is removed — including the first,
+    which line-dedup would keep. Lines are the same deterministic
+    LINE_W-token windows; each document returns with its surviving
+    lines re-concatenated in order.
+
+    Scale (100 TB): identical discipline to line_dedup_reassemble —
+    document text never rides the dedup shuffle. The boilerplate
+    election aggregates (dg, doc_id) skeleton rows (count-distinct is
+    a two-level partial agg); survivors are the skeleton anti-joined on
+    the digest (merge-hinted: the boilerplate set is corpus-derived and
+    not broadcastable by assumption); text is re-derived ROW-LOCALLY
+    from the token array after one output-sized doc_id join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = materialize(
+        docs.select("doc_id", tokens("text").alias("toks")).where(
+            F.size("toks") > 0
+        )
+    )
+    n_lines = F.expr(f"(size(toks) + {LINE_W - 1}) div {LINE_W}")
+    line_txt = F.array_join(
+        F.slice(
+            F.col("toks"),
+            (F.col("ln") * LINE_W + 1).cast("int"),
+            F.lit(LINE_W),
+        ),
+        " ",
+    )
+    skel = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (n_lines - 1).cast("bigint"))
+        ).alias("ln"),
+        "toks",
+    ).select("doc_id", "ln", F.md5(line_txt).alias("dg"))
+    bp = (
+        skel.groupBy("dg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BP_K)
+        .select("dg")
+    )
+    surv = skel.join(bp.hint("merge"), "dg", "left_anti").select(
+        "doc_id", "ln"
+    )
+    per_doc = surv.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("ln")).alias("keep_lns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.coalesce("keep_lns", F.expr("CAST(array() AS array<bigint>)")),
+            lambda i: F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (i * LINE_W + 1).cast("int"),
+                    F.lit(LINE_W),
+                ),
+                " ",
+            ),
+        ),
+        " ",
+    )
+    return t.join(per_doc.hint("merge"), "doc_id", "left").select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        rebuilt.alias("kept_text"),
+    )

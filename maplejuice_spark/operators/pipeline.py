@@ -915,3 +915,83 @@ def mixture_temperature_weights(
         (F.col("w") / F.col("z")).alias("temp_weight"),
         ((F.col("w") / F.col("z")) / F.col("p")).alias("upweight_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText-style filter)
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 64  # hashed feature space
+_QC_THRESH_X10 = 1  # keep iff score * 10 >= n_toks * _QC_THRESH_X10
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS l FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(l) AS BIGINT) AS n_toks,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(l, tok ->
+               CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
+                 % {_QC_BUCKETS} % 5 - 2)),
+             (acc, x) -> acc + x) AS BIGINT) AS score,
+           CAST(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(l, tok ->
+               CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
+                 % {_QC_BUCKETS} % 5 - 2)),
+             (acc, x) -> acc + x) * 10 >= len(l) * {_QC_THRESH_X10}
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM t
+    """,
+    tags=("pipeline", "quality", "north-star"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fastText-style
+    (Joulin et al. 2017) filter shape CCNet/GPT-3 data pipelines run
+    over every document: each token hashes into one of _QC_BUCKETS
+    feature buckets, each bucket carries a fixed integer weight in
+    {{-2..2}} (derived from the bucket id — a stand-in for trained
+    weights, which would arrive as a literal array the same way), and
+    the document score is the sum of its token weights. A document is
+    kept when its mean token weight clears _QC_THRESH_X10/10,
+    expressed as the integer cross-multiply score*10 >= n_toks so the
+    whole operator is EXACT integer arithmetic — no sigmoid, no float
+    sum, hence engine-hash-identical.
+
+    Scale (100 TB): a pure row-local projection — the token transform,
+    hash, weight lookup and fold all run inside one whole-stage-codegen
+    map over the scan; ZERO exchanges, no UDF, no state. This is the
+    ideal shape for a corpus-wide filter: it composes with any
+    downstream shuffle without adding one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_fold = (
+        f"aggregate(transform(toks, tok -> "
+        f"cast(conv(substring(md5(cast(tok as binary)), 1, 4), 16, 10) "
+        f"as bigint) % {_QC_BUCKETS} % 5 - 2), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    t = docs.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.expr(w_fold).alias("score"),
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "score",
+        F.when(
+            F.col("score") * 10 >= F.col("n_toks") * _QC_THRESH_X10,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )

@@ -1334,3 +1334,148 @@ def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN graph (dataset-cartography / UMAP-style neighborhood graph)
+# ---------------------------------------------------------------------------
+
+K_MUTUAL = 5  # per-vector neighbor depth for the mutuality test
+
+
+@register(
+    "mutual_knn_edges",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> x / sqrt({_sql_fold_dot('v', 'v')})) AS vn,
+             CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+      FROM vecs
+    ),
+    bands AS (
+      SELECT vec_id, vn, bucket, band,
+             (bucket // CAST(power(2, band * 8) AS BIGINT)) % 256 AS bv
+      FROM normed, unnest(generate_series(0, {_N_DUP_BANDS - 1})) AS t(band)
+    ),
+    cand AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             {_sql_fold_dot('a.vn', 'b.vn')} AS cos_sim
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+      WHERE a.band = 0 OR a.bucket % 256 <> b.bucket % 256
+    ),
+    sym AS (
+      SELECT v1 AS src, v2 AS dst, cos_sim FROM cand
+      UNION ALL
+      SELECT v2 AS src, v1 AS dst, cos_sim FROM cand
+    ),
+    ranked AS (
+      SELECT src, dst, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS r
+      FROM sym
+    )
+    SELECT a.src AS v1, a.dst AS v2, a.cos_sim,
+           CAST(a.r AS BIGINT) AS r12, CAST(b.r AS BIGINT) AS r21
+    FROM ranked a JOIN ranked b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.r <= {K_MUTUAL} AND b.r <= {K_MUTUAL} AND a.src < a.dst
+    """,
+    tags=("similarity", "graph", "north-star"),
+)
+def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus — the neighborhood
+    graph dataset-cartography, UMAP and kNN-based label-spread steps
+    consume: an undirected edge (v1, v2) survives iff EACH endpoint
+    ranks the other within its top-K_MUTUAL candidate neighbors by
+    cosine. Candidates come from the SAME banded random-hyperplane LSH
+    as dedup_embedding_cosine (8-bit band match in either of 2 bands),
+    and the oracle states the identical generation, so both engines
+    rank the same (recall-bounded) candidate sets — the documented
+    approximate-kNN contract.
+
+    Scale (100 TB): candidate pairs come from the 512-key band
+    equi-join carrying ids only (vectors join in by vec_id afterward —
+    the dedup_embedding_cosine discipline); each pair is scored ONCE
+    and symmetrized by projection (union of two column-swaps, no second
+    join or re-score); per-source ranking is a corpus-cardinality-key
+    window that WindowGroupLimit prunes to K_MUTUAL rows per vector
+    before the mutuality self-join, which is an id-keyed merge join of
+    two K*n-row frames.
+    """
+    from pyspark.sql import Window as W
+
+    bucket = _bucket_col("v")
+    normed = _normed_vecs(spark, sf_dir).select(
+        "vec_id", "vn", bucket.alias("bucket")
+    )
+    bands = normed.select(
+        "vec_id",
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("bucket"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .cast("bigint")
+                        .alias("bv"),
+                    )
+                    for b in range(_N_DUP_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "bucket", "x.band", "x.bv")
+    a = bands.select(
+        F.col("vec_id").alias("v1"), F.col("bucket").alias("abucket"),
+        "band", "bv",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("v2"), F.col("bucket").alias("bbucket"),
+        "band", "bv",
+    )
+    cand = (
+        a.join(b.hint("merge"), ["band", "bv"])
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(
+            (F.col("band") == 0)
+            | (
+                F.col("abucket").bitwiseAND(F.lit(255))
+                != F.col("bbucket").bitwiseAND(F.lit(255))
+            )
+        )
+        .select("v1", "v2")
+    )
+    av = normed.select(F.col("vec_id").alias("v1"), F.col("vn").alias("av"))
+    bv = normed.select(F.col("vec_id").alias("v2"), F.col("vn").alias("bvec"))
+    scored = (
+        cand.join(av.hint("merge"), "v1")
+        .join(bv.hint("merge"), "v2")
+        .select("v1", "v2", dot("av", "bvec").alias("cos_sim"))
+    )
+    sym = scored.select(
+        F.col("v1").alias("src"), F.col("v2").alias("dst"), "cos_sim"
+    ).unionAll(
+        scored.select(
+            F.col("v2").alias("src"), F.col("v1").alias("dst"), "cos_sim"
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    ranked = (
+        sym.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= K_MUTUAL)
+    )
+    fwd = ranked.select(
+        F.col("src").alias("v1"), F.col("dst").alias("v2"),
+        "cos_sim", F.col("r").cast("bigint").alias("r12"),
+    ).filter(F.col("v1") < F.col("v2"))
+    rev = ranked.select(
+        F.col("dst").alias("v1"), F.col("src").alias("v2"),
+        F.col("r").cast("bigint").alias("r21"),
+    ).filter(F.col("v1") < F.col("v2"))
+    return fwd.join(rev.hint("merge"), ["v1", "v2"]).select(
+        "v1", "v2", "cos_sim", "r12", "r21"
+    )

@@ -854,3 +854,96 @@ def bigram_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("docs_ge_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence + PMI lift (word2vec / phrase-mining data prep)
+# ---------------------------------------------------------------------------
+
+COOC_W = 3  # max skip distance: pair (t_i, t_j) for 0 < j - i <= COOC_W
+COOC_MIN = 5  # minimum pair count (prunes hapax pairs before the join)
+COOC_TOPK = 100
+
+
+@register(
+    "cooccurrence_pmi_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_SQL_TOKENS} AS l FROM documents
+    ),
+    p AS (
+      SELECT unnest(flatten(list_transform(range(1, len(l)), i ->
+        list_transform(range(i + 1, least(i + {COOC_W}, len(l)) + 1), j ->
+          struct_pack(a := l[i], b := l[j]))))) AS pr
+      FROM t WHERE len(l) >= 2
+    ),
+    pc AS (
+      SELECT pr.a AS a, pr.b AS b, COUNT(*) AS c_ab
+      FROM p GROUP BY pr.a, pr.b HAVING COUNT(*) >= {COOC_MIN}
+    ),
+    u AS (SELECT unnest(l) AS tok FROM t),
+    uc AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t_total FROM u)
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+           CAST(c_ab AS DOUBLE) * CAST(t_total AS DOUBLE)
+             / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+    FROM pc JOIN uc ua ON pc.a = ua.tok
+            JOIN uc ub ON pc.b = ub.tok
+            CROSS JOIN tot
+    ORDER BY lift DESC, a, b LIMIT {COOC_TOPK}
+    """,
+    tags=("text", "cooccurrence", "north-star"),
+)
+def cooccurrence_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence statistics with PMI-style lift — the
+    word2vec / phrase-mining (Mikolov et al. 2013) data-prep pass:
+    count ordered token pairs within a COOC_W-token window, keep pairs
+    seen >= COOC_MIN times, and rank by lift = P(a,b)/(P(a)P(b))
+    estimated as c_ab * T / (c_a * c_b). Lift is the exp of PMI, which
+    keeps the arithmetic a SINGLE division of exact integer-derived
+    doubles (one correctly-rounded op per engine, so bit-identical)
+    instead of a libm log whose ulp may differ across engines.
+
+    Scale (100 TB): pair generation is ROW-LOCAL (a nested
+    transform/flatten over the token array — COOC_W x tokens rows, no
+    join, no positional self-join); the pair count is one
+    partial-agg'd groupBy; the unigram table is vocabulary-bounded and
+    broadcast to both sides of the count join; the total-token scalar
+    is a 1-row broadcast cross join; the final top-K is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = materialize(
+        docs.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, size(toks) - 1), i -> "
+                f"transform(sequence(i + 1, least(i + {COOC_W}, size(toks))), "
+                f"j -> struct(toks[i - 1] AS a, toks[j - 1] AS b))))"
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= COOC_MIN)
+    )
+    toks_flat = t.select(F.explode("toks").alias("tok"))
+    uc = toks_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks_flat.agg(F.count(F.lit(1)).alias("t_total"))
+    ua = uc.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    lift = (
+        F.col("c_ab").cast("double") * F.col("t_total").cast("double")
+    ) / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    return (
+        pc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .join(F.broadcast(tot))
+        .select("a", "b", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(COOC_TOPK)
+    )
