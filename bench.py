@@ -105,6 +105,10 @@ HEADLINE = [
     "bloom_prefilter_decontamination",
     # round-9: sparse TF-IDF cosine similarity join (df-capped)
     "tfidf_cosine_topk_pairs",
+    "cooccurrence_pmi_topk",
+    "quality_classifier_score",
+    "boilerplate_line_removal",
+    "mutual_knn_edges",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

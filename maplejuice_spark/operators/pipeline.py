@@ -995,3 +995,354 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source adaptive quality threshold (P10 cut over the score histogram)
+# ---------------------------------------------------------------------------
+
+_PCT_X100 = 10  # drop the bottom ~10% of each source by score bucket
+
+
+@register(
+    "per_source_quality_threshold",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS l FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    ),
+    sc AS (
+      SELECT doc_id, source, CAST(len(l) AS BIGINT) AS n_toks,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(l, tok ->
+                 CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
+                   % {_QC_BUCKETS} % 5 - 2)),
+               (acc, x) -> acc + x) AS BIGINT) AS score
+      FROM t
+    ),
+    b AS (
+      SELECT source,
+             CAST((score * 10 - (((score * 10) % n_toks + n_toks) % n_toks))
+               / n_toks AS BIGINT) AS bucket
+      FROM sc
+    ),
+    hist AS (
+      SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY source, bucket
+    ),
+    cum AS (
+      SELECT source, bucket, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY bucket) AS cum_c,
+             SUM(c) OVER (PARTITION BY source) AS total
+      FROM hist
+    ),
+    th AS (
+      SELECT source, MIN(bucket) AS thresh_bucket
+      FROM cum WHERE cum_c * 100 >= total * {_PCT_X100}
+      GROUP BY source
+    )
+    SELECT h.source, t.thresh_bucket,
+           CAST(MAX(c2.total) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN h.bucket >= t.thresh_bucket
+                         THEN h.c ELSE 0 END) AS BIGINT) AS n_kept
+    FROM hist h
+    JOIN th t ON h.source = t.source
+    JOIN (SELECT source, MAX(total) AS total FROM cum GROUP BY source) c2
+      ON h.source = c2.source
+    GROUP BY h.source, t.thresh_bucket
+    """,
+    tags=("pipeline", "quality", "north-star"),
+)
+def per_source_quality_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source ADAPTIVE quality cut — the CCNet trick of thresholding
+    each source against its own score distribution instead of one global
+    constant (a global cut over-prunes noisy sources and under-prunes
+    clean ones): bucket each document's mean token weight (floor of
+    score*10/n_toks — the portable floor-division formula, since Spark
+    truncates toward zero while DuckDB floors), build the per-source
+    bucket histogram, and drop every bucket strictly below the smallest
+    bucket whose cumulative share reaches _PCT_X100 percent (the
+    cumulative compare is the integer cross-multiply cum*100 >=
+    total*pct — no float quantile).
+
+    Scale (100 TB): ONE corpus scan computes the row-local score (the
+    quality_classifier_score fold); the only shuffle carries
+    (source, bucket) — at most |sources| x 41 groups after map-side
+    partial agg. The cumulative window, threshold election and
+    keep-count all run on that histogram frame; the corpus is never
+    re-scanned or re-shuffled. A production pipeline would then
+    broadcast the |sources|-row threshold table back into a map-side
+    filter — the same zero-extra-shuffle composition as the bloom
+    decontamination gate.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_fold = (
+        f"aggregate(transform(toks, tok -> "
+        f"cast(conv(substring(md5(cast(tok as binary)), 1, 4), 16, 10) "
+        f"as bigint) % {_QC_BUCKETS} % 5 - 2), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    sc = (
+        docs.select("source", tokens("text").alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "source",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.expr(w_fold).alias("score"),
+        )
+    )
+    s10 = F.col("score") * 10
+    n = F.col("n_toks")
+    bucket = ((s10 - (((s10 % n) + n) % n)) / n).cast("bigint")
+    hist = (
+        sc.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "bucket",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+    th = (
+        cum.where(F.col("cum_c") * 100 >= F.col("total") * _PCT_X100)
+        .groupBy("source")
+        .agg(F.min("bucket").alias("thresh_bucket"))
+    )
+    return (
+        cum.join(th, "source")
+        .groupBy("source", "thresh_bucket")
+        .agg(
+            F.max("total").cast("bigint").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("bucket") >= F.col("thresh_bucket"), F.col("c")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source content overlap matrix (mixture-design diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_overlap",
+    oracle="""
+    WITH dig AS (
+      SELECT DISTINCT md5(text) AS dg, source FROM documents
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM dig GROUP BY source),
+    ov AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared
+      FROM dig a JOIN dig b ON a.dg = b.dg AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT o.s1, o.s2, CAST(o.n_shared AS BIGINT) AS n_shared,
+           CAST(t1.n AS BIGINT) AS n_distinct_1,
+           CAST(t2.n AS BIGINT) AS n_distinct_2,
+           CAST(o.n_shared AS DOUBLE)
+             / CAST(t1.n + t2.n - o.n_shared AS DOUBLE) AS jaccard
+    FROM ov o JOIN tot t1 ON o.s1 = t1.source
+              JOIN tot t2 ON o.s2 = t2.source
+    """,
+    tags=("pipeline", "dedup", "north-star"),
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources — the mixture-design
+    diagnostic a data team reads before weighting sources (two crawls
+    that are 80% the same content should not both get full weight):
+    for each source pair, the number of SHARED distinct documents (by
+    exact text digest) and the content Jaccard n_shared/(n1+n2-n).
+    The division is the single-op exact-integer pattern.
+
+    Scale (100 TB): text collapses to md5 digests map-side; the
+    (digest, source) frame dedups with one partial-agg'd distinct; the
+    digest self-join fans out at most |sources| rows per digest (each
+    digest carries each source once), so per-task pair work is bounded
+    by |sources|^2 regardless of corpus size, and the output is a
+    |sources|^2 matrix. The per-source totals join is a
+    |sources|-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dig = (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("dg"), "source"
+        )
+        .distinct()
+    )
+    dig = materialize(dig)
+    tot = dig.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = dig.select("dg", F.col("source").alias("s1"))
+    b = dig.select("dg", F.col("source").alias("s2"))
+    ov = (
+        a.join(b.hint("merge"), "dg")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    t1 = tot.select(F.col("source").alias("s1"), F.col("n").alias("n_distinct_1"))
+    t2 = tot.select(F.col("source").alias("s2"), F.col("n").alias("n_distinct_2"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_distinct_1") + F.col("n_distinct_2") - F.col("n_shared")
+    ).cast("double")
+    return (
+        ov.join(F.broadcast(t1), "s1")
+        .join(F.broadcast(t2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_distinct_1").cast("bigint").alias("n_distinct_1"),
+            F.col("n_distinct_2").cast("bigint").alias("n_distinct_2"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card profile (the one-query corpus summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card_profile",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, text,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(n_toks) AS total_tokens,
+             COUNT(DISTINCT md5(text)) AS n_distinct
+      FROM base GROUP BY source
+    ),
+    lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang
+    ),
+    lmax AS (SELECT source, MAX(c) AS cmax FROM lc GROUP BY source),
+    lmaj AS (
+      SELECT lc.source, MIN(lc.lang) AS majority_lang
+      FROM lc JOIN lmax ON lc.source = lmax.source AND lc.c = lmax.cmax
+      GROUP BY lc.source
+    ),
+    q AS (
+      SELECT source,
+             SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKENS}, tok ->
+                 CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
+                   % {_QC_BUCKETS} % 5 - 2)),
+               (acc, x) -> acc + x) * 10 >= len({_SQL_TOKENS})
+               THEN 1 ELSE 0 END) AS n_keep
+      FROM documents GROUP BY source
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.total_tokens AS BIGINT) AS total_tokens,
+           CAST(p.n_distinct AS BIGINT) AS n_distinct,
+           CAST(p.n_docs - p.n_distinct AS DOUBLE)
+             / CAST(p.n_docs AS DOUBLE) AS dup_frac,
+           m.majority_lang,
+           CAST(q.n_keep AS BIGINT) AS n_quality_keep
+    FROM per_source p
+    JOIN lmaj m ON p.source = m.source
+    JOIN q ON p.source = q.source
+    """,
+    tags=("pipeline", "quality", "north-star"),
+)
+def dataset_card_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-query "dataset card" a corpus release ships with: per
+    source — document and token counts, distinct-content count and
+    duplicate fraction (single-division exact), majority language
+    (ties -> smallest code), and how many documents the hashed linear
+    quality filter would keep. Composes the repo's curation primitives
+    into the summary table every data audit starts from.
+
+    Scale (100 TB): ONE corpus scan computes tokens, digest and the
+    quality fold row-locally; everything after is |sources|- or
+    (|sources| x |langs|)-sized. The distinct-content count is the
+    two-level partial agg (digest dedup, then count); no corpus
+    broadcast, no window over corpus rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_fold = (
+        f"aggregate(transform(toks, tok -> "
+        f"cast(conv(substring(md5(cast(tok as binary)), 1, 4), 16, 10) "
+        f"as bigint) % {_QC_BUCKETS} % 5 - 2), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    base = materialize(
+        docs.select(
+            "source",
+            "lang",
+            F.md5(F.col("text").cast("binary")).alias("dg"),
+            F.size(tokens("text")).cast("bigint").alias("n_toks"),
+        )
+    )
+    # the quality fold needs the token array; it runs on its own narrow
+    # projection so `base` stays (digest + counters) only
+    scored = docs.select(
+        "source",
+        tokens("text").alias("toks"),
+    ).select(
+        "source",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.expr(w_fold).alias("score"),
+    )
+    q = scored.groupBy("source").agg(
+        F.sum(
+            F.when(
+                F.col("score") * 10 >= F.col("n_toks"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_quality_keep")
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("dg").alias("n_distinct"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lmax = lc.groupBy("source").agg(F.max("c").alias("cmax"))
+    lmaj = (
+        lc.join(lmax, "source")
+        .where(F.col("c") == F.col("cmax"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("majority_lang"))
+    )
+    dup_frac = (
+        (F.col("n_docs") - F.col("n_distinct")).cast("double")
+        / F.col("n_docs").cast("double")
+    )
+    return (
+        per_source.join(F.broadcast(lmaj), "source")
+        .join(F.broadcast(q), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            dup_frac.alias("dup_frac"),
+            "majority_lang",
+            F.col("n_quality_keep").alias("n_quality_keep"),
+        )
+    )

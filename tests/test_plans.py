@@ -723,3 +723,102 @@ def test_bucketed_fact_join_is_exchange_free(spark, sf_dir):
     assert len(exchange_lines) == 1, "\n".join(exchange_lines)
     join_pos = tree.index("SortMergeJoin")
     assert "Exchange" not in tree[join_pos:], tree[join_pos:][:1500]
+
+
+def test_quality_classifier_zero_exchange(spark, sf_dir):
+    """The hashed-feature linear classifier must fuse into the scan:
+    projection-only, ZERO exchanges — the filter shape that composes
+    with any downstream shuffle without adding one."""
+    from maplejuice_spark.operators.pipeline import quality_classifier_score
+
+    df = quality_classifier_score(spark, sf_dir)
+    assert plans.count_shuffles(df) == 0, plans.physical_plan(df)[:2000]
+
+
+def test_cooccurrence_plan_shape(spark, sf_dir):
+    """Pair generation must be row-local (Generate over the nested
+    transform, never a positional self-join), the unigram/total joins
+    must broadcast (vocabulary-bounded / 1-row), and the top-K must be
+    a TakeOrderedAndProject — never a global Sort."""
+    from maplejuice_spark.operators.text import cooccurrence_pmi_topk
+
+    df = cooccurrence_pmi_topk(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_boilerplate_text_stays_out_of_dedup_exchanges(spark, sf_dir):
+    """The boilerplate election must exchange digest skeletons only;
+    token arrays may cross exactly ONE exchange (the output-sized
+    reassembly join) — same discipline as line_dedup_reassemble."""
+    from maplejuice_spark.operators.dedup import boilerplate_line_removal
+
+    df = boilerplate_line_removal(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    toks_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "toks#" in line
+    ]
+    assert len(toks_exchanges) <= 1, "\n".join(toks_exchanges)
+
+
+def test_mutual_knn_never_broadcasts_vectors(spark, sf_dir):
+    """The mutual-kNN band join and mutuality self-join are corpus-
+    derived on both sides: nothing in the plan may broadcast the
+    normalized-vector table (the corpus-sized broadcast the banded
+    design exists to avoid)."""
+    from maplejuice_spark.operators.similarity import mutual_knn_edges
+
+    df = mutual_knn_edges(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "vn#" not in line, line
+
+
+def test_adaptive_threshold_windows_only_on_histogram(spark, sf_dir):
+    """per_source_quality_threshold's cumulative windows must run on
+    the (source, bucket) HISTOGRAM (<= |sources| x 41 rows), never on
+    corpus rows: the corpus contributes exactly one exchange — the
+    partial-agg'd histogram groupBy."""
+    from maplejuice_spark.operators.pipeline import (
+        per_source_quality_threshold,
+    )
+
+    df = per_source_quality_threshold(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # text/token columns must never appear in an Exchange: the fold
+    # reduces them map-side before the histogram shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "toks#" not in line, line
+
+
+def test_cross_source_overlap_digest_only_exchanges(spark, sf_dir):
+    """The overlap self-join must carry digests, never text, and the
+    per-source totals must broadcast."""
+    from maplejuice_spark.operators.pipeline import cross_source_overlap
+
+    df = cross_source_overlap(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_dataset_card_no_text_exchange_no_corpus_broadcast(spark, sf_dir):
+    """The dataset card is one corpus scan reduced row-locally: no
+    Exchange may carry text/token arrays, and the only broadcasts are
+    the |sources|-sized summary frames."""
+    from maplejuice_spark.operators.pipeline import dataset_card_profile
+
+    df = dataset_card_profile(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "toks#" not in line, line
