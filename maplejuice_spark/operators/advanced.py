@@ -1109,3 +1109,125 @@ def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_filled"),
         F.col("v").isNull().cast("bigint").alias("is_interpolated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler (the shuffle-planning diagnostic)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPN = 5
+_SKEW_PCT_X100 = 99  # p99 of the group-size distribution
+
+
+@register(
+    "key_skew_profile",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_group
+      FROM g
+    ),
+    sizes AS (SELECT n AS grp_size, COUNT(*) AS c FROM g GROUP BY n),
+    cum AS (
+      SELECT grp_size, c,
+             SUM(c) OVER (ORDER BY grp_size) AS cum_c
+      FROM sizes
+    ),
+    p99 AS (
+      SELECT MIN(grp_size) AS p99_group
+      FROM cum CROSS JOIN tot
+      WHERE cum_c * 100 >= n_keys * {_SKEW_PCT_X100}
+    ),
+    top AS (
+      SELECT user_id, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
+      FROM g
+    )
+    SELECT t.user_id AS key, CAST(t.n AS BIGINT) AS key_rows,
+           CAST(t.rnk AS BIGINT) AS rnk,
+           CAST(tot.n_rows AS BIGINT) AS n_rows,
+           CAST(tot.n_keys AS BIGINT) AS n_keys,
+           CAST(tot.max_group AS BIGINT) AS max_group,
+           CAST(p99.p99_group AS BIGINT) AS p99_group,
+           CAST(t.n * tot.n_keys AS DOUBLE)
+             / CAST(tot.n_rows AS DOUBLE) AS hot_factor
+    FROM top t CROSS JOIN tot CROSS JOIN p99
+    WHERE t.rnk <= {_SKEW_TOPN}
+    """,
+    tags=("diagnostics", "skew", "north-star"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler for shuffle planning — the diagnostic
+    a data engineer runs BEFORE choosing salting/AQE-skew settings for
+    a join or agg on this key: the _SKEW_TOPN heaviest keys with their
+    hot factor (key share relative to a uniform key: n * n_keys /
+    n_rows — one exact-integer product per side of a single division),
+    plus the global row/key counts, the max group, and the EXACT p99
+    group size elected from the group-size histogram by integer
+    cross-multiply (no float quantile, no approxQuantile sketch —
+    the histogram is exact and small).
+
+    Scale (100 TB): the per-key count is one partial-agg'd groupBy (the
+    thing being profiled — unavoidable and linear); everything after
+    runs on the group-size HISTOGRAM (at most |distinct sizes| rows —
+    thousands, not billions) and the TakeOrdered top-N. The global
+    stats and p99 are 1-row broadcast cross joins.
+    """
+    from pyspark.sql import Window as W
+
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    g = materialize(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_group"),
+    )
+    sizes = g.groupBy(F.col("n").alias("grp_size")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        W.orderBy("grp_size").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sizes.select(
+        "grp_size", F.sum("c").over(w_cum).alias("cum_c")
+    )
+    p99 = (
+        cum.join(F.broadcast(tot))
+        .where(F.col("cum_c") * 100 >= F.col("n_keys") * _SKEW_PCT_X100)
+        .agg(F.min("grp_size").alias("p99_group"))
+    )
+    top = (
+        g.orderBy(F.desc("n"), "user_id")
+        .limit(_SKEW_TOPN)
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("n").cast("bigint").alias("key_rows"),
+        )
+    )
+    w_rnk = W.orderBy(F.desc("key_rows"), "key")
+    top = top.withColumn("rnk", F.row_number().over(w_rnk).cast("bigint"))
+    hot = (
+        (F.col("key_rows") * F.col("n_keys")).cast("double")
+        / F.col("n_rows").cast("double")
+    )
+    return (
+        top.join(F.broadcast(tot))
+        .join(F.broadcast(p99))
+        .select(
+            "key",
+            "key_rows",
+            "rnk",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("max_group").cast("bigint").alias("max_group"),
+            F.col("p99_group").cast("bigint").alias("p99_group"),
+            hot.alias("hot_factor"),
+        )
+    )

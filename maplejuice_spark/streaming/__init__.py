@@ -951,3 +951,98 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"mj_stream_dedup_{_STREAM_RUN_SEQ[0]}"
     run_stream_to_memory(out, name, mode="append")
     return spark.table(name)
+
+
+EMBEDDINGS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (same dir-vs-file
+    source selection as stream_documents)."""
+    from maplejuice_spark.catalog import _ensure_read_confs
+
+    _ensure_read_confs(spark)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(EMBEDDINGS_SCHEMA).parquet(path)
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _register_stream_kmeans_assign() -> None:
+    from maplejuice_spark.operators.clustering import (
+        ITERS,
+        QSCALE,
+        _dist_to,
+        _sql_int_dist,
+        _sql_kmeans_chain,
+        _trained_model,
+    )
+
+    # Serving assigns against the FINAL trained centroids (c{ITERS}) —
+    # one assignment round PAST the batch operator's a{ITERS}, which is
+    # computed against the pre-update centroids inside the last Lloyd
+    # round. The oracle states that extra round explicitly.
+    @register(
+        "stream_kmeans_assign",
+        oracle=f"""
+        WITH {_sql_kmeans_chain()},
+        d_serve AS (
+          SELECT q.vec_id, c.k, {_sql_int_dist("q.vq", "c.cq")} AS dist
+          FROM q CROSS JOIN c{ITERS} c
+        ),
+        a_serve AS (
+          SELECT vec_id, k AS cluster_id FROM (
+            SELECT vec_id, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, k) AS rn
+            FROM d_serve) WHERE rn = 1
+        )
+        SELECT vec_id, cluster_id FROM a_serve
+        """,
+        tags=("streaming", "clustering", "kmeans"),
+    )
+    def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Model SERVING on the ingest path: assign every arriving
+        embedding to its nearest trained k-means centroid as TRUE
+        Structured Streaming (file source -> stateless row-local
+        assignment -> append sink) — the deployment shape where the
+        model trains offline (the memoized batch Lloyd run; a real
+        pipeline reads the persisted centroid table) and the stream
+        applies it with zero state. The assignment is the SAME exact
+        integer argmin as the batch operator, so the oracle is the
+        batch assignment chain — arrival order cannot matter because
+        the map is stateless.
+
+        Scale: the K x DIM centroid table rides into the stream as
+        LITERALS (hyperparameter-sized, the IVF-centroid discipline);
+        per-row work is a K-way integer distance fold — no shuffle, no
+        state store, unbounded throughput.
+        """
+        from pyspark.sql import functions as SF
+
+        from maplejuice_spark.functions import to_double_vec
+
+        _assign, cents = _trained_model(spark, sf_dir)
+        src = stream_embeddings(spark, sf_dir)
+        vq = SF.transform(
+            to_double_vec("embedding"),
+            lambda x: SF.floor(x * QSCALE).cast("bigint"),
+        )
+        quant = src.select("vec_id", vq.alias("vq"))
+        dists = SF.array(*[_dist_to(cq) for _k, cq in cents])
+        ks = SF.array(*[SF.lit(int(k)) for k, _cq in cents])
+        cluster = SF.element_at(
+            ks, SF.array_position(dists, SF.array_min(dists)).cast("int")
+        )
+        out = quant.select("vec_id", cluster.alias("cluster_id"))
+        _STREAM_RUN_SEQ[0] += 1
+        name = f"mj_stream_kmeans_{_STREAM_RUN_SEQ[0]}"
+        run_stream_to_memory(out, name, mode="append")
+        return spark.table(name)
+
+
+_register_stream_kmeans_assign()

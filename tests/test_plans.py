@@ -822,3 +822,13 @@ def test_dataset_card_no_text_exchange_no_corpus_broadcast(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line and "toks#" not in line, line
+
+
+def test_key_skew_profile_topn_is_take_ordered(spark, sf_dir):
+    """The heavy-key election must be a TakeOrderedAndProject over the
+    per-key counts — never a global sort of the key frame."""
+    from maplejuice_spark.operators.advanced import key_skew_profile
+
+    df = key_skew_profile(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
