@@ -1,0 +1,220 @@
+"""Property tests for the round-9 continuation batch — structural
+invariants the oracle hash-compare cannot state directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import tokens
+
+
+def test_boilerplate_removes_exactly_the_hot_lines(spark, sf_dir):
+    """Every doc row returns, n_kept <= n_lines, and the global kept
+    total equals total lines minus every occurrence of the boilerplate
+    digests (recomputed independently here)."""
+    from maplejuice_spark.operators.dedup import (
+        BP_K,
+        LINE_W,
+        boilerplate_line_removal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_docs = t.count()
+    out = boilerplate_line_removal(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.n_kept <= r.n_lines for r in rows)
+
+    skel = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (
+                    F.expr(f"(size(toks) + {LINE_W - 1}) div {LINE_W}") - 1
+                ).cast("bigint"),
+            )
+        ).alias("ln"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("ln") * LINE_W + 1).cast("int"),
+                    F.lit(LINE_W),
+                ),
+                " ",
+            )
+        ).alias("dg"),
+    )
+    per_dg = skel.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    stats = per_dg.agg(
+        F.sum("occ").alias("total_lines"),
+        F.sum(F.when(F.col("nd") >= BP_K, F.col("occ")).otherwise(0)).alias(
+            "bp_occurrences"
+        ),
+    ).collect()[0]
+    assert sum(r.n_kept for r in rows) == (
+        stats.total_lines - stats.bp_occurrences
+    )
+
+
+def test_mutual_knn_degree_bounded_and_ordered(spark, sf_dir):
+    """v1 < v2, both ranks within K_MUTUAL, and no vector participates
+    in more than K_MUTUAL mutual edges (ranks are distinct per side)."""
+    from maplejuice_spark.operators.similarity import (
+        K_MUTUAL,
+        mutual_knn_edges,
+    )
+
+    rows = mutual_knn_edges(spark, sf_dir).collect()
+    assert rows, "banded LSH should propose at least one mutual edge"
+    deg: dict[int, int] = {}
+    for r in rows:
+        assert r.v1 < r.v2
+        assert 1 <= r.r12 <= K_MUTUAL and 1 <= r.r21 <= K_MUTUAL
+        deg[r.v1] = deg.get(r.v1, 0) + 1
+        deg[r.v2] = deg.get(r.v2, 0) + 1
+    assert max(deg.values()) <= K_MUTUAL
+
+
+def test_cooccurrence_output_ranked_and_thresholded(spark, sf_dir):
+    """Rows come lift-descending (ties by a, b), every pair clears the
+    count floor, and the frame is capped at COOC_TOPK."""
+    from maplejuice_spark.operators.text import (
+        COOC_MIN,
+        COOC_TOPK,
+        cooccurrence_pmi_topk,
+    )
+
+    rows = cooccurrence_pmi_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= COOC_TOPK
+    assert all(r.c_ab >= COOC_MIN and r.lift > 0 for r in rows)
+    keys = [(-r.lift, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_quality_classifier_bounds_and_label(spark, sf_dir):
+    """Weights live in [-2, 2], so |score| <= 2 * n_toks; the keep
+    label must equal the integer cross-multiply it claims to be."""
+    from maplejuice_spark.operators.pipeline import quality_classifier_score
+
+    bad = (
+        quality_classifier_score(spark, sf_dir)
+        .where(
+            (F.abs(F.col("score")) > 2 * F.col("n_toks"))
+            | (
+                F.col("keep")
+                != (F.col("score") * 10 >= F.col("n_toks")).cast("bigint")
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_adaptive_threshold_keeps_at_least_the_complement(spark, sf_dir):
+    """Dropping buckets strictly below the P10 bucket can remove at
+    most 10% of each source: n_kept * 100 > n_total * 90."""
+    from maplejuice_spark.operators.pipeline import (
+        per_source_quality_threshold,
+    )
+
+    rows = per_source_quality_threshold(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= r.n_total
+        assert r.n_kept * 100 > r.n_total * 90
+
+
+def test_key_skew_profile_internally_consistent(spark, sf_dir):
+    """Ranks are 1..N descending by key_rows, the rank-1 key IS the max
+    group, and p99 <= max."""
+    from maplejuice_spark.operators.advanced import (
+        _SKEW_TOPN,
+        key_skew_profile,
+    )
+
+    rows = sorted(key_skew_profile(spark, sf_dir).collect(),
+                  key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= _SKEW_TOPN
+    assert all(
+        rows[i].key_rows >= rows[i + 1].key_rows
+        for i in range(len(rows) - 1)
+    )
+    assert rows[0].key_rows == rows[0].max_group
+    assert all(r.p99_group <= r.max_group for r in rows)
+    assert all(r.hot_factor > 0 for r in rows)
+
+
+def test_dataset_card_consistent_with_sources(spark, sf_dir):
+    """One row per source; distinct <= docs; quality keeps <= docs;
+    dup_frac in [0, 1); token total matches an independent count."""
+    from maplejuice_spark.operators.pipeline import dataset_card_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    expected = {
+        r.source: (r.n, r.toks)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(tokens("text"))).alias("toks"),
+        )
+        .collect()
+    }
+    rows = dataset_card_profile(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(expected)
+    for r in rows:
+        n, toks = expected[r.source]
+        assert r.n_docs == n and r.total_tokens == toks
+        assert r.n_distinct <= r.n_docs
+        assert r.n_quality_keep <= r.n_docs
+        assert 0.0 <= r.dup_frac < 1.0
+
+
+def test_cross_source_overlap_bounds(spark, sf_dir):
+    """n_shared <= min of the two distinct counts and jaccard in
+    (0, 1]; pairs come source-ordered."""
+    from maplejuice_spark.operators.pipeline import cross_source_overlap
+
+    for r in cross_source_overlap(spark, sf_dir).collect():
+        assert r.s1 < r.s2
+        assert r.n_shared <= min(r.n_distinct_1, r.n_distinct_2)
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_stream_kmeans_assign_matches_batch_serve(spark, sf_dir):
+    """The streaming assignment must cover every vector exactly once
+    and only ever emit trained centroid ids."""
+    from maplejuice_spark.operators.clustering import _trained_model
+    from maplejuice_spark.registry import all_queries
+
+    out = all_queries()["stream_kmeans_assign"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    _assign, cents = _trained_model(spark, sf_dir)
+    valid = {int(k) for k, _cq in cents}
+    assert {r.cluster_id for r in rows} <= valid
+
+
+def test_ngram_diversity_matches_independent_counts(spark, sf_dir):
+    """Distinct <= total, the heaviest bigram is <= total, and the
+    ratio is the claimed single division."""
+    from maplejuice_spark.operators.text import ngram_diversity_by_source
+
+    for r in ngram_diversity_by_source(spark, sf_dir).collect():
+        assert 0 < r.distinct_bigrams <= r.total_bigrams
+        assert r.top_bigram_count <= r.total_bigrams
+        assert r.type_token_ratio == r.distinct_bigrams / r.total_bigrams
