@@ -1346,3 +1346,101 @@ def dataset_card_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_quality_keep").alias("n_quality_keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget apportionment (largest-remainder / Hamilton method)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 100_000  # the global training-token budget to apportion
+
+
+@register(
+    "token_budget_apportionment",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(toks) AS total FROM s),
+    base AS (
+      SELECT source, toks,
+             CAST(({_BUDGET_TOKENS} * toks) // tot.total AS BIGINT)
+               AS floor_quota,
+             CAST(({_BUDGET_TOKENS} * toks) % tot.total AS BIGINT)
+               AS remainder
+      FROM s CROSS JOIN tot
+    ),
+    short AS (
+      SELECT CAST({_BUDGET_TOKENS} - SUM(floor_quota) AS BIGINT) AS k
+      FROM base
+    ),
+    ranked AS (
+      SELECT source, toks, floor_quota, remainder,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
+      FROM base
+    )
+    SELECT r.source, r.toks, r.floor_quota,
+           CAST(r.floor_quota
+                + CASE WHEN r.rnk <= short.k THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+    FROM ranked r CROSS JOIN short
+    """,
+    tags=("pipeline", "mixture", "north-star"),
+)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global training
+    token budget across sources in proportion to their token counts —
+    the integer-exact allocation step after mixture weighting: floor
+    quotas always sum <= budget, and the shortfall goes to the largest
+    fractional remainders (ties -> source name), so the quotas sum to
+    EXACTLY the budget with no float weights anywhere (the float-share
+    rounding that loses or invents tokens is the bug this method
+    exists to avoid).
+
+    Scale (100 TB): one corpus scan partial-aggs per-source token
+    counts; everything downstream (total, floors, remainders, ranked
+    top-ups) runs on the |sources|-sized frame. The remainder ranking
+    is a window over |sources| rows — bounded by construction.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("toks")
+    )
+    tot = s.agg(F.sum("toks").alias("total"))
+    # positive operands throughout, so Spark's truncating `div` IS the
+    # floor division DuckDB's // computes — and stays integral (a
+    # double `/` would silently lose precision past 2^53 token-budgets)
+    base = s.join(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.expr(f"({_BUDGET_TOKENS}L * toks) div total")
+        .cast("bigint")
+        .alias("floor_quota"),
+        F.expr(f"({_BUDGET_TOKENS}L * toks) % total")
+        .cast("bigint")
+        .alias("remainder"),
+    )
+    short = base.agg(
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_quota"))
+        .cast("bigint")
+        .alias("k")
+    )
+    w = W.orderBy(F.desc("remainder"), "source")
+    ranked = base.withColumn("rnk", F.row_number().over(w))
+    return ranked.join(F.broadcast(short)).select(
+        "source",
+        "toks",
+        "floor_quota",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rnk") <= F.col("k"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
