@@ -1046,3 +1046,60 @@ def _register_stream_kmeans_assign() -> None:
 
 
 _register_stream_kmeans_assign()
+
+
+@register(
+    "stream_decontaminated_ingest",
+    oracle="""
+    WITH ref AS (
+      SELECT DISTINCT md5(text) AS dg FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT BETWEEN '0' AND 'b'
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE md5(d.text) NOT IN (SELECT dg FROM ref)
+    """,
+    tags=("streaming", "decontamination", "pipeline"),
+)
+def stream_decontaminated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination ON THE INGEST PATH: every arriving document is
+    checked against the static eval-reference digest set (the held-out
+    split's content digests, per the train_val_test_split hash rule)
+    and admitted only if its text digest is NOT in the reference — the
+    gate that guarantees no eval document ever enters a training shard,
+    enforced before data lands rather than by a later batch sweep. The
+    admitted set is a pure row-wise function of (text, reference), so
+    arrival order cannot matter and the oracle is the batch anti-join.
+
+    Scale: a stream-static LEFT ANTI join — Spark re-plans the static
+    side per micro-batch, so the reference (eval suites: thousands of
+    digests, bounded) broadcasts and the stream never shuffles; at a
+    reference too large to broadcast the same plan degrades to a
+    shuffled anti-join per batch, and the batch-side bloom
+    (bloom_prefilter_decontamination) composes in front as a row-local
+    prefilter. No state store either way — the gate is stateless.
+    """
+    src = stream_documents(spark, sf_dir)
+    ref = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            ~F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+            ).between("0", "b")
+        )
+        .select(F.md5(F.col("text").cast("binary")).alias("dg"))
+        .distinct()
+    )
+    gated = (
+        src.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("dg"),
+        )
+        .join(ref, "dg", "left_anti")
+        .select("doc_id", "source")
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"mj_stream_decontam_{_STREAM_RUN_SEQ[0]}"
+    run_stream_to_memory(gated, name, mode="append")
+    return spark.table(name)
