@@ -1231,3 +1231,144 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             hot.alias("hot_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quartiles over a bounded-domain measure (histogram election)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_quartiles_by_flag",
+    oracle="""
+    WITH hist AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY flag, qty
+    ),
+    cum AS (
+      SELECT flag, qty, c,
+             SUM(c) OVER (PARTITION BY flag ORDER BY qty) AS cum_c,
+             SUM(c) OVER (PARTITION BY flag) AS n
+      FROM hist
+    )
+    SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN 4 * cum_c >= n THEN qty END) AS BIGINT) AS p25,
+           CAST(MIN(CASE WHEN 2 * cum_c >= n THEN qty END) AS BIGINT)
+             AS median,
+           CAST(MIN(CASE WHEN 4 * cum_c >= 3 * n THEN qty END) AS BIGINT)
+             AS p75
+    FROM cum GROUP BY flag
+    """,
+    tags=("agg", "quantile", "diagnostics"),
+)
+def exact_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/median/p75 of l_quantity per return flag — the
+    bounded-domain quantile pattern: when the measure's domain is small
+    (quantities, scores, star ratings, bucketed lengths), exact
+    quantiles cost ONE partial-agg'd histogram instead of a sort or an
+    approxQuantile sketch. Each quantile is elected from the cumulative
+    histogram by integer cross-multiply (k*cum >= q*n — no float
+    interpolation, so engines agree exactly); the convention is the
+    lower (type-1) quantile.
+
+    Scale (100 TB): the corpus contributes one groupBy over
+    (flag, qty) — at most |flags| x |domain| groups after map-side
+    partial agg; the cumulative windows and elections run on that
+    histogram frame. Contrast with percentile_approx (a sketch, not
+    exact) and global sort (a full shuffle of every row).
+    """
+    from pyspark.sql import Window as W
+
+    from maplejuice_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        W.partitionBy("flag")
+        .orderBy("qty")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "qty",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(4 * F.col("cum_c") >= F.col("n"), F.col("qty")))
+        .cast("bigint")
+        .alias("p25"),
+        F.min(F.when(2 * F.col("cum_c") >= F.col("n"), F.col("qty")))
+        .cast("bigint")
+        .alias("median"),
+        F.min(F.when(4 * F.col("cum_c") >= 3 * F.col("n"), F.col("qty")))
+        .cast("bigint")
+        .alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA per user (order-pinned sequential fold — time-series features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_user_values",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> (acc + x) / 2) AS ewma
+    FROM seq
+    """,
+    tags=("timeseries", "window", "north-star"),
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 1/2) — the classic online feature a behavioral model reads.
+    EWMA is an inherently SEQUENTIAL recurrence (s_t = (v_t + s_{t-1})/2),
+    so the float ops are order-pinned by construction: both engines fold
+    the identical (ts, event_id)-sorted list left-to-right, addition is
+    correctly rounded on identical inputs, and /2 is exact in binary —
+    bit-identical without any decimal detour.
+
+    Scale (100 TB): one shuffle groups each user's events; per-user
+    history is bounded (the sessionize/transition-matrix argument), so
+    the collected list is a bounded row-local array and the fold is
+    whole-stage-codegen'd. An unbounded-history deployment would window
+    the recurrence (EWMA over the last N days rolls up algebraically:
+    s = v_t/2 + v_{t-1}/4 + ... truncates geometrically).
+    """
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import ts_us_div
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        ts_us_div("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "value"))),
+            lambda s: s.value,
+        ).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: (acc + x) / F.lit(2.0),
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        ewma.alias("ewma"),
+    )
