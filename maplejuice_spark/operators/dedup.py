@@ -1839,3 +1839,155 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
         rebuilt.alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding quality audit (sampled ground-truth recall + precision)
+# ---------------------------------------------------------------------------
+
+_AUDIT_SAMPLE = 50  # FIXED-size deterministic sample (not a fraction)
+_AUDIT_J_TRUE = 0.5  # a pair is a TRUE near-dup when exact Jaccard >= this
+
+
+@register(
+    "minhash_recall_audit",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_AUDIT_SAMPLE}
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    ssh AS (SELECT d.doc_id, d.shingle FROM dsh d JOIN samp USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+    ex AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
+      FROM ssh x JOIN ssh y ON x.shingle = y.shingle
+                 AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    truth AS (
+      SELECT e.d1, e.d2 FROM ex e
+      JOIN sizes s1 ON s1.doc_id = e.d1
+      JOIN sizes s2 ON s2.doc_id = e.d2
+      WHERE CAST(e.n_common AS DOUBLE) / (s1.n + s2.n - e.n_common)
+            >= {_AUDIT_J_TRUE}
+    ),
+    sigs AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+                   AND a.doc_id < b.doc_id
+    ),
+    scand AS (
+      SELECT c.d1, c.d2 FROM cand c
+      JOIN samp s1 ON s1.doc_id = c.d1
+      JOIN samp s2 ON s2.doc_id = c.d2
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM scand) AS n_cand,
+             (SELECT COUNT(*) FROM truth t JOIN scand c
+               ON t.d1 = c.d1 AND t.d2 = c.d2) AS n_caught
+    )
+    SELECT CAST({_AUDIT_SAMPLE} AS BIGINT) AS n_sample,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CASE WHEN n_true > 0
+                THEN CAST(n_caught AS DOUBLE) / n_true END AS lsh_recall,
+           CASE WHEN n_cand > 0
+                THEN CAST(n_caught AS DOUBLE) / n_cand END AS lsh_precision
+    FROM m
+    """,
+    tags=("dedup", "minhash", "lsh", "diagnostics"),
+)
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality audit — the check a 100 TB dedup run reports
+    before anyone trusts its candidate set: within a FIXED-size
+    deterministic sample (the _AUDIT_SAMPLE smallest md5(doc_id) hashes
+    — a hash-random draw that stays 50 docs at any corpus size, unlike
+    a fraction, whose all-pairs truth would grow quadratically), compute
+    the exact-Jaccard ground-truth pairs (>= _AUDIT_J_TRUE) by
+    brute-force shingle join, intersect with the banded candidate set,
+    and report recall (true pairs the banding caught) and precision
+    (banded pairs that are true).
+
+    Scale: the ground-truth stage touches only sample x sample —
+    bounded forever by construction; the candidate set is the audited
+    pipeline's own output (computed once, corpus-wide, by LSH) filtered
+    to the sample by two broadcast semi-joins on the 50-row id list.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    samp = (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(_AUDIT_SAMPLE)
+        .select("doc_id")
+    )
+    sets = _shingle_sets(spark, sf_dir)
+    ssh = (
+        sets.join(F.broadcast(samp), "doc_id")
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    sizes = ssh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = ssh.select(F.col("doc_id").alias("d1"), "shingle")
+    y = ssh.select(F.col("doc_id").alias("d2"), "shingle")
+    ex = (
+        x.join(y, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    truth = (
+        ex.join(s1, "d1")
+        .join(s2, "d2")
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            >= _AUDIT_J_TRUE
+        )
+        .select("d1", "d2")
+    )
+    cand = (
+        minhash_candidates(spark, sf_dir)
+        .select("d1", "d2")
+        .join(F.broadcast(samp.select(F.col("doc_id").alias("d1"))), "d1")
+        .join(F.broadcast(samp.select(F.col("doc_id").alias("d2"))), "d2")
+    )
+    truth = materialize(truth)
+    cand = materialize(cand)
+    # three 1-row aggregates cross-joined — stays one lazy plan, no
+    # driver-side counts (the sample bound keeps every frame tiny)
+    row = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+        )
+        .crossJoin(
+            truth.join(cand, ["d1", "d2"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_caught"))
+        )
+    )
+    return row.select(
+        F.lit(_AUDIT_SAMPLE).cast("bigint").alias("n_sample"),
+        "n_true",
+        "n_cand",
+        "n_caught",
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_caught").cast("double") / F.col("n_true"),
+        ).alias("lsh_recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.col("n_caught").cast("double") / F.col("n_cand"),
+        ).alias("lsh_precision"),
+    )
