@@ -1444,3 +1444,82 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture interleave schedule (the data-loader ordering)
+# ---------------------------------------------------------------------------
+
+_SCHED_N = 100  # schedule prefix to materialize
+
+
+@register(
+    "interleave_schedule_top100",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS j
+      FROM documents
+    ),
+    tot AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    keyed AS (
+      SELECT r.source, r.doc_id,
+             CAST(2 * r.j + 1 AS DOUBLE) / CAST(2 * t.n_s AS DOUBLE)
+               AS pos_key
+      FROM ranked r JOIN tot t ON r.source = t.source
+      WHERE r.j < {_SCHED_N}
+    )
+    SELECT source, doc_id, pos_key
+    FROM keyed
+    ORDER BY pos_key, source, doc_id
+    LIMIT {_SCHED_N}
+    """,
+    tags=("pipeline", "mixture", "north-star"),
+)
+def interleave_schedule_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first _SCHED_N entries of the deterministic proportional
+    interleave — the ORDER a mixture-weighted data loader actually
+    emits: each source's docs are ranked by a hash shuffle
+    (md5(doc_id), reproducible under any partitioning), and doc j of a
+    source with n_s docs is scheduled at stride position
+    (2j+1)/(2·n_s), so every source progresses through its share at the
+    same relative rate (the classic stride-scheduling interleave).
+    The position key is ONE division of exact-integer-derived doubles —
+    engine-identical; ties break on (source, doc_id).
+
+    Scale (100 TB): the global first _SCHED_N entries can include at
+    most _SCHED_N docs from any single source, so the per-source rank
+    is cut at _SCHED_N BEFORE the global merge — WindowGroupLimit
+    prunes the rank window to the per-source head (the topk_per_group
+    plan), the per-source totals broadcast, and the final selection is
+    a TakeOrderedAndProject. A full-corpus schedule materialization
+    would instead write the pos_key column and range-partition on it —
+    same arithmetic, no driver involvement.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    # filter on the BARE row_number (rn <= N) so WindowGroupLimit fires;
+    # the equivalent j < N on the projected rn-1 hides the pattern from
+    # the optimizer and the window materializes every rank (measured)
+    ranked = (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SCHED_N)
+        .select("source", "doc_id", (F.col("rn") - 1).alias("j"))
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    pos_key = (2 * F.col("j") + 1).cast("double") / (
+        2 * F.col("n_s")
+    ).cast("double")
+    return (
+        ranked.join(F.broadcast(tot), "source")
+        .select("source", "doc_id", pos_key.alias("pos_key"))
+        .orderBy("pos_key", "source", "doc_id")
+        .limit(_SCHED_N)
+    )

@@ -832,3 +832,15 @@ def test_key_skew_profile_topn_is_take_ordered(spark, sf_dir):
     df = key_skew_profile(spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_interleave_schedule_prunes_rank_and_take_orders(spark, sf_dir):
+    """The per-source rank must be WindowGroupLimit-pruned to the
+    schedule prefix, and the global selection must be a
+    TakeOrderedAndProject — never a full sort."""
+    from maplejuice_spark.operators.pipeline import interleave_schedule_top100
+
+    df = interleave_schedule_top100(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
