@@ -109,6 +109,9 @@ HEADLINE = [
     "quality_classifier_score",
     "boilerplate_line_removal",
     "mutual_knn_edges",
+    "per_source_quality_threshold",
+    "dataset_card_profile",
+    "minhash_recall_audit",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,
