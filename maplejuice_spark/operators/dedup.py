@@ -1860,19 +1860,21 @@ _AUDIT_J_TRUE = 0.5  # a pair is a TRUE near-dup when exact Jaccard >= this
       SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents
     ),
     dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
     ssh AS (SELECT d.doc_id, d.shingle FROM dsh d JOIN samp USING (doc_id)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
-    ex AS (
-      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
-      FROM ssh x JOIN ssh y ON x.shingle = y.shingle
-                 AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id
+    inter AS (
+      SELECT s.doc_id AS s_id, d.doc_id AS d_id, COUNT(*) AS n_common
+      FROM ssh s JOIN dsh d ON s.shingle = d.shingle
+                 AND s.doc_id <> d.doc_id
+      GROUP BY s.doc_id, d.doc_id
     ),
     truth AS (
-      SELECT e.d1, e.d2 FROM ex e
-      JOIN sizes s1 ON s1.doc_id = e.d1
-      JOIN sizes s2 ON s2.doc_id = e.d2
-      WHERE CAST(e.n_common AS DOUBLE) / (s1.n + s2.n - e.n_common)
+      SELECT DISTINCT LEAST(i.s_id, i.d_id) AS d1,
+                      GREATEST(i.s_id, i.d_id) AS d2
+      FROM inter i
+      JOIN sizes z1 ON z1.doc_id = i.s_id
+      JOIN sizes z2 ON z2.doc_id = i.d_id
+      WHERE CAST(i.n_common AS DOUBLE) / (z1.n + z2.n - i.n_common)
             >= {_AUDIT_J_TRUE}
     ),
     sigs AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
@@ -1882,10 +1884,20 @@ _AUDIT_J_TRUE = 0.5  # a pair is a TRUE near-dup when exact Jaccard >= this
       FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
                    AND a.doc_id < b.doc_id
     ),
+    -- the audited pipeline EMITS only candidates that survive its
+    -- verification join (>= 1 shared shingle); zero-overlap band
+    -- collisions never reach downstream consumers, so the audit
+    -- denominator is the emitted set (found at x10: 2 sample-touching
+    -- zero-overlap collisions made the raw-cand oracle diverge)
+    candnz AS (
+      SELECT DISTINCT c.d1, c.d2 FROM cand c
+      JOIN dsh x ON x.doc_id = c.d1
+      JOIN dsh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+    ),
     scand AS (
-      SELECT c.d1, c.d2 FROM cand c
-      JOIN samp s1 ON s1.doc_id = c.d1
-      JOIN samp s2 ON s2.doc_id = c.d2
+      SELECT c.d1, c.d2 FROM candnz c
+      WHERE c.d1 IN (SELECT doc_id FROM samp)
+         OR c.d2 IN (SELECT doc_id FROM samp)
     ),
     m AS (
       SELECT (SELECT COUNT(*) FROM truth) AS n_true,
@@ -1907,19 +1919,29 @@ _AUDIT_J_TRUE = 0.5  # a pair is a TRUE near-dup when exact Jaccard >= this
 )
 def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding quality audit — the check a 100 TB dedup run reports
-    before anyone trusts its candidate set: within a FIXED-size
+    before anyone trusts its candidate set: ground-truth near-dup pairs
+    are computed EXACTLY for every pair touching a FIXED-size
     deterministic sample (the _AUDIT_SAMPLE smallest md5(doc_id) hashes
-    — a hash-random draw that stays 50 docs at any corpus size, unlike
-    a fraction, whose all-pairs truth would grow quadratically), compute
-    the exact-Jaccard ground-truth pairs (>= _AUDIT_J_TRUE) by
-    brute-force shingle join, intersect with the banded candidate set,
-    and report recall (true pairs the banding caught) and precision
-    (banded pairs that are true).
+    probed against the WHOLE corpus — sample x corpus, so true mates of
+    sampled docs are counted at any scale, unlike a sample-internal
+    truth set, which goes empty once the corpus outgrows the sample),
+    then intersected with the banded candidate set; recall and
+    precision (over candidates touching the sample) are guarded single
+    divisions. The candidate set audited is the pipeline's EMITTED set
+    — pairs surviving its >= 1-shared-shingle verification join; raw
+    zero-overlap band collisions never reach downstream consumers (they
+    are verify-join input cost, not output), and the oracle states the
+    same emitted-set semantics.
 
-    Scale: the ground-truth stage touches only sample x sample —
-    bounded forever by construction; the candidate set is the audited
-    pipeline's own output (computed once, corpus-wide, by LSH) filtered
-    to the sample by two broadcast semi-joins on the 50-row id list.
+    Scale: the truth probe explodes the corpus shingles ONLY against a
+    BROADCAST of the sample's ~50 x shingles-per-doc keys — survivors
+    are collision-bounded, no corpus shuffle (the explode feeds a
+    broadcast join map-side); the per-doc set sizes ride the row-local
+    sets relation. The candidate set is the audited pipeline's own
+    corpus-wide output, filtered by two broadcast semi-joins. The
+    sample sets are checkpointed once — without it every downstream
+    consumer re-evaluates the corpus-wide row-local shingle chain
+    (measured 35 s vs ~1 s at sf0.1).
     """
     docs = load_table(spark, sf_dir, "documents")
     samp = (
@@ -1932,37 +1954,67 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     sets = _shingle_sets(spark, sf_dir)
-    ssh = (
-        sets.join(F.broadcast(samp), "doc_id")
-        .select("doc_id", F.explode("sh").alias("shingle"))
+    sample_sets = materialize(
+        sets.join(F.broadcast(samp), "doc_id").select("doc_id", "sh", "n")
     )
-    sizes = ssh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = ssh.select(F.col("doc_id").alias("d1"), "shingle")
-    y = ssh.select(F.col("doc_id").alias("d2"), "shingle")
-    ex = (
-        x.join(y, "shingle")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    ssh = sample_sets.select(
+        F.col("doc_id").alias("s_id"),
+        F.col("n").alias("s_n"),
+        F.explode("sh").alias("shingle"),
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    # probe side: the occurrence-level exploder (already materialization-
+    # safe and core-parallel); duplicate occurrences collapse via the
+    # countDistinct below, so no corpus-wide pre-distinct shuffle —
+    # survivors of the broadcast prefilter are collision-bounded
+    corpus = _shingle_rows(spark, sf_dir).select(
+        F.col("doc_id").alias("d_id"), "shingle"
+    )
+    # checkpointed: collision-bounded (sample x mates), and WITHOUT the
+    # checkpoint the size join below re-plans this subtree inside the
+    # combined truth plan at ~30x the cost (measured 33 s vs ~1 s at
+    # sf0.1 — the same re-evaluation class as the sample_sets note)
+    inter = materialize(
+        corpus.join(F.broadcast(ssh), "shingle")
+        .where(F.col("s_id") != F.col("d_id"))
+        .groupBy("s_id", "d_id", "s_n")
+        .agg(F.countDistinct("shingle").alias("n_common"))
+    )
+    # materialized: a 2-column (doc_id, n) relation. Joining the LAZY
+    # sets projection instead re-inlines the tokenize->shingle chain
+    # under the join's inserted null filter, where expression collapse
+    # re-evaluates the regex split per array element (the _shingle_rows
+    # pathology) — measured 32 s vs ~1 s at sf0.1 for this join alone
+    d_sizes = materialize(
+        sets.select(F.col("doc_id").alias("d_id"), F.col("n").alias("d_n"))
+    )
     truth = (
-        ex.join(s1, "d1")
-        .join(s2, "d2")
+        inter.hint("merge")
+        .join(d_sizes.hint("merge"), "d_id")
         .where(
             F.col("n_common").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            / (F.col("s_n") + F.col("d_n") - F.col("n_common"))
             >= _AUDIT_J_TRUE
         )
-        .select("d1", "d2")
+        .select(
+            F.least("s_id", "d_id").alias("d1"),
+            F.greatest("s_id", "d_id").alias("d2"),
+        )
+        .distinct()
     )
-    cand = (
-        minhash_candidates(spark, sf_dir)
-        .select("d1", "d2")
-        .join(F.broadcast(samp.select(F.col("doc_id").alias("d1"))), "d1")
-        .join(F.broadcast(samp.select(F.col("doc_id").alias("d2"))), "d2")
+    # checkpoint the audited pipeline's candidate output once — the two
+    # orientation semi-joins would otherwise each re-run the full LSH
+    cand0 = materialize(minhash_candidates(spark, sf_dir).select("d1", "d2"))
+    in_s1 = cand0.join(
+        F.broadcast(samp.select(F.col("doc_id").alias("d1"))),
+        "d1",
+        "left_semi",
     )
+    in_s2 = cand0.join(
+        F.broadcast(samp.select(F.col("doc_id").alias("d2"))),
+        "d2",
+        "left_semi",
+    )
+    cand = in_s1.unionByName(in_s2).distinct()
     truth = materialize(truth)
     cand = materialize(cand)
     # three 1-row aggregates cross-joined — stays one lazy plan, no
