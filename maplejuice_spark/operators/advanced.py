@@ -1242,7 +1242,7 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact_quartiles_by_flag",
     oracle="""
     WITH hist AS (
-      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+      SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
              COUNT(*) AS c
       FROM lineitem GROUP BY flag, qty
     ),
@@ -1283,9 +1283,13 @@ def exact_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maplejuice_spark.catalog import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
+    # FLOOR before the integer cast: DuckDB's double->BIGINT cast rounds
+    # half-even while Spark's truncates, so a bare cast diverges on any
+    # fractional measure. floor() is bit-identical in both engines
+    # (advisor round-9 find; latent only because l_quantity is integral).
     hist = li.groupBy(
         F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor("l_quantity").cast("bigint").alias("qty"),
     ).agg(F.count(F.lit(1)).alias("c"))
     w_cum = (
         W.partitionBy("flag")

@@ -1250,7 +1250,8 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform({_SQL_TOKENS}, tok ->
                  CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
                    % {_QC_BUCKETS} % 5 - 2)),
-               (acc, x) -> acc + x) * 10 >= len({_SQL_TOKENS})
+               (acc, x) -> acc + x) * 10
+                 >= len({_SQL_TOKENS}) * {_QC_THRESH_X10}
                THEN 1 ELSE 0 END) AS n_keep
       FROM documents GROUP BY source
     )
@@ -1307,10 +1308,14 @@ def dataset_card_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_toks"),
         F.expr(w_fold).alias("score"),
     )
+    # same keep test as quality_classifier_score — including the
+    # _QC_THRESH_X10 multiplier, so the card stays in sync if the
+    # threshold constant ever moves off 1 (advisor round-9 find)
     q = scored.groupBy("source").agg(
         F.sum(
             F.when(
-                F.col("score") * 10 >= F.col("n_toks"), F.lit(1)
+                F.col("score") * 10 >= F.col("n_toks") * _QC_THRESH_X10,
+                F.lit(1),
             ).otherwise(F.lit(0))
         )
         .cast("bigint")

@@ -914,10 +914,13 @@ def cooccurrence_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a global sort.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = materialize(
-        docs.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
-    )
-    pairs = t.select(
+    # Materialized UNFILTERED so the unigram/total counts below cover
+    # every document — the oracle's `u` CTE unnests the unfiltered `t`,
+    # so a 1-token document must still contribute to c_a/c_b/t_total
+    # even though it can never produce a pair (advisor round-9 find:
+    # filtering here made the engines diverge on any 1-token doc).
+    t = materialize(docs.select(tokens("text").alias("toks")))
+    pairs = t.where(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(1, size(toks) - 1), i -> "
