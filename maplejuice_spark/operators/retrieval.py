@@ -438,37 +438,58 @@ MMR_K = 5  # diversified picks per query
 # literals on both engines (DuckDB parses bare 0.7 as DECIMAL — cast).
 
 
-def _mmr_oracle(k: int = MMR_K) -> str:
+def _mmr_oracle(k: int = MMR_K, shortlist: str = "brute") -> str:
     sel = "CAST(0.7 AS DOUBLE) * r.rel - CAST(0.3 AS DOUBLE) * m.ms"
-    parts = [
-        "WITH vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v"
-        " FROM embeddings),",
-        f"normed AS MATERIALIZED (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),",
-        f"qn AS MATERIALIZED (SELECT vec_id AS query_id, vn AS qv FROM normed"
-        f" WHERE vec_id % {QUERY_MOD} = 0),",
-        "pairs AS MATERIALIZED (SELECT q.query_id, c.vec_id AS neighbor_id,"
-        " q.qv AS qv, c.vn AS cv FROM qn q JOIN normed c"
-        " ON c.vec_id <> q.query_id),",
-        f"scored AS MATERIALIZED (SELECT query_id, neighbor_id,"
-        f" {_sql_fold_dot('qv', 'cv')} AS rel FROM pairs),",
-        f"cand AS MATERIALIZED (SELECT * FROM scored QUALIFY row_number() OVER"
-        f" (PARTITION BY query_id ORDER BY rel DESC, neighbor_id)"
-        f" <= {N_CAND}),",
+    if shortlist == "brute":
+        prefix = [
+            "WITH vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[]"
+            " AS v FROM embeddings),",
+            f"normed AS MATERIALIZED (SELECT vec_id, {_SQL_NORM} AS vn"
+            f" FROM vecs),",
+            f"qn AS MATERIALIZED (SELECT vec_id AS query_id, vn AS qv"
+            f" FROM normed WHERE vec_id % {QUERY_MOD} = 0),",
+            "pairs AS MATERIALIZED (SELECT q.query_id, c.vec_id AS"
+            " neighbor_id, q.qv AS qv, c.vn AS cv FROM qn q JOIN normed c"
+            " ON c.vec_id <> q.query_id),",
+            f"scored AS MATERIALIZED (SELECT query_id, neighbor_id,"
+            f" {_sql_fold_dot('qv', 'cv')} AS rel FROM pairs),",
+            f"mcand AS MATERIALIZED (SELECT * FROM scored QUALIFY row_number()"
+            f" OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id)"
+            f" <= {N_CAND}),",
+        ]
+    else:
+        # IVF-PQ shortlist: ADC-top-N_CAND per query (the approx_sim
+        # ordering is the decimal-exact sum, so the shortlist is
+        # engine-deterministic), then exact-cosine rel on the survivors
+        # — the same prune -> compress -> refine contract as
+        # hybrid_search_rrf_scaled's vector arm.
+        prefix = [
+            f"{_SQL_IVFPQ_SCORED_CTES},",
+            f"short AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+            f" SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            f" PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id)"
+            f" AS arank FROM scored) WHERE arank <= {N_CAND}),",
+            f"mcand AS MATERIALIZED (SELECT s.query_id, s.neighbor_id,"
+            f" {_sql_fold_dot('qx.vn', 'cx.vn')} AS rel FROM short s"
+            f" JOIN normed qx ON qx.vec_id = s.query_id"
+            f" JOIN normed cx ON cx.vec_id = s.neighbor_id),",
+        ]
+    parts = prefix + [
         "cv AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, c.rel, n.vn"
-        " FROM cand c JOIN normed n ON c.neighbor_id = n.vec_id),",
+        " FROM mcand c JOIN normed n ON c.neighbor_id = n.vec_id),",
         "sims AS MATERIALIZED (SELECT x.query_id, x.neighbor_id AS a,"
         " y.neighbor_id AS b,"
         f" {_sql_fold_dot('x.vn', 'y.vn')} AS sim"
         " FROM cv x JOIN cv y ON x.query_id = y.query_id"
         " AND x.neighbor_id <> y.neighbor_id),",
-        "m1 AS MATERIALIZED (SELECT query_id, MAX(rel) AS m FROM cand"
+        "m1 AS MATERIALIZED (SELECT query_id, MAX(rel) AS m FROM mcand"
         " GROUP BY query_id),",
         "w1 AS MATERIALIZED (SELECT c.query_id, MIN(c.neighbor_id) AS cand"
-        " FROM cand c JOIN m1 USING (query_id) WHERE c.rel = m1.m"
+        " FROM mcand c JOIN m1 USING (query_id) WHERE c.rel = m1.m"
         " GROUP BY c.query_id),",
         "s1 AS MATERIALIZED (SELECT query_id, cand, CAST(1 AS BIGINT) AS pick"
         " FROM w1),",
-        "rem1 AS MATERIALIZED (SELECT c.* FROM cand c LEFT JOIN w1"
+        "rem1 AS MATERIALIZED (SELECT c.* FROM mcand c LEFT JOIN w1"
         " ON c.query_id = w1.query_id AND c.neighbor_id = w1.cand"
         " WHERE w1.cand IS NULL),",
     ]
@@ -507,10 +528,66 @@ def _mmr_oracle(k: int = MMR_K) -> str:
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
         f"SELECT s.query_id, s.pick, s.cand AS neighbor_id,"
-        f" c.rel AS rel_cos FROM s{k} s JOIN cand c"
+        f" c.rel AS rel_cos FROM s{k} s JOIN mcand c"
         f" ON s.query_id = c.query_id AND s.cand = c.neighbor_id"
     )
     return "\n".join(parts)
+
+
+def _mmr_shortlist_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine top-N_CAND shortlist per query, broadcast-small
+    mode (guard-selected by the caller): (query_id, neighbor_id, rel,
+    cv) — rel is the exact cosine, cv the neighbor's unit vector for
+    the pairwise-sim stage."""
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", "cv", dot("qv", "cv").alias("rel")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_CAND)
+        .select("query_id", "neighbor_id", "rel", "cv")
+    )
+
+
+def _mmr_shortlist_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABOVE-GUARD shortlist: IVF-PQ prune/compress (shuffled — no
+    |Q|-sized broadcast anywhere), ADC-top-N_CAND per query, exact
+    cosine recomputed on the survivors. Same (query_id, neighbor_id,
+    rel, cv) contract as the brute shortlist — the rerank consumes any
+    ranked candidate list. Approximate by design (candidates outside
+    the probed IVF lists are unseen), exactly oracle-able because the
+    ADC ordering uses the decimal-exact sum."""
+    scored = _ivfpq_scored(spark, sf_dir, shuffled=True)
+    aw = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), "neighbor_id"
+    )
+    short = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= N_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    return (
+        short.join(cv.hint("merge"), "neighbor_id")
+        .join(qv.hint("merge"), "query_id")
+        .select("query_id", "neighbor_id", dot("qv", "cv").alias("rel"), "cv")
+    )
 
 
 @register(
@@ -535,45 +612,52 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows by construction — candidate pairwise similarity is N_CAND²
     per query (bounded, computed once and materialized), and each of
     the K unrolled steps is a bounded join + partial-aggregable max.
-    The corpus appears ONLY in the shortlist stage (here the guarded
-    broadcast brute-force baseline; above the guard the shortlist
-    swaps to the IVF-PQ composition exactly like hybrid_search_rrf —
-    the rerank contract is "any ranked candidate list").
+    The corpus appears ONLY in the shortlist stage, and the guard
+    SELECTS it: below the cap, the exact broadcast brute-force
+    baseline (this oracle's semantics); above it, the IVF-PQ
+    prune/compress/refine composition (mmr_diversified_topk_scaled's
+    oracle) — degrades recall, never correctness or driver memory.
+    The rerank contract is "any ranked candidate list".
     """
-    from maplejuice_spark.functions import materialize
-    from maplejuice_spark.operators.similarity import (
-        _require_broadcast_small,
+    q = (
+        _normed_vecs(spark, sf_dir)
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id")
     )
+    if _broadcast_small_ok(
+        q, f"mmr_diversified_topk:{sf_dir}", weight_per_query=1
+    ):
+        cand = _mmr_shortlist_brute(spark, sf_dir)
+    else:
+        cand = _mmr_shortlist_ivfpq(spark, sf_dir)
+    return _mmr_rerank(cand)
 
-    vecs = _normed_vecs(spark, sf_dir).select("vec_id", "vn")
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
-    )
-    _require_broadcast_small(
-        q,
-        "mmr_diversified_topk's shortlist stage is the broadcast-small"
-        " brute-force baseline",
-        "swap the shortlist to the IVF-PQ composition for large query"
-        " sets (the rerank stages are query-set-bounded either way)",
-        weight_per_query=1,
-        cache_key=f"mmr_diversified_topk:{sf_dir}",
-    )
-    c = vecs.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id", "neighbor_id", "cv", dot("qv", "cv").alias("rel")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("rel"), "neighbor_id"
-    )
-    cand = materialize(
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= N_CAND)
-        .select("query_id", "neighbor_id", "rel", "cv")
-    )
+
+@register(
+    "mmr_diversified_topk_scaled",
+    oracle=_mmr_oracle(shortlist="ivfpq"),
+    tags=("retrieval", "similarity", "iterative", "ann", "ivf", "pq"),
+)
+def mmr_diversified_topk_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """mmr_diversified_topk's ABOVE-GUARD composition, runnable (and
+    driver-gated) at any scale: the shortlist is the IVF-PQ ADC
+    top-N_CAND per query (shuffled probe/LUT joins — no |Q|-sized
+    broadcast anywhere, plan-pinned), exact-cosine rescored, then the
+    identical K-step greedy MMR rerank. Approximate where the brute
+    baseline is exact (unprobed IVF lists go unseen) — the recall/cost
+    trade the production rerank makes — while every pick remains
+    engine-deterministic and value-level oracle-able."""
+    return _mmr_rerank(_mmr_shortlist_ivfpq(spark, sf_dir))
+
+
+def _mmr_rerank(cand: DataFrame) -> DataFrame:
+    """The K-step greedy MMR selection over any (query_id, neighbor_id,
+    rel, cv) shortlist — |Q| x N_CAND-bounded throughout."""
+    from maplejuice_spark.functions import materialize
+
+    cand = materialize(cand)
     a = cand.select(
         "query_id", F.col("neighbor_id").alias("a"), F.col("cv").alias("av")
     )

