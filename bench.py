@@ -182,6 +182,72 @@ def main() -> None:
         timings[name] = round(runs[len(runs) // 2], 4)
         spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
 
+    # ---- cold-start (training) rows -----------------------------------
+    # Several families memoize a trained/persisted artifact per
+    # (session, sf_dir) — k-means centroids, BPE merge tables, the
+    # hybrid inverted index, the bucketed shingle/signature store and
+    # the emitted LSH candidate artifact. The serving rows above price
+    # the deployed steady state (artifact warm); these rows price the
+    # COLD path by clearing the memo before every run, so both costs
+    # are visible per round (round-9 verdict accounting note). Reported
+    # separately from the headline total: the serving rows stay
+    # round-over-round comparable.
+    def _clear_kmeans() -> None:
+        from maplejuice_spark.operators import clustering
+
+        clustering._KMEANS_CACHE.clear()
+
+    def _clear_bpe() -> None:
+        from maplejuice_spark.operators import bpe
+
+        bpe._MERGES_CACHE.clear()
+
+    def _clear_lex_index() -> None:
+        from maplejuice_spark.operators import retrieval
+
+        retrieval._LEX_INDEX_CACHE.clear()
+
+    def _clear_shingle_store() -> None:
+        from maplejuice_spark.operators import dedup
+
+        dedup._SHINGLE_STORE_CACHE.clear()
+        dedup._CAND_STORE_CACHE.clear()
+
+    def _clear_cand_artifact() -> None:
+        from maplejuice_spark.operators import dedup
+
+        dedup._CAND_STORE_CACHE.clear()
+
+    TRAIN_ROWS: list[tuple[str, str, object]] = [
+        ("kmeans_train", "kmeans_quantized_assign", _clear_kmeans),
+        ("bpe_train", "bpe_subword_stats", _clear_bpe),
+        ("hybrid_index_train", "hybrid_search_rrf", _clear_lex_index),
+        # rebuilds the persisted doc_id-bucketed store AND the emitted
+        # candidate artifact (full ingest-side cold path)
+        ("shingle_store_train", "minhash_candidates_bucketed",
+         _clear_shingle_store),
+        # audit with a warm store but cold candidate artifact (the
+        # "pipeline re-ran, audit next" deployment shape)
+        ("recall_audit_cold", "minhash_recall_audit", _clear_cand_artifact),
+    ]
+    train: dict[str, float] = {}
+    train_spread: dict[str, list[float]] = {}
+    for row, qname, clear in TRAIN_ROWS:
+        runs = []
+        for i in range(N_TIMED_RUNS + 1):
+            release_checkpoints(spark)
+            clear()
+            t0 = time.perf_counter()
+            qs[qname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if i > 0:  # run 0 warms codegen/JIT only — every run is cold
+                runs.append(time.perf_counter() - t0)
+        runs.sort()
+        train[row] = round(runs[len(runs) // 2], 4)
+        train_spread[row] = [round(runs[0], 4), round(runs[-1], 4)]
+        clear()  # leave the session warm-path state consistent
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -191,6 +257,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "train": train,
+                "train_spread": train_spread,
                 "runs_per_query": N_TIMED_RUNS,
                 "sf": sf,
             }

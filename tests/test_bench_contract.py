@@ -50,3 +50,17 @@ def test_bench_cli_prints_one_json_line_with_contract_keys():
     for name, med in qs.items():
         lo, hi = payload["spread"][name]
         assert lo <= med <= hi, (name, lo, med, hi)
+    # cold-start training rows for the memoized families (round-10):
+    # present, positive, spread-bracketed, and NOT in the serving total
+    tr = payload["train"]
+    for row in (
+        "kmeans_train",
+        "bpe_train",
+        "hybrid_index_train",
+        "shingle_store_train",
+        "recall_audit_cold",
+    ):
+        assert tr[row] > 0, row
+        lo, hi = payload["train_spread"][row]
+        assert lo <= tr[row] <= hi, (row, lo, hi)
+        assert row not in qs
