@@ -217,16 +217,25 @@ def _assert_fixpoint(v: DataFrame, merges) -> None:
     round): a later merge can never recreate an earlier pattern —
     fusion only creates adjacencies involving the NEW symbol, so if
     " l r " is absent after rank k it is absent in the final strings
-    too. If any pattern survived, N_PASSES was too low for some word."""
-    leftover = F.lit(False)
-    for _rank, l, r, _c in merges:
-        leftover = leftover | F.col("s").contains(f" {l} {r} ")
-    unstable = v.filter(leftover).count()
+    too. If any pattern survived, N_PASSES was too low for some word.
+
+    Stated as a JOIN, not a K-term boolean expression: a merged pattern
+    " l r " survives iff (l, r) is still an adjacent symbol pair, so
+    semi-joining the vocabulary's pair frame against the K-row merge
+    table checks every rank in one broadcast join — the expression form
+    hit the codegen/analysis ceiling near K ~ thousands (the
+    production-vocabulary axis), the join form is flat in K."""
+    spark = v.sparkSession
+    mt = spark.createDataFrame(
+        [(l, r) for _rank, l, r, _c in merges], "l string, r string"
+    )
+    unstable = (
+        _pair_counts(v).join(F.broadcast(mt), ["l", "r"], "left_semi").count()
+    )
     if unstable:
         raise RuntimeError(
             f"BPE merges not at fixpoint after {N_PASSES} passes "
-            f"({unstable} words still contain a merge pattern) — "
-            "raise N_PASSES"
+            f"({unstable} surviving merge-pair types) — raise N_PASSES"
         )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import TOKEN_CLASS, TOKEN_DELIM, materialize, tokens
+from maplejuice_spark.functions import TOKEN_CLASS, materialize, tokens
 from maplejuice_spark.registry import register
 
 _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
@@ -170,19 +170,22 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Documents with < 3 tokens have no trigrams and are dropped (the
     oracle's unnest over an empty list drops them identically). That
-    predicate is stated on the RAW text column as "three token runs
-    exist" — a predicate on the computed array (filter(size(sh) > 0))
-    would be alias-substituted by predicate pushdown into a pre-shuffle
-    Filter whose inlined element_at(tokens-expression, i) re-runs the
-    regex split PER ELEMENT ACCESS: O(tokens^2) regex work per document
-    on the unpartitioned scan (measured 10x the whole pipeline). A cheap
-    rlike on text pushes down harmlessly instead.
+    predicate is stated as a SELF-CONTAINED size(tokens(text)) >= 3 —
+    one linear split per row. Two rejected forms, both measured: a
+    predicate on the computed shingle array (filter(size(sh) > 0))
+    gets alias-substituted by pushdown into a pre-shuffle Filter whose
+    inlined element_at(tokens-expression, i) re-runs the regex split
+    PER ELEMENT ACCESS (O(tokens^2), 10x the whole pipeline); and the
+    earlier run-delimiter-run rlike is O(len^2) on a delimiter-free
+    megatoken document — java.util.regex rescans from every start
+    position, so one adversarial 1 MB single-token doc hung the scan
+    for hours (round-10 adversarial find; possessive quantifiers do
+    not help, the rescan is across start positions, not backtracking).
     """
     docs = (
         load_table(spark, sf_dir, "documents")
-        # >= 3 maximal [A-Za-z0-9-]+ runs <=> >= 1 word-trigram shingle;
-        # class-based (not dot) so embedded newlines don't break it.
-        .filter(F.col("text").rlike(f"{TOKEN_CLASS}{TOKEN_DELIM}" * 2 + TOKEN_CLASS))
+        # >= 3 maximal [A-Za-z0-9-]+ runs <=> >= 1 word-trigram shingle
+        .filter(F.size(tokens("text")) >= 3)
         .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = docs.select("doc_id", tokens("text").alias("toks"))

@@ -554,7 +554,17 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = norm.select(
         "doc_id", "s", (F.length("s") - K_WINNOW + 1).alias("m")
     )
-    h = g.select(
+    # chars in its OWN projection: k-grams index this array with O(1)
+    # ordinal access. The previous form took s.substr(i, K) per k-gram,
+    # and UTF8String.substring scans from the string head to find the
+    # char offset — O(i) per call, O(L^2) per document: measured 21 s /
+    # 68 s / 270 s at 100k / 200k / 400k chars, i.e. a 10 MB document
+    # would take days in ONE task (round-10 adversarial-input find).
+    # The array form is O(L*k); same hashes, oracle untouched.
+    c = g.select(
+        "doc_id", "m", F.split("s", "").alias("chars")
+    )
+    h = c.select(
         "doc_id",
         "m",
         F.when(
@@ -562,7 +572,11 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(1), F.col("m")),
                 lambda i: F.substring(
-                    F.md5(F.col("s").substr(i, F.lit(K_WINNOW)).cast("binary")),
+                    F.md5(
+                        F.concat_ws(
+                            "", F.slice("chars", i, K_WINNOW)
+                        ).cast("binary")
+                    ),
                     1,
                     8,
                 ),

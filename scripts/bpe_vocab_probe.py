@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Drive the BPE production-vocabulary path at a REAL vocabulary size
+(round-10 ask #5): train the batched-merge trainer to K merges on a
+synthetic corpus rich enough to sustain it, record rounds / wall /
+driver-collected bytes for SCALE.md's vocab-axis model, and
+differential-check the Arrow apply kernel against the chunked codegen
+replace-chain at the largest K where both run.
+
+Usage: bpe_vocab_probe.py [K] [BATCH] [DIFF_K]
+Defaults: K=8192, BATCH=64, DIFF_K=1024.
+
+The corpus is deterministic (seeded): ~30k distinct pseudo-words of
+12-20 lowercase chars with zipf-ish repetition — enough distinct
+adjacent-pair types to sustain tens of thousands of merges (the
+testdata vocabulary fully fuses at 89).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+DIFF_K = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+
+N_WORDS = 30_000
+N_INSTANCES = 120_000
+WORDS_PER_DOC = 100
+
+
+def synth_docs(spark):
+    rng = random.Random(0)
+    words = set()
+    while len(words) < N_WORDS:
+        n = rng.randint(12, 20)
+        words.add("".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)))
+    words = sorted(words)
+    # zipf-ish instance stream: rank r drawn with weight ~ 1/(r+1)
+    weights = [1.0 / (i + 1) for i in range(N_WORDS)]
+    inst = rng.choices(words, weights=weights, k=N_INSTANCES - N_WORDS)
+    inst.extend(words)  # every word appears at least once
+    rng.shuffle(inst)
+    docs = [
+        (i, " ".join(inst[i * WORDS_PER_DOC : (i + 1) * WORDS_PER_DOC]))
+        for i in range(len(inst) // WORDS_PER_DOC)
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def main() -> None:
+    from maplejuice_spark.operators.bpe import (
+        N_PASSES,
+        _vocab_frame,
+        apply_merges_arrow,
+        apply_merges_codegen,
+        learn_merges_batched,
+    )
+    from maplejuice_spark.session import get_spark
+
+    spark = get_spark(app_name="bpe_vocab_probe")
+    docs = synth_docs(spark)
+    docs.count()  # materialize the synthetic corpus outside the timer
+
+    t0 = time.perf_counter()
+    merges = learn_merges_batched(spark, "<synthetic>", K, BATCH, docs=docs)
+    train_wall = time.perf_counter() - t0
+    rounds = -(-K // BATCH)
+    merge_bytes = sum(len(l) + len(r) + 16 for _rank, l, r, _c in merges)
+    print(
+        f"TRAIN k={K} batch={BATCH} rounds<={rounds} "
+        f"wall={train_wall:.1f}s merge_table_bytes={merge_bytes}"
+    )
+
+    # Arrow apply over the full vocabulary at the FULL K
+    v = _vocab_frame(spark, "<synthetic>", docs=docs)
+    t0 = time.perf_counter()
+    arrow_full = apply_merges_arrow(v, merges)
+    n_syms = arrow_full.selectExpr(
+        "sum(size(split(trim(s), ' '))) AS n"
+    ).collect()[0]["n"]
+    arrow_wall = time.perf_counter() - t0
+    print(
+        f"ARROW-APPLY k={K} vocab_rows={v.count()} wall={arrow_wall:.1f}s "
+        f"subword_symbols={n_syms}"
+    )
+
+    # Differential at DIFF_K: Arrow kernel vs chunked codegen chain must
+    # be byte-identical (same iterated leftmost-non-overlapping replace)
+    sub = merges[:DIFF_K]
+    sample = v.orderBy("word").limit(500)
+    t0 = time.perf_counter()
+    a = {
+        r["word"]: r["s"]
+        for r in apply_merges_arrow(sample, sub).collect()
+    }
+    aw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c = {
+        r["word"]: r["s"]
+        for r in apply_merges_codegen(sample, sub, N_PASSES, chunk=32).collect()
+    }
+    cw = time.perf_counter() - t0
+    assert a == c, "Arrow apply diverged from the codegen replace-chain"
+    print(
+        f"DIFFERENTIAL k={DIFF_K} rows=500 byte-identical "
+        f"arrow={aw:.1f}s codegen_chunk32={cw:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()
