@@ -152,6 +152,98 @@ _SQL_NORM = f"list_transform(v, x -> x / sqrt({_sql_fold_dot('v', 'v')}))"
 _NORMED_VECS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _embedding_ok(c: str = "embedding"):
+    """Boolean ingest-gate predicate for one embedding row: present,
+    exactly DIM components, every component finite, not the zero
+    vector. Everything downstream of the gate may assume it: a NaN or
+    zero-norm vector otherwise NaN-poisons every cosine it touches,
+    and NaN ORDERS DIFFERENTLY across engines (Spark sorts NaN above
+    every double; the oracle dialect does not), so one bad row would
+    silently corrupt every top-k it reaches. Classes are checked in
+    precedence order so each row lands in exactly one bucket."""
+    col = F.col(c)
+    nonfinite = F.exists(
+        col,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    nonzero = F.exists(col, lambda x: x.cast("double") != 0.0)
+    return (
+        col.isNotNull() & (F.size(col) == DIM) & ~nonfinite & nonzero
+    )
+
+
+def gate_embeddings(df: DataFrame) -> DataFrame:
+    """The embedding ingest gate as a frame transform: keep only rows
+    _embedding_ok admits. Row-local projection — fuses into the scan,
+    zero exchanges; identity on clean corpora (every tested scale)."""
+    return df.where(_embedding_ok())
+
+
+@register(
+    "embedding_ingest_gate",
+    oracle=f"""
+    WITH c AS (
+      SELECT CASE
+        WHEN embedding IS NULL THEN 'null'
+        WHEN len(embedding) <> {DIM} THEN 'wrong_dim'
+        WHEN len(list_filter(embedding, x ->
+               isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+          THEN 'nonfinite'
+        WHEN len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+          THEN 'zero_norm'
+        ELSE 'ok' END AS cls
+      FROM embeddings
+    )
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN cls = 'null' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN cls = 'wrong_dim' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wrong_dim,
+           CAST(SUM(CASE WHEN cls = 'nonfinite' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           CAST(SUM(CASE WHEN cls = 'zero_norm' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(SUM(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok
+    FROM c
+    """,
+    tags=("similarity", "quality", "ingest", "north-star"),
+)
+def embedding_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ingest census — the audit a vector pipeline reports
+    before any ANN index builds: per-corpus counts of null / wrong-
+    dimension / non-finite / zero-norm / admissible vectors. The same
+    predicate gates _normed_vecs, so this census states exactly what
+    the ANN family silently dropped (on clean corpora: nothing).
+
+    Scale (100 TB): one scan, row-local classification, one 6-counter
+    partial agg — nothing else moves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    col = F.col("embedding")
+    nonfinite = F.exists(
+        col,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    nonzero = F.exists(col, lambda x: x.cast("double") != 0.0)
+    cls = (
+        F.when(col.isNull(), F.lit("null"))
+        .when(F.size(col) != DIM, F.lit("wrong_dim"))
+        .when(nonfinite, F.lit("nonfinite"))
+        .when(~nonzero, F.lit("zero_norm"))
+        .otherwise(F.lit("ok"))
+    )
+    c = emb.select(cls.alias("cls"))
+    agg = [
+        F.sum(F.when(F.col("cls") == k, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{k}")
+        for k in ("null", "wrong_dim", "nonfinite", "zero_norm", "ok")
+    ]
+    return c.agg(F.count(F.lit(1)).alias("n_total"), *agg)
+
+
 def _normed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, vn) with vn = v/|v|; the norm is materialized in its
     own projection so the transform lambda doesn't re-fold per element.
@@ -170,7 +262,12 @@ def _normed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     out = materialize(
-        load_table(spark, sf_dir, "embeddings")
+        # ingest-gated: null / wrong-dim / non-finite / zero-norm rows
+        # are dropped HERE (identity on clean corpora — every tested
+        # scale; embedding_ingest_gate is the census of what's dropped).
+        # The ANN oracles' _SQL_NORM twin assumes gated input: a NaN
+        # cosine would otherwise rank differently per engine.
+        gate_embeddings(load_table(spark, sf_dir, "embeddings"))
         # single-file input -> one partition; spread the fold-heavy
         # vector math across all cores (no-op on pre-partitioned lakes)
         .repartition(spark.sparkContext.defaultParallelism)

@@ -1,0 +1,99 @@
+"""Adversarial-embedding hardening: null / wrong-dimension / NaN /
+infinity / zero-norm vectors through the ingest gate and the ANN
+family. One unhandled NaN cosine silently poisons every top-k it
+reaches (Spark sorts NaN above every double), so the contract is:
+the gate drops exactly the inadmissible rows, the census counts them
+exactly, and everything the ANN family emits stays finite."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _vec(seed: int, dim: int = 64):
+    # deterministic, non-degenerate unit-ish vector
+    return [math.sin(seed * 0.7 + j * 0.13) for j in range(dim)]
+
+
+N_OK = 24  # includes ids 0 and 100 (the ANN query set: id % 100 == 0)
+
+BAD = {
+    1001: None,  # null embedding
+    1002: [1.0, 2.0, 3.0],  # wrong dimension
+    1003: _vec(3)[:32] + [float("nan")] + _vec(3)[33:],  # NaN component
+    1004: _vec(4)[:10] + [float("inf")] + _vec(4)[11:],  # +inf component
+    1005: [-float("inf")] + _vec(5)[1:],  # -inf component
+    1006: [0.0] * 64,  # zero vector
+}
+
+
+@pytest.fixture(scope="module")
+def adv_vec_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_vec_sf")
+    ok_ids = [0, 100] + [7 * i + 3 for i in range(N_OK - 2)]
+    rows = [(i, _vec(i), i % 4) for i in ok_ids]
+    rows += [(k, v, 0) for k, v in BAD.items()]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d), set(ok_ids)
+
+
+def test_ingest_census_counts_each_class_exactly(spark, adv_vec_dir):
+    from maplejuice_spark.operators.similarity import embedding_ingest_gate
+
+    d, ok_ids = adv_vec_dir
+    row = embedding_ingest_gate(spark, d).collect()[0]
+    assert row.n_total == len(ok_ids) + len(BAD)
+    assert row.n_null == 1
+    assert row.n_wrong_dim == 1
+    assert row.n_nonfinite == 3  # one NaN row + two inf rows
+    assert row.n_zero_norm == 1
+    assert row.n_ok == len(ok_ids)
+
+
+def test_gate_admits_exactly_the_clean_rows(spark, adv_vec_dir):
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.operators.similarity import gate_embeddings
+
+    d, ok_ids = adv_vec_dir
+    got = {
+        r.vec_id
+        for r in gate_embeddings(load_table(spark, d, "embeddings"))
+        .select("vec_id")
+        .collect()
+    }
+    assert got == ok_ids
+
+
+def test_normed_vecs_are_finite_after_gate(spark, adv_vec_dir):
+    from pyspark.sql import functions as F
+
+    from maplejuice_spark.operators.similarity import _normed_vecs
+
+    d, ok_ids = adv_vec_dir
+    bad = (
+        _normed_vecs(spark, d)
+        .where(
+            F.exists(
+                "vn",
+                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ann_topk_emits_only_gated_finite_neighbors(spark, adv_vec_dir):
+    from maplejuice_spark.operators.similarity import ann_cosine_topk
+
+    d, ok_ids = adv_vec_dir
+    out = ann_cosine_topk(spark, d).collect()
+    assert out
+    for r in out:
+        assert r.neighbor_id in ok_ids
+        assert r.query_id in ok_ids
+        assert not math.isnan(r.cos_sim) and not math.isinf(r.cos_sim)
