@@ -120,6 +120,34 @@ HEADLINE = [
 # against run-to-run noise (round-4 verdict: n=1 could not).
 N_TIMED_RUNS = 3
 
+# Calibration workload size: a FIXED pure-CPU codegen fold (no I/O, no
+# shuffle beyond the final 1-row agg, independent of sf_dir) recorded
+# in every bench run so round-over-round and judge-vs-builder totals
+# can be normalized for machine state — the round-10 judge measured
+# 3-9x outliers on CPU-bound rows right after an 18-minute test run,
+# which re-timed to ~1x on the cooled machine (VERDICT r10 "Next
+# round" #6). Interpreting it: calibration_sec scales with the same
+# JVM/CPU throughput the codegen-heavy query rows do, so
+# (row_sec / calibration_sec) is the machine-state-adjusted figure to
+# compare across runs; see SCALE.md "Bench calibration".
+CALIBRATION_ROWS = 2_048_000_000
+CALIBRATION_PARTS = 64
+
+
+def _calibration_df(spark):
+    from pyspark.sql import functions as F
+
+    # Knuth-style multiplicative hash + xor-fold per row: integer-only,
+    # branch-free, whole-stage-codegen'd; the single SUM is exact
+    # (bounded below 2^63) and pins the result so dead-code elimination
+    # can't skip the work.
+    i = F.col("id")
+    h = (i * F.lit(2654435761)) % F.lit(1_000_003)
+    return (
+        spark.range(0, CALIBRATION_ROWS, 1, CALIBRATION_PARTS)
+        .select(F.sum(h.bitwiseXOR(i % F.lit(8191))).alias("s"))
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,6 +276,16 @@ def main() -> None:
         train_spread[row] = [round(runs[0], 4), round(runs[-1], 4)]
         clear()  # leave the session warm-path state consistent
 
+    # ---- machine-state calibration row --------------------------------
+    cal_runs: list[float] = []
+    for i in range(N_TIMED_RUNS + 1):
+        release_checkpoints(spark)
+        t0 = time.perf_counter()
+        _calibration_df(spark).write.format("noop").mode("overwrite").save()
+        if i > 0:
+            cal_runs.append(time.perf_counter() - t0)
+    cal_runs.sort()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -259,6 +297,12 @@ def main() -> None:
                 "spread": spread,
                 "train": train,
                 "train_spread": train_spread,
+                "calibration": round(cal_runs[len(cal_runs) // 2], 4),
+                "calibration_spread": [
+                    round(cal_runs[0], 4),
+                    round(cal_runs[-1], 4),
+                ],
+                "calibration_rows": CALIBRATION_ROWS,
                 "runs_per_query": N_TIMED_RUNS,
                 "sf": sf,
             }

@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
 from maplejuice_spark.functions import materialize, to_double_vec
+from maplejuice_spark.operators.similarity import _SQL_GATE, gate_embeddings
 from maplejuice_spark.registry import register
 
 K_CLUSTERS = 4
@@ -113,7 +114,8 @@ def _sql_kmeans_chain(iters: int = ITERS) -> str:
     floordiv = "CAST((sm - ((sm % n + n) % n)) / n AS BIGINT)"
     parts = [
         f"""
-    q AS (SELECT vec_id, {_SQL_QVEC} AS vq FROM embeddings),
+    q AS (SELECT vec_id, {_SQL_QVEC} AS vq FROM embeddings
+         WHERE {_SQL_GATE}),
     {_sql_seed_chain()}
     """
     ]
@@ -167,7 +169,10 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans for 3 rounds). Same discipline as the ANN family's
     # normalized-vector checkpoint.
     return materialize(
-        load_table(spark, sf_dir, "embeddings")
+        # ingest-gated like the ANN family's _normed_vecs: a NaN or
+        # null-element vector would otherwise poison centroid sums on
+        # one engine only (oracle's q CTE carries the same WHERE)
+        gate_embeddings(load_table(spark, sf_dir, "embeddings"))
         # single-file input -> one partition; spread the fold-heavy
         # assignment across all cores (no-op on pre-partitioned lakes)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -432,7 +437,7 @@ def _pi_oracle(n_iter: int = PI_ITER) -> str:
         "WITH q AS MATERIALIZED (SELECT vec_id,"
         " list_transform(embedding::DOUBLE[],"
         f" x -> CAST(floor(x * {PI_B}) AS BIGINT)) AS vq"
-        " FROM embeddings),",
+        f" FROM embeddings WHERE {_SQL_GATE}),",
         "g AS MATERIALIZED ("
         f" SELECT ti.i AS i, tj.j AS j,"
         f" CAST(SUM(vq[ti.i + 1] * vq[tj.j + 1]) AS BIGINT) AS g"
@@ -490,7 +495,8 @@ def power_iteration_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     that, widen the sums to decimal(38,0) (both engines exact).
     """
     q = materialize(
-        load_table(spark, sf_dir, "embeddings")
+        # ingest-gated: mirrors the oracle q CTE's WHERE (see above)
+        gate_embeddings(load_table(spark, sf_dir, "embeddings"))
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "vec_id",

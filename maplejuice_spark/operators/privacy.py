@@ -36,15 +36,19 @@ from maplejuice_spark.catalog import load_table
 from maplejuice_spark.registry import register
 
 # Java-regex / RE2 common-subset patterns (see module docstring).
-# Repeats are RFC-BOUNDED ({1,64} local part, {1,255} domain, {2,63}
-# TLD) rather than unbounded +: Java's backtracking engine is O(n^2)
-# on an unbounded class over a long non-matching run (measured 14 s on
-# one 100 KB letter-only field; bounded, 20 ms — adversarial-input
-# hardening, round 10). RE2 (DuckDB) is linear either way and the two
-# engines still match byte-identically; the only delta is that a
-# local part LONGER than RFC 5321's 64-char cap matches its trailing
-# 64 chars, which is out-of-spec input to begin with.
-RE_EMAIL = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,63}"
+# Repeats are BOUNDED rather than unbounded +: Java's backtracking
+# engine is O(n^2) on an unbounded class over a long non-matching run
+# (measured 14 s on one 100 KB letter-only field; bounded, 20 ms —
+# adversarial-input hardening, round 10). RE2 (DuckDB) is linear
+# either way and the two engines still match byte-identically.
+# The local-part bound is {1,256} — deliberately WELL past RFC 5321's
+# 64 so every address a mail system could ever deliver (total address
+# <= 254 chars) is matched IN FULL and leaves no cleartext fragment
+# after redaction (ADVICE r10 #3; at {1,64} an out-of-RFC 200-char
+# local part matched only its trailing 64 chars). Past 256 the
+# residual prefix contains no '@' and hence no complete address; the
+# bound keeps the measured backtracking blowup away.
+RE_EMAIL = "[A-Za-z0-9._%+-]{1,256}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,63}"
 RE_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 RE_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 RE_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"

@@ -43,6 +43,7 @@ from maplejuice_spark.operators.similarity import (
     _sql_fold_dot,
     _SQL_IVFPQ_SCORED_CTES,
     _SQL_NORM,
+    _SQL_VECS_GATED,
 )
 from maplejuice_spark.registry import register
 
@@ -263,7 +264,7 @@ _SQL_RRF_TAIL = f"""
     "hybrid_search_rrf",
     oracle=f"""
     WITH {_SQL_LEX_CTES},
-    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vecs AS ({_SQL_VECS_GATED}),
     normed AS (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),
     cos AS (
       SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
@@ -280,6 +281,7 @@ _SQL_RRF_TAIL = f"""
     {_SQL_RRF_TAIL}
     """,
     tags=("retrieval", "hybrid", "rrf", "similarity", "text"),
+    scaled_oracle="hybrid_search_rrf_scaled",
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k hybrid retrieval per query document: idf-weighted lexical
@@ -442,8 +444,7 @@ def _mmr_oracle(k: int = MMR_K, shortlist: str = "brute") -> str:
     sel = "CAST(0.7 AS DOUBLE) * r.rel - CAST(0.3 AS DOUBLE) * m.ms"
     if shortlist == "brute":
         prefix = [
-            "WITH vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[]"
-            " AS v FROM embeddings),",
+            f"WITH vecs AS MATERIALIZED ({_SQL_VECS_GATED}),",
             f"normed AS MATERIALIZED (SELECT vec_id, {_SQL_NORM} AS vn"
             f" FROM vecs),",
             f"qn AS MATERIALIZED (SELECT vec_id AS query_id, vn AS qv"
@@ -594,6 +595,7 @@ def _mmr_shortlist_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mmr_diversified_topk",
     oracle=_mmr_oracle(),
     tags=("retrieval", "similarity", "iterative", "north-star"),
+    scaled_oracle="mmr_diversified_topk_scaled",
 )
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
@@ -750,7 +752,7 @@ HN_TAU = 0.35  # semantic ceiling: below this cosine, a lexical hit is "hard"
     "hard_negative_mining",
     oracle=f"""
     WITH {_SQL_LEX_CTES},
-    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vecs AS ({_SQL_VECS_GATED}),
     normed AS (SELECT vec_id, {_SQL_NORM} AS vn FROM vecs),
     top AS (
       SELECT query_id, doc_id, r_lex FROM lex_ranked

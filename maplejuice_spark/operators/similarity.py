@@ -154,14 +154,23 @@ _NORMED_VECS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _embedding_ok(c: str = "embedding"):
     """Boolean ingest-gate predicate for one embedding row: present,
-    exactly DIM components, every component finite, not the zero
-    vector. Everything downstream of the gate may assume it: a NaN or
-    zero-norm vector otherwise NaN-poisons every cosine it touches,
-    and NaN ORDERS DIFFERENTLY across engines (Spark sorts NaN above
-    every double; the oracle dialect does not), so one bad row would
-    silently corrupt every top-k it reaches. Classes are checked in
-    precedence order so each row lands in exactly one bucket."""
+    exactly DIM components, every component non-null and finite, not
+    the zero vector. Everything downstream of the gate may assume it:
+    a NaN or zero-norm vector otherwise NaN-poisons every cosine it
+    touches, and NaN ORDERS DIFFERENTLY across engines (Spark sorts
+    NaN above every double; the oracle dialect does not), so one bad
+    row would silently corrupt every top-k it reaches.
+
+    NULL ELEMENTS are checked explicitly and FIRST: a null component
+    makes the finite/zero lambdas three-valued (exists() returns NULL,
+    not false), which would make this predicate NULL — where() would
+    still drop the row, but the census when-chain (NULL condition is
+    skipped, not taken) and DuckDB's list_filter (drops NULL predicate
+    results) would classify it differently. The explicit ~has_null
+    conjunct short-circuits to FALSE (false AND NULL = false) so all
+    three statements of the gate agree row-for-row (ADVICE r10 #1)."""
     col = F.col(c)
+    has_null = F.exists(col, lambda x: x.isNull())
     nonfinite = F.exists(
         col,
         lambda x: F.isnan(x.cast("double"))
@@ -169,8 +178,35 @@ def _embedding_ok(c: str = "embedding"):
     )
     nonzero = F.exists(col, lambda x: x.cast("double") != 0.0)
     return (
-        col.isNotNull() & (F.size(col) == DIM) & ~nonfinite & nonzero
+        col.isNotNull()
+        & (F.size(col) == DIM)
+        & ~has_null
+        & ~nonfinite
+        & nonzero
     )
+
+
+# DuckDB twin of _embedding_ok() as a WHERE-clause body — mirrored into
+# every ANN/clustering oracle's vector CTE so oracle equality holds on
+# DIRTY corpora too, not only clean ones (ADVICE r10 #2). Identity on
+# clean corpora (every driver fixture), so the stated plans are
+# unchanged where it matters. A null element is classed with nonfinite
+# on both engines (checked via an explicit x IS NULL filter because
+# list_filter DROPS null predicate results — isnan(NULL) is NULL).
+_SQL_GATE = (
+    f"embedding IS NOT NULL AND len(embedding) = {DIM}"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))"
+    " OR isinf(CAST(x AS DOUBLE)))) = 0"
+    " AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) > 0"
+)
+
+# The ingest-gated vector CTE body every ANN oracle starts from — the
+# SQL twin of gate_embeddings(load_table(...)) + to_double_vec.
+_SQL_VECS_GATED = (
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    f" WHERE {_SQL_GATE}"
+)
 
 
 def gate_embeddings(df: DataFrame) -> DataFrame:
@@ -187,6 +223,8 @@ def gate_embeddings(df: DataFrame) -> DataFrame:
       SELECT CASE
         WHEN embedding IS NULL THEN 'null'
         WHEN len(embedding) <> {DIM} THEN 'wrong_dim'
+        WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+          THEN 'nonfinite'
         WHEN len(list_filter(embedding, x ->
                isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
           THEN 'nonfinite'
@@ -221,6 +259,11 @@ def embedding_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg — nothing else moves."""
     emb = load_table(spark, sf_dir, "embeddings")
     col = F.col("embedding")
+    # Null elements are classed FIRST (as nonfinite): past this branch
+    # the finite/zero lambdas below are two-valued, so no NULL ever
+    # reaches a when() condition (which would skip, not take, it) —
+    # see _embedding_ok's docstring for the three-valued-logic trap.
+    has_null = F.exists(col, lambda x: x.isNull())
     nonfinite = F.exists(
         col,
         lambda x: F.isnan(x.cast("double"))
@@ -230,7 +273,7 @@ def embedding_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = (
         F.when(col.isNull(), F.lit("null"))
         .when(F.size(col) != DIM, F.lit("wrong_dim"))
-        .when(nonfinite, F.lit("nonfinite"))
+        .when(has_null | nonfinite, F.lit("nonfinite"))
         .when(~nonzero, F.lit("zero_norm"))
         .otherwise(F.lit("ok"))
     )
@@ -287,7 +330,7 @@ def _normed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_cosine_topk",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
@@ -375,7 +418,7 @@ _SQL_BUCKET = " + ".join(
     "ann_lsh_buckets",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     bucketed AS (
       SELECT vec_id, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM vecs
@@ -429,7 +472,7 @@ _SQL_FIRST_BAND = (
     "ann_lsh_topk",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, {_SQL_NORM} AS vn, CAST({_SQL_BUCKET} AS BIGINT) AS bucket
@@ -568,7 +611,7 @@ N_PROBE = 2  # query-side lists probed
     "ann_ivf_topk",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
@@ -677,7 +720,7 @@ _N_DUP_BANDS = 2  # near-dup blocking: 2 bands x 8 bits
     "dedup_embedding_cosine",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, v,
@@ -907,7 +950,7 @@ _SQL_IVF_TOPK = f"""
     "ann_ivf_recall",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
@@ -1004,7 +1047,7 @@ _SQL_PQ_SLICE = f"list_slice(vn, s * {PQ_SUB} + 1, s * {PQ_SUB} + {PQ_SUB})"
     "ann_pq_topk",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
@@ -1146,7 +1189,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # definition so the two stated plans cannot drift.
 _SQL_IVFPQ_SCORED_CTES = f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
@@ -1444,7 +1487,7 @@ K_MUTUAL = 5  # per-vector neighbor depth for the mutuality test
     "mutual_knn_edges",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {_SQL_VECS_GATED}
     ),
     normed AS (
       SELECT vec_id, v,

@@ -23,18 +23,31 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     tags: tuple[str, ...] = ()
+    # ORACLE SCOPE for guard-selected operators (ADVICE r10 #4): when a
+    # broadcast-small guard makes the operator SELECT a different
+    # composition above the cap (degraded recall by design, e.g. an
+    # IVF-PQ shortlist instead of the exact brute one), `oracle` states
+    # the below-cap semantics and `scaled_oracle` NAMES the registered
+    # `*_scaled` query whose oracle states the above-cap semantics.
+    # tests/test_retrieval.py forces the above-cap arm and verifies the
+    # base operator value-level against that named oracle, so both
+    # scopes are harness-checked, not just documented.
+    scaled_oracle: str | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None, tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    scaled_oracle: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, tags, scaled_oracle)
         return fn
 
     return deco

@@ -49,6 +49,10 @@ ADVERSARIAL_NAMES = {
     4: "N" * 100_000,  # 100 KB name
     5: "injected bob@evil.example.com 123-45-6789 10.0.0.1",
     6: "normal name",
+    # out-of-RFC 200-char local part: at the old {1,64} bound only the
+    # trailing 64 chars matched, leaving 136 bytes of the address in
+    # cleartext after redaction (ADVICE r10 #3) — must scrub in full
+    7: "leak " + "x" * 200 + "@long.example.com end",
 }
 
 
@@ -96,6 +100,10 @@ def test_pii_redact_covers_every_customer(spark, adv_dir):
     assert "bob@evil.example.com" not in red5
     assert "123-45-6789" not in red5
     assert "10.0.0.1" not in red5
+    # the 200-char out-of-RFC local part leaves NO cleartext fragment
+    red7 = rows[7].redacted or ""
+    assert "xxxxx" not in red7 and "@" not in red7
+    assert "leak " in red7 and " end" in red7  # non-PII text survives
     # every non-null-name card embeds at least its synthesized email
     for k, r in rows.items():
         if ADVERSARIAL_NAMES[k] is not None:

@@ -26,6 +26,11 @@ BAD = {
     1004: _vec(4)[:10] + [float("inf")] + _vec(4)[11:],  # +inf component
     1005: [-float("inf")] + _vec(5)[1:],  # -inf component
     1006: [0.0] * 64,  # zero vector
+    # null ELEMENTS make exists()/list_filter three-valued — the
+    # round-10 advisor case: census, gate, and oracle must agree
+    1007: _vec(7)[:20] + [None] + _vec(7)[21:],  # null component
+    1008: [None] + [0.0] * 63,  # null + zero (DuckDB would say
+    #   zero_norm, Spark 'ok', pre-fix — both must say nonfinite now)
 }
 
 
@@ -49,7 +54,7 @@ def test_ingest_census_counts_each_class_exactly(spark, adv_vec_dir):
     assert row.n_total == len(ok_ids) + len(BAD)
     assert row.n_null == 1
     assert row.n_wrong_dim == 1
-    assert row.n_nonfinite == 3  # one NaN row + two inf rows
+    assert row.n_nonfinite == 5  # NaN + two inf + two null-element rows
     assert row.n_zero_norm == 1
     assert row.n_ok == len(ok_ids)
 
@@ -97,3 +102,49 @@ def test_ann_topk_emits_only_gated_finite_neighbors(spark, adv_vec_dir):
         assert r.neighbor_id in ok_ids
         assert r.query_id in ok_ids
         assert not math.isnan(r.cos_sim) and not math.isinf(r.cos_sim)
+
+
+# ---------------------------------------------------------------------------
+# Dirty-corpus ORACLE equality (ADVICE r10 #1/#2): the registered
+# DuckDB oracles carry the same ingest gate as the Spark plans, so
+# Spark-vs-oracle equality must hold on a corpus full of inadmissible
+# vectors — not only on the clean driver fixtures.
+# ---------------------------------------------------------------------------
+
+DIRTY_ORACLE_QUERIES = [
+    "embedding_ingest_gate",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "kmeans_quantized_assign",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_oracle_con(adv_vec_dir):
+    import duckdb
+
+    d, _ok = adv_vec_dir
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DIRTY_ORACLE_QUERIES)
+def test_oracle_equality_on_dirty_corpus(
+    name, spark, adv_vec_dir, dirty_oracle_con
+):
+    from tests.test_oracle import _canon
+
+    from maplejuice_spark.registry import all_queries
+
+    spec = all_queries()[name]
+    d, _ok = adv_vec_dir
+    got = spec.fn(spark, d).toPandas()
+    want = dirty_oracle_con.sql(spec.oracle).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    assert _canon(got) == _canon(want)

@@ -95,3 +95,45 @@ def test_mmr_scaled_plan_has_no_query_sized_broadcast(spark, sf_dir):
     plan = plans.physical_plan(_mmr_shortlist_ivfpq(spark, sf_dir))
     for m in re.finditer(r"BroadcastHashJoin \[([a-z_]+)#", plan):
         assert m.group(1) in {"s", "code", "cid"}, m.group(0)
+
+
+def test_scaled_oracle_names_resolve_and_cover_all_guard_selectors():
+    """Every `scaled_oracle` names a registered query that HAS a DuckDB
+    oracle, and every guard-selecting operator whose above-cap arm
+    changes semantics declares one (ADVICE r10 #4: the oracle scope is
+    registry data, not just prose)."""
+    from maplejuice_spark.registry import all_queries
+
+    specs = all_queries()
+    declared = {n: s.scaled_oracle for n, s in specs.items() if s.scaled_oracle}
+    assert declared == {
+        "hybrid_search_rrf": "hybrid_search_rrf_scaled",
+        "mmr_diversified_topk": "mmr_diversified_topk_scaled",
+    }
+    for target in declared.values():
+        assert target in specs and specs[target].oracle is not None
+
+
+def test_base_ops_match_their_scaled_oracle_above_guard(
+    spark, sf_dir, oracle_con, monkeypatch
+):
+    """The harness-verification form of the oracle-scope contract:
+    force each guard-selecting base operator above its cap and compare
+    it VALUE-LEVEL against the DuckDB oracle named by `scaled_oracle`
+    — so the above-guard composition is oracle-checked through the
+    base entry point, not only through the `*_scaled` twin."""
+    import pandas as pd
+
+    import maplejuice_spark.operators.similarity as sim
+    from maplejuice_spark.registry import all_queries
+    from tests.test_oracle import _canon
+
+    specs = all_queries()
+    monkeypatch.setattr(sim, "MAX_BRUTE_FORCE_QUERIES", 0)
+    for name, spec in sorted(specs.items()):
+        if not spec.scaled_oracle:
+            continue
+        got = spec.fn(spark, sf_dir).toPandas()
+        want = oracle_con.sql(specs[spec.scaled_oracle].oracle).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert _canon(got) == _canon(want), name
