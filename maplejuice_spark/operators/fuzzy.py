@@ -54,45 +54,82 @@ similarity use the MinHash/SimHash family in operators/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.functions import materialize
+from maplejuice_spark.registry import register
 from maplejuice_spark.operators.skew import salted_self_pairs
 
-__all__ = ["ed_candidate_pairs", "fuzzy_self_join"]
+__all__ = ["ed_candidate_pairs", "fuzzy_self_join", "gate_names"]
 
 # Prefix-filter parameters: q-gram width and supported edit distance.
 Q = 2
+
+# Ingest length gate (round-10 adversarial rule applied to this
+# family, VERDICT r10 "What's wrong" #1): this is a SHORT-string
+# operator (names, titles, codes), but nothing used to stop one
+# adversarial multi-megabyte "name" from serializing an executor core
+# — the occ computation is O(m^2) comparisons per ROW, invisible at
+# every fixture scale and quadratic in field length, the exact bug
+# class SCALE.md probe 15 records. Strings longer than MAX_NAME_LEN
+# are dropped at ingest (gate_names; fuzzy_name_ingest_gate is the
+# registered census of what the gate would drop — the
+# similarity.gate_embeddings pattern). At the cap, the occ work is
+# ≤ ~1M cheap char-pair compares per row — bounded, not corpus-shaped.
+MAX_NAME_LEN = 1024
+
+
+def gate_names(df: DataFrame, s_col: str) -> DataFrame:
+    """Length-gate a name frame for the fuzzy family: keep rows whose
+    string is non-null and at most MAX_NAME_LEN chars. Row-local
+    projection, fuses into the scan; identity on every name-shaped
+    corpus (TPC-H s_name is ~18 chars)."""
+    c = F.col(s_col)
+    return df.where(c.isNotNull() & (F.length(c) <= MAX_NAME_LEN))
 
 
 def _gram_occ(s: Column, q: int = Q) -> Column:
     """Array of (gram, occ) structs for every q-gram of ``s``, where occ
     numbers repeated gram values 1..count within the string (multiset
-    identity). Row-local; O(m^2) comparisons per row, fine for
-    name-length strings."""
-    m = F.greatest(F.length(s) - (q - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), m)
+    identity). Row-local.
 
-    def gram_at(i: Column) -> Column:
-        return F.substring(s, i, q)
+    Grams are sliced from a PRE-SPLIT char array (the text.py winnowing
+    fix, round 10): ``F.substring(s, i, q)`` re-scans the string head
+    per call, making the old nested-filter occ computation O(m^2)
+    substring calls x O(m) scan each = O(m^3) char work per row. Here
+    each gram is an O(q) slice+join and occ is an index-aware filter
+    over the gram array — O(m^2) q-char equality compares, no slice
+    copies. Combined with the MAX_NAME_LEN ingest gate the per-row
+    cost is hard-bounded."""
+    chars = F.split(s, "")
+    m = F.greatest(F.length(s) - (q - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(chars, i, q), ""),
+    )
+
+    def occ_at(g: Column, i: Column) -> Column:
+        # occurrence index of grams[i] among grams[0..i] (1-based)
+        return F.size(
+            F.filter(grams, lambda h, j: (j <= i) & (h == g))
+        )
 
     return F.transform(
-        idx,
-        lambda i: F.struct(
-            gram_at(i).alias("gram"),
-            F.size(
-                F.filter(
-                    F.sequence(F.lit(1), i), lambda j: gram_at(j) == gram_at(i)
-                )
-            ).alias("occ"),
-        ),
+        grams,
+        lambda g, i: F.struct(g.alias("gram"), occ_at(g, i).alias("occ")),
     )
 
 
 def _del_variants(s: Column, k: int) -> Column:
     """All strings obtainable from ``s`` by deleting up to ``k`` (<= 2)
-    characters, including ``s`` itself. Row-local."""
+    characters, including ``s`` itself. Row-local.
+
+    Cost note (the r10 per-row-superlinear audit): O(n^2) variants of
+    O(n) concat work each — but this arm only ever receives strings
+    with len <= short_max = Q*(k+1)-1 (<= 5 chars at k=2; the caller
+    filters), so the per-row bound is a CONSTANT (<= ~16 variants),
+    not a field-length-shaped cost. Callers must keep that filter."""
     if k > 2:
         raise ValueError("symmetric-deletion arm supports k <= 2")
     n = F.length(s)
@@ -138,6 +175,7 @@ def ed_candidate_pairs(
     prefix_len = k * Q + 1
     short_max = Q * (k + 1) - 1  # m <= k*Q  <=>  len <= this
 
+    names = gate_names(names, s_col)  # see MAX_NAME_LEN
     base = names.select(
         F.col(id_col).alias("id"),
         F.col(s_col).alias("s"),
@@ -239,4 +277,48 @@ def fuzzy_self_join(
         .select(
             F.col("id1"), F.col("id2"), F.col("dist")
         )
+    )
+
+
+@register(
+    "fuzzy_name_ingest_gate",
+    oracle=f"""
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN s_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN s_name IS NOT NULL
+                          AND len(s_name) > {MAX_NAME_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlong,
+           CAST(SUM(CASE WHEN s_name IS NOT NULL
+                          AND len(s_name) <= {MAX_NAME_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(MAX(len(s_name)) AS BIGINT) AS max_len
+    FROM supplier
+    """,
+    tags=("fuzzy", "quality", "ingest"),
+)
+def fuzzy_name_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest census for the fuzzy-name family: per-corpus counts of
+    null / overlong (> MAX_NAME_LEN chars) / admissible name rows over
+    the supplier table — the gate_embeddings/embedding_ingest_gate
+    pattern applied to the edit-distance operators, so what gate_names
+    silently drops is always stateable (on every name-shaped corpus:
+    nothing). One scan, row-local classification, one counter agg."""
+    from maplejuice_spark.catalog import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    c = F.col("s_name")
+    return sup.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint")
+        .alias("n_null"),
+        F.sum(
+            F.when(c.isNotNull() & (F.length(c) > MAX_NAME_LEN), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_overlong"),
+        F.sum(
+            F.when(c.isNotNull() & (F.length(c) <= MAX_NAME_LEN), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_ok"),
+        F.max(F.length(c)).cast("bigint").alias("max_len"),
     )

@@ -160,3 +160,67 @@ def test_fuzzy_multichunk_differential(spark):
         for r in fuzzy_self_join(df, "id", "s", k=2).collect()
     }
     assert got == _brute(rows, 2)
+
+
+def test_gram_occ_char_array_form_matches_reference(spark):
+    """The round-11 pre-split char-array _gram_occ must produce exactly
+    the (gram, occ) multiset keys the substring form did — computed
+    here independently in Python."""
+    from pyspark.sql import functions as F
+
+    from maplejuice_spark.operators.fuzzy import Q, _gram_occ
+
+    strs = ["Supplier#000000001", "aaaaaa", "ab", "abcabcab", "ababab"]
+    df = spark.createDataFrame([(s,) for s in strs], ["s"])
+    got = {
+        r.s: [(x.gram, x.occ) for x in r.g]
+        for r in df.select("s", _gram_occ(F.col("s")).alias("g")).collect()
+    }
+    for s in strs:
+        grams = [s[i : i + Q] for i in range(len(s) - Q + 1)]
+        want = []
+        for i, g in enumerate(grams):
+            want.append((g, grams[: i + 1].count(g)))
+        assert got[s] == want, s
+
+
+def test_adversarial_megabyte_name_is_gated_not_quadratic(spark):
+    """VERDICT r10 #1 'done' bar: a >=1 MB single name runs in seconds,
+    not hours — the ingest gate drops it (censused semantics), normal
+    pairs are unchanged, and nulls don't crash."""
+    import time
+
+    from maplejuice_spark.operators.fuzzy import MAX_NAME_LEN
+
+    rows = [(i, f"Supplier#{i:09d}") for i in range(1, 40)]
+    rows += [
+        (9001, "x" * 1_000_000),  # 1 MB name: O(m^2) occ would be 10^12
+        (9002, "y" * (MAX_NAME_LEN + 1)),  # just past the gate
+        (9003, None),  # null name
+    ]
+    want = _brute([(i, s) for i, s in rows[:39]], 2)
+    df = spark.createDataFrame(rows, "id long, s string").repartition(8)
+    t0 = time.perf_counter()
+    got = {
+        (r.id1, r.id2, r.dist)
+        for r in fuzzy_self_join(df, "id", "s", k=2).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert got == want  # gated rows appear in NO pair; others unchanged
+    assert elapsed < 120, f"megabyte name took {elapsed:.0f}s — gate broken"
+
+
+def test_boundary_length_names_still_join_exactly(spark):
+    """Names AT the gate (len == MAX_NAME_LEN) stay first-class: exact
+    pairs at the boundary, where the O(m^2) occ work is at its cap."""
+    from maplejuice_spark.operators.fuzzy import MAX_NAME_LEN
+
+    base = ("ab" * MAX_NAME_LEN)[:MAX_NAME_LEN]
+    rows = [
+        (1, base),
+        (2, base[:-1] + "z"),  # dist 1
+        (3, base[:-2] + "zz"),  # dist 2
+        (4, "c" + base[1:-1] + "z"),  # dist 2
+        (5, base[::-1]),  # far away
+    ]
+    _run(spark, rows)
