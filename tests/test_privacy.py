@@ -18,10 +18,20 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from maplejuice_spark.operators.privacy import (
+    CC_POOL,
+    IBAN_POOL,
+    KEY_POOL,
+    RE_AKIA,
+    RE_CC,
     RE_EMAIL,
+    RE_IBAN,
     RE_IPV4,
     RE_PHONE,
+    RE_SKEY,
     RE_SSN,
+    _iban_mod97,
+    _luhn_sum,
+    pii_detect,
     pii_redact,
 )
 from maplejuice_spark.operators.pipeline import chunk_documents
@@ -41,10 +51,14 @@ def test_redacted_text_has_no_residual_pii(spark, sf_dir):
                 ("phones", RE_PHONE),
                 ("ips", RE_IPV4),
                 ("ssns", RE_SSN),
+                ("ccards", RE_CC),
+                ("ibans", RE_IBAN),
+                ("akias", RE_AKIA),
+                ("skeys", RE_SKEY),
             )
         ]
     ).collect()[0]
-    assert tuple(residual) == (0, 0, 0, 0)
+    assert tuple(residual) == (0,) * 8
 
 
 def test_redaction_count_matches_residues(spark, sf_dir):
@@ -54,7 +68,10 @@ def test_redaction_count_matches_residues(spark, sf_dir):
     assert rows
     for r in rows:
         k = r["c_custkey"]
-        want = 1 + (k % 3 != 0) + (k % 2 == 0) + (k % 5 == 0)
+        want = (
+            1 + (k % 3 != 0) + (k % 2 == 0) + (k % 5 == 0)
+            + (k % 7 == 0) + (k % 11 == 3) + (k % 4 == 1)
+        )
         assert r["n_redactions"] == want, k
 
 
@@ -113,3 +130,36 @@ def test_taxonomy_struct_max_tiebreak(spark):
     assert got[1] == ("zeta", 3)
     # doc 2: plain argmax
     assert got[2] == ("a", 7)
+
+
+def test_pools_alternate_valid_invalid_by_construction():
+    """Even pool indexes carry checksum-valid tokens, odd invalid —
+    verified with this module's own reference folds (the engine twins
+    are exercised by the detect census and its oracle)."""
+    for t, cc in enumerate(CC_POOL):
+        ok = _luhn_sum(cc.replace("-", "")) % 10 == 0
+        assert ok == (t % 2 == 0), (t, cc)
+    for t, ib in enumerate(IBAN_POOL):
+        assert (_iban_mod97(ib) == 1) == (t % 2 == 0), (t, ib)
+    # entropy proxy: even = real-looking secret, odd = placeholder
+    for t, key in enumerate(KEY_POOL):
+        assert (len(set(key)) >= 12) == (t % 2 == 0), (t, key)
+
+
+def test_detect_census_is_nonvacuous_in_every_new_class(spark, sf_dir):
+    """Every new class must have hit AND miss rows: shaped > valid > 0
+    (a census that can't fail would prove nothing)."""
+    tot = (
+        pii_detect(spark, sf_dir)
+        .groupBy()
+        .sum(
+            "ccards", "ccards_luhn_valid",
+            "ibans", "ibans_mod97_valid",
+            "api_keys", "api_keys_high_entropy",
+        )
+        .collect()[0]
+    )
+    cc, ccv, ib, ibv, ak, akh = tuple(tot)
+    assert cc > ccv > 0, (cc, ccv)
+    assert ib > ibv > 0, (ib, ibv)
+    assert ak > akh > 0, (ak, akh)
