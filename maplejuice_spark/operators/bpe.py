@@ -255,10 +255,34 @@ def _learn_merges_spark(
     """Distributed BPE training: returns the merge list [(rank, l, r,
     freq)] and the final vocabulary frame (word, cnt, s) — the frame is
     None on a memo hit (no current caller consumes it)."""
+    from maplejuice_spark import artifacts
+
     key = (spark.sparkContext.applicationId, sf_dir, k_max)
     hit = _MERGES_CACHE.get(key)
     if hit is not None:
         return hit, None
+
+    # Persisted-artifact serve path (round 11): a previous session's
+    # merges.txt-equivalent — a K-row parquet table — is read back and
+    # the K sequential training argmaxes are skipped entirely. The
+    # memo is a cache over the artifact.
+    path = artifacts.artifact_path(
+        f"bpe_merges_k{k_max}", sf_dir, ("documents",), "v1"
+    )
+    if artifacts.is_persisted(path):
+        artifacts.READ_COUNTS[f"bpe_merges_k{k_max}"] = (
+            artifacts.READ_COUNTS.get(f"bpe_merges_k{k_max}", 0) + 1
+        )
+        merges = [
+            (int(r.rank), r.l, r.r, int(r.freq))
+            for r in spark.read.parquet(path).orderBy("rank").collect()
+        ]
+        _MERGES_CACHE[key] = merges
+        return merges, None
+
+    artifacts.BUILD_COUNTS[f"bpe_merges_k{k_max}"] = (
+        artifacts.BUILD_COUNTS.get(f"bpe_merges_k{k_max}", 0) + 1
+    )
     v = _vocab_frame(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k_max + 1):
@@ -278,6 +302,9 @@ def _learn_merges_spark(
             )
         )
     _assert_fixpoint(v, merges)
+    spark.createDataFrame(
+        merges, "rank int, l string, r string, freq bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
     _MERGES_CACHE[key] = merges
     return merges, v
 

@@ -198,14 +198,46 @@ _KMEANS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, list]] = {}
 def _trained_model(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list]:
-    """Train-once accessor: (assignment frame, final centroids), memoized
-    per (session, sf_dir) the way similarity._normed_vecs memoizes the
-    normalized-embedding checkpoint."""
+    """Train-or-serve accessor: (assignment frame, final centroids).
+
+    The trained model is a PERSISTED lake artifact (round 11): one
+    2K-row parquet table of (stage, k, cq) where stage 'assign' holds
+    the centroids the final assignment derives from and stage 'final'
+    the post-update list the size/purity queries read. A session with
+    the artifact present serves by re-running ONLY the one-scan
+    _assign_frame against the read-back 'assign' centroids — zero
+    seeding scans, zero Lloyd rounds (byte-identical by construction:
+    the loop computes the assignment with the same _assign_frame). The
+    memo is a cache over the artifact."""
+    from maplejuice_spark import artifacts
+
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _KMEANS_CACHE.get(key)
     if hit is None:
         vecs = _quantized_vecs(spark, sf_dir)
-        assign, cents = _kmeans_rounds(vecs)
+        path = artifacts.artifact_path(
+            "kmeans_model", sf_dir, ("embeddings",), "v1"
+        )
+        if artifacts.is_persisted(path):
+            artifacts.READ_COUNTS["kmeans_model"] = (
+                artifacts.READ_COUNTS.get("kmeans_model", 0) + 1
+            )
+            rows = spark.read.parquet(path).collect()  # 2K rows
+            by_stage: dict[str, list] = {"assign": [], "final": []}
+            for r in rows:
+                by_stage[r.stage].append((int(r.k), list(r.cq)))
+            assign = _assign_frame(vecs, sorted(by_stage["assign"]))
+            cents = sorted(by_stage["final"])
+        else:
+            artifacts.BUILD_COUNTS["kmeans_model"] = (
+                artifacts.BUILD_COUNTS.get("kmeans_model", 0) + 1
+            )
+            assign, assign_cents, cents = _kmeans_rounds(vecs)
+            spark.createDataFrame(
+                [("assign", k, cq) for k, cq in assign_cents]
+                + [("final", k, cq) for k, cq in cents],
+                "stage string, k bigint, cq array<bigint>",
+            ).coalesce(1).write.mode("overwrite").parquet(path)
         hit = (vecs, assign, cents)
         _KMEANS_CACHE[key] = hit
     return hit[1], hit[2]
@@ -244,10 +276,28 @@ def _maxmin_seeds(vecs: DataFrame) -> list[tuple[int, list[int]]]:
     return seeds
 
 
-def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list]:
+def _assign_frame(vecs: DataFrame, cents: list) -> DataFrame:
+    """One-scan assignment of every vector to its nearest centroid
+    (argmin with smallest-k tie-break: array_position finds the FIRST
+    index holding the min; cents must be sorted by k). This is the
+    SERVING step — shared by the Lloyd loop and the persisted-model
+    read-back path, so both assign identically by construction."""
+    dists = F.array(*[_dist_to(cq) for _k, cq in cents])
+    ks = F.array(*[F.lit(int(k)) for k, _cq in cents])
+    cluster = F.element_at(
+        ks, F.array_position(dists, F.array_min(dists)).cast("int")
+    )
+    return vecs.select("vec_id", "vq", cluster.alias("cluster_id"))
+
+
+def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list, list]:
     """Up to ITERS Lloyd rounds (early-stopped at the centroid
-    fixpoint); returns (assignment frame with vq carried, final
-    centroid list [(k, [int]*DIM)] sorted by k)."""
+    fixpoint); returns (assignment frame with vq carried, the centroid
+    list the assignment derives from, final centroid list) — each list
+    [(k, [int]*DIM)] sorted by k. The assignment centroids are what a
+    serving session needs to REPRODUCE the assignment without
+    retraining (the final list is the model the size/purity queries
+    read); both are persisted by _trained_model."""
 
     def centroid_lits(rows: list) -> list[tuple[int, list[int]]]:
         return sorted((r.k, list(r.cq)) for r in rows)
@@ -256,18 +306,11 @@ def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list]:
     # (IVF-centroid discipline); cluster ids are the seed vec_ids
     cents = sorted(_maxmin_seeds(vecs))
 
-    dist_to = _dist_to
-
     assign = None
+    assign_cents = cents
     for _t in range(1, ITERS + 1):
-        dists = F.array(*[dist_to(cq) for _k, cq in cents])
-        ks = F.array(*[F.lit(int(k)) for k, _cq in cents])
-        # argmin with smallest-k tie-break: array_position finds the
-        # FIRST index holding the min; cents is sorted by k.
-        cluster = F.element_at(
-            ks, F.array_position(dists, F.array_min(dists)).cast("int")
-        )
-        assign = vecs.select("vec_id", "vq", cluster.alias("cluster_id"))
+        assign_cents = cents
+        assign = _assign_frame(vecs, cents)
         sums = (
             assign.select(
                 "cluster_id", F.posexplode("vq").alias("dim0", "val")
@@ -313,7 +356,7 @@ def _kmeans_rounds(vecs: DataFrame) -> tuple[DataFrame, list]:
             cents = new_cents
             break
         cents = new_cents
-    return assign, cents
+    return assign, assign_cents, cents
 
 
 @register(

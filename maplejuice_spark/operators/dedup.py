@@ -431,14 +431,53 @@ def _bucketed_shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     by LSH construction) shuffles into the bucket layout.
     """
     import hashlib
+    import os
 
+    from maplejuice_spark import artifacts
     from maplejuice_spark.sources import write_bucketed
 
     key = (spark.sparkContext.applicationId, sf_dir)
     table = _SHINGLE_STORE_CACHE.get(key)
     if table is None:
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        # CONTENT fingerprint in the table name (round 11): a corpus
+        # rewritten at the same path gets a fresh store; an untouched
+        # one can be re-attached by a later session with zero rebuild.
+        digest = hashlib.md5(
+            (
+                sf_dir
+                + artifacts._source_fingerprint(sf_dir, ("documents",), "v1")
+            ).encode()
+        ).hexdigest()[:10]
         table = f"mj_shingle_store_{digest}"
+        store_path = f"/tmp/mj_bucketed/{table}"
+        if not spark.catalog.tableExists(table) and os.path.exists(
+            os.path.join(store_path, "_SUCCESS")
+        ):
+            # Cross-session re-attach: the external bucketed data is on
+            # disk but this session's catalog has no entry. Re-register
+            # with the identical bucket spec (n_buckets is a pure
+            # function of the corpus bytes, so it matches the writer's)
+            # — the files carry Spark's bucket-id naming, so the joins
+            # stay exchange-free. Any mismatch falls through to a
+            # rebuild.
+            try:
+                schema = spark.read.parquet(store_path).schema
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in schema.fields
+                )
+                n_buckets = max(
+                    8, -(-_doc_source_bytes(sf_dir) // _BUCKET_TARGET_BYTES)
+                )
+                spark.sql(
+                    f"CREATE TABLE {table} ({cols}) USING parquet "
+                    f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{store_path}'"
+                )
+                _SHINGLE_STORE_CACHE[key] = table
+                return spark.table(table)
+            except Exception:
+                pass  # fall through to a clean rebuild
         # the store persists the SIGNATURES alongside the arrays: the
         # band branch then scans only the pruned (doc_id, sig*) columns
         # — never decoding the shingle arrays, never re-hashing — while
@@ -512,15 +551,28 @@ _CAND_STORE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def emitted_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pipeline's emitted (d1, d2) near-dup candidate pairs, built
-    once per (session, sf_dir) from the persisted bucketed signature
-    store and materialized. Collision-bounded by LSH construction, so
-    the materialized frame is tiny relative to the corpus."""
+    """The pipeline's emitted (d1, d2) near-dup candidate pairs — a
+    PERSISTED lake artifact (round 11): built once per corpus
+    fingerprint from the bucketed signature store, written as a
+    parquet table, and served read-back in THIS and every later
+    session (the memo is now a cache over the artifact, not its only
+    home). Collision-bounded by LSH construction, so the table is tiny
+    relative to the corpus; the read-back replaces the old
+    localCheckpoint (same lineage cut, durable)."""
+    from maplejuice_spark import artifacts
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _CAND_STORE_CACHE.get(key)
     if df is None:
-        df = materialize(
-            minhash_candidates_bucketed(spark, sf_dir).select("d1", "d2")
+        df = artifacts.load_or_build(
+            spark,
+            sf_dir,
+            "emitted_candidates",
+            ("documents",),
+            "v1",
+            lambda: minhash_candidates_bucketed(spark, sf_dir).select(
+                "d1", "d2"
+            ),
         )
         _CAND_STORE_CACHE[key] = df
     return df

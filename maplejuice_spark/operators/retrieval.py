@@ -62,27 +62,64 @@ _SQL_TOKENS = f"regexp_extract_all(text, '{TOKEN_CLASS}')"
 _LEX_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
 
 
+def _build_lex_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index BUILD: tokenize + distinct — the expensive pass a
+    serving session must never re-run (poisoned in the two-session
+    test to prove it doesn't)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .select("doc_id", F.lower("term").alias("term"))
+        .distinct()
+    )
+
+
 def _lex_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, int]:
-    from maplejuice_spark.functions import materialize
+    """The persisted inverted index (round 11): distinct (doc_id, term)
+    postings, the per-term document-frequency table, and the n_docs
+    scalar — three parquet artifacts under one corpus fingerprint,
+    written once and served read-back in this and every later session
+    (that's what a retrieval index IS). The session memo is a cache
+    over the artifact; the parquet read-back replaces the old
+    localCheckpoint as the lineage cut, and branching consumers
+    (query side + corpus side) each get a pruned columnar scan."""
+    from maplejuice_spark import artifacts
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _LEX_INDEX_CACHE.get(key)
     if hit is None:
-        docs = load_table(spark, sf_dir, "documents")
-        toks = materialize(
-            docs.repartition(spark.sparkContext.defaultParallelism)
-            .select("doc_id", F.explode(tokens("text")).alias("term"))
-            .select("doc_id", F.lower("term").alias("term"))
-            .distinct()
+        toks = artifacts.load_or_build(
+            spark,
+            sf_dir,
+            "lex_postings",
+            ("documents",),
+            "v1",
+            lambda: _build_lex_postings(spark, sf_dir),
         )
-        df_tbl = materialize(
-            toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        df_tbl = artifacts.load_or_build(
+            spark,
+            sf_dir,
+            "lex_df",
+            ("documents",),
+            "v1",
+            lambda: toks.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
         )
-        n_docs = docs.count()  # one scalar — the same idf constant the
-        # oracle's CROSS JOIN n states (a driver-side scalar, not a
-        # collect of data rows)
+        meta = artifacts.load_or_build(
+            spark,
+            sf_dir,
+            "lex_meta",
+            ("documents",),
+            "v1",
+            # one scalar — the same idf constant the oracle's CROSS
+            # JOIN n states (a 1-row frame, not a collect of data rows)
+            lambda: load_table(spark, sf_dir, "documents").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            ),
+        )
+        n_docs = int(meta.collect()[0].n_docs)
         hit = (toks, df_tbl, n_docs)
         _LEX_INDEX_CACHE[key] = hit
     return hit

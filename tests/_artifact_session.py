@@ -1,0 +1,78 @@
+"""One 'session' of the cross-session artifact test (round 11): run
+the artifact-backed queries in a FRESH JVM/SparkSession and print one
+JSON line of result digests plus the artifact layer's build/read
+counters. tests/test_artifacts.py runs this twice — session A trains,
+session B must serve from the persisted artifacts with ZERO training
+jobs (every trainer is poisoned to raise if invoked).
+
+Usage: python -m tests._artifact_session <sf_dir>
+Env:   MJ_ARTIFACT_ROOT   artifact lake root (set by the test)
+       MJ_POISON_TRAINING "1" => monkeypatch every training entry
+       MJ_STORE_TMP       override /tmp bucketed-store root unused here
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+
+def _poison() -> None:
+    def _boom(*_a, **_k):
+        raise AssertionError("TRAINING RAN in a serving-only session")
+
+    import maplejuice_spark.operators.bpe as bpe
+    import maplejuice_spark.operators.clustering as clustering
+    import maplejuice_spark.operators.dedup as dedup
+    import maplejuice_spark.operators.retrieval as retrieval
+
+    clustering._kmeans_rounds = _boom
+    clustering._maxmin_seeds = _boom
+    bpe._vocab_frame = _boom
+    bpe._pair_counts = _boom
+    retrieval._build_lex_postings = _boom
+    # emitted_candidates' build thunk re-runs the LSH pipeline — in a
+    # serving session it must read the persisted artifact instead
+    dedup.minhash_candidates_bucketed = _boom
+    # the bucketed signature store must RE-ATTACH, never rebuild
+    dedup._shingle_sets = _boom
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    if os.environ.get("MJ_POISON_TRAINING") == "1":
+        _poison()
+
+    from maplejuice_spark import artifacts
+    from maplejuice_spark.operators.dedup import emitted_candidates
+    from maplejuice_spark.registry import queries
+    from maplejuice_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="artifact_session", cpus=8, shuffle_partitions=8
+    )
+    qs = queries()
+    out: dict[str, object] = {}
+    for name in (
+        "kmeans_quantized_assign",
+        "kmeans_cluster_sizes",
+        "bpe_learn_merges",
+        "bpe_subword_stats",
+        "hybrid_search_rrf",
+        "minhash_recall_audit",
+    ):
+        rows = sorted(map(str, qs[name](spark, sf_dir).collect()))
+        out[name] = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    rows = sorted(map(str, emitted_candidates(spark, sf_dir).collect()))
+    out["emitted_candidates"] = hashlib.sha256(
+        "\n".join(rows).encode()
+    ).hexdigest()
+    out["builds"] = artifacts.BUILD_COUNTS
+    out["reads"] = artifacts.READ_COUNTS
+    print("RESULT " + json.dumps(out, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
