@@ -667,3 +667,168 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cmax").cast("bigint").alias("n_majority"),
         gini.alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means|| seeding (Bahmani, Moseley, Vassilvitskii, Kumar, Kumar —
+# "Scalable K-Means++", VLDB 2012), made DETERMINISTIC so the DuckDB
+# oracle can state every pick (round-11 ask: VERDICT r10 #3).
+#
+# The K=4 registered Lloyd queries keep farthest-first seeding and
+# their oracles untouched; this is the K-AXIS scale path. Sequential
+# farthest-first is K-1 full-scan driver rounds — fine at K=4, a
+# non-starter at production centroid counts. k-means|| collapses the
+# round count to PAR_ROUNDS (independent of K): each round OVERSAMPLES
+# the PAR_M points farthest from the current candidate set (the
+# deterministic analog of Bahmani's prob ∝ d² sampling: take the top-M
+# of exactly that score, ties by vec_id), then the 1 + M·R candidate
+# set — hyperparameter-sized, like an IVF centroid table — is weighted
+# by nearest-point counts in ONE scan and reduced to K_PAR seeds with
+# weighted farthest-first (argmax of weight·d², the deterministic
+# k-means++ analog Bahmani uses for the final reduction).
+#
+# Scale (100 TB): PAR_ROUNDS + 1 corpus scans TOTAL regardless of K
+# (vs K-1 scans sequentially); every driver-side object is
+# (1 + M·R)-row. All arithmetic is int64 (quantized vectors, integer
+# squared-L2, integer weights) so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+K_PAR = 16  # seeds produced (the "production K" stand-in)
+PAR_ROUNDS = 3  # oversampling rounds — the only corpus-scan axis
+PAR_M = 16  # candidates taken per round
+
+
+def _dmin_to(cands: list) -> "F.Column":
+    """Row-local min squared-L2 distance of vq to a literal candidate
+    list [(vec_id, vq)]."""
+    if len(cands) == 1:
+        return _dist_to(cands[0][1])
+    return F.least(*[_dist_to(cq) for _vid, cq in cands])
+
+
+def _parallel_seed_picks(vecs: DataFrame) -> list[tuple[int, int, int]]:
+    """Deterministic k-means|| seeding: returns [(rank, seed_id,
+    weight)] with rank 1..K_PAR in pick order. See the section comment
+    for the algorithm; every tie-break is (score, vec_id) so the
+    unrolled-CTE oracle states the identical chain."""
+    first = vecs.select("vec_id", "vq").orderBy("vec_id").limit(1).collect()[0]
+    cand: list[tuple[int, list[int]]] = [(int(first.vec_id), list(first.vq))]
+    for _r in range(PAR_ROUNDS):
+        excl = [vid for vid, _vq in cand]
+        rows = (
+            vecs.filter(~F.col("vec_id").isin(excl))
+            .select("vec_id", "vq", _dmin_to(cand).alias("dmin"))
+            .orderBy(F.desc("dmin"), "vec_id")
+            .limit(PAR_M)
+            .collect()
+        )
+        cand += [(int(r.vec_id), list(r.vq)) for r in rows]
+    # nearest-candidate weights, ONE scan (ties -> smallest candidate
+    # vec_id: the array is vec_id-sorted and array_position takes the
+    # FIRST min — the oracle's ROW_NUMBER(ORDER BY dist, vec_id) twin)
+    cand.sort()
+    dists = F.array(*[_dist_to(cq) for _vid, cq in cand])
+    vids = F.array(*[F.lit(int(vid)) for vid, _vq in cand])
+    nearest = F.element_at(
+        vids, F.array_position(dists, F.array_min(dists)).cast("int")
+    )
+    wrows = vecs.select(nearest.alias("cid")).groupBy("cid").count().collect()
+    wmap = {int(r["cid"]): int(r["count"]) for r in wrows}
+    cw = [(vid, vq, wmap.get(vid, 0)) for vid, vq in cand]
+
+    # weighted farthest-first reduction — pure-int driver logic over
+    # the (1 + M·R)-row candidate set (hyperparameter-sized)
+    def d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cw.sort(key=lambda t: (-t[2], t[0]))  # w DESC, vec_id ASC
+    picks = [cw[0]]
+    rest = cw[1:]
+    while len(picks) < K_PAR and rest:
+        best = min(
+            rest,
+            key=lambda t: (
+                -(t[2] * min(d2(t[1], p[1]) for p in picks)),
+                t[0],
+            ),
+        )
+        picks.append(best)
+        rest.remove(best)
+    return [(j + 1, vid, w) for j, (vid, _vq, w) in enumerate(picks)]
+
+
+def _sql_par_seed_chain(
+    k: int = K_PAR, rounds: int = PAR_ROUNDS, m: int = PAR_M
+) -> str:
+    dist_qc = _sql_int_dist("q.vq", "c.vq")
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS vq FROM embeddings"
+        f" WHERE {_SQL_GATE})",
+        "cand0 AS MATERIALIZED (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT q.vec_id, MIN({dist_qc}) AS dmin
+      FROM q CROSS JOIN cand{r - 1} c
+      WHERE q.vec_id NOT IN (SELECT vec_id FROM cand{r - 1})
+      GROUP BY q.vec_id
+    ),
+    p{r} AS MATERIALIZED (SELECT vec_id FROM d{r} ORDER BY dmin DESC, vec_id LIMIT {m}),
+    cand{r} AS MATERIALIZED (
+      SELECT * FROM cand{r - 1}
+      UNION ALL SELECT q.vec_id, q.vq FROM q JOIN p{r} USING (vec_id)
+    )""")
+    parts.append(f"""
+    nc AS MATERIALIZED (
+      SELECT q.vec_id AS pid, c.vec_id AS cid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {dist_qc}, c.vec_id) AS rn
+      FROM q CROSS JOIN cand{rounds} c
+    ),
+    wt AS MATERIALIZED (SELECT cid, COUNT(*) AS w FROM nc WHERE rn = 1 GROUP BY cid),
+    cw AS MATERIALIZED (
+      SELECT c.vec_id, c.vq, COALESCE(wt.w, 0) AS w
+      FROM cand{rounds} c LEFT JOIN wt ON c.vec_id = wt.cid
+    ),
+    f1 AS MATERIALIZED (SELECT vec_id, vq, w, 1 AS rank FROM cw
+           ORDER BY w DESC, vec_id LIMIT 1)""")
+    dist_cf = _sql_int_dist("cw.vq", "f.vq")
+    for j in range(2, k + 1):
+        parts.append(f"""
+    m{j} AS MATERIALIZED (
+      SELECT cw.vec_id, cw.w, MIN({dist_cf}) AS dmin
+      FROM cw CROSS JOIN f{j - 1} f
+      WHERE cw.vec_id NOT IN (SELECT vec_id FROM f{j - 1})
+      GROUP BY cw.vec_id, cw.w
+    ),
+    pf{j} AS MATERIALIZED (SELECT vec_id FROM m{j}
+              ORDER BY w * dmin DESC, vec_id LIMIT 1),
+    f{j} AS MATERIALIZED (
+      SELECT * FROM f{j - 1}
+      UNION ALL SELECT cw.vec_id, cw.vq, cw.w, {j} FROM cw
+      JOIN pf{j} USING (vec_id)
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "kmeans_parallel_seeds",
+    oracle=f"""
+    WITH {_sql_par_seed_chain()}
+    SELECT rank, vec_id AS seed_id, CAST(w AS BIGINT) AS weight
+    FROM f{K_PAR}
+    """,
+    tags=("clustering", "kmeans", "seeding", "iterative", "north-star"),
+)
+def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means|| seed selection at K_PAR=16: PAR_ROUNDS
+    oversampling scans + one weighting scan, then the weighted
+    farthest-first reduction over the hyperparameter-sized candidate
+    set. Output (rank, seed_id, weight) — the model a production-K
+    Lloyd loop starts from. The DuckDB oracle unrolls the identical
+    chain (rounds AND the K reduction steps) as CTEs."""
+    picks = _parallel_seed_picks(_quantized_vecs(spark, sf_dir))
+    return spark.createDataFrame(
+        picks, "rank int, seed_id bigint, weight bigint"
+    )

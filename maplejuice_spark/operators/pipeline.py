@@ -1528,3 +1528,189 @@ def interleave_schedule_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos_key", "source", "doc_id")
         .limit(_SCHED_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal training-record assembly (round 11, VERDICT r10 ask #5):
+# the one LLM-pipeline shape the registry didn't exercise END-TO-END —
+# interleave text chunks with image/audio feature REFS and pack them
+# into token-budget shards in a deterministic global order. Composes
+# three existing pieces: chunk_documents (W/S context windows),
+# multimodal_meta's relational media geometry (patch-count token cost,
+# the ViT accounting), and shard_packing_manifest's two-level
+# distributed prefix sum. No new exchange beyond the manifest's.
+# ---------------------------------------------------------------------------
+
+REC_BUDGET = 8192  # token budget per interleaved training shard
+REC_PATCH = 16  # image patch edge: tokens = (w/16) * (h/16), ViT-style
+
+
+@register(
+    "training_record_assembly",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    tc AS (
+      SELECT 'text' AS rkind, doc_id, CAST(chunk_idx AS BIGINT) AS seq,
+             CAST(len(list_slice(toks, chunk_idx * 24 + 1,
+                                 chunk_idx * 24 + 32)) AS BIGINT)
+               AS rec_tokens
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(0, (greatest(len(toks) - 32, 0) + 23) // 24 + 1))
+                 AS chunk_idx
+        FROM t WHERE len(toks) > 0)
+    ),
+    im AS (
+      SELECT 'image' AS rkind, doc_id, CAST(0 AS BIGINT) AS seq,
+             CAST(((256 + CAST(ascii(substr(text, 1, 1)) AS BIGINT)
+                     % 16 * 64) // {REC_PATCH})
+                * ((256 + CAST(ascii(substr(text, 2, 1)) AS BIGINT)
+                     % 16 * 64) // {REC_PATCH}) AS BIGINT) AS rec_tokens
+      FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    au AS (
+      SELECT 'audio' AS rkind, doc_id, CAST(0 AS BIGINT) AS seq,
+             CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT)
+               AS rec_tokens
+      FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    ),
+    recs AS (
+      SELECT rkind, doc_id, seq, rec_tokens,
+             md5(rkind || ':' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(seq AS VARCHAR)) AS rk
+      FROM (SELECT * FROM tc UNION ALL SELECT * FROM im
+            UNION ALL SELECT * FROM au)
+    ),
+    c AS (
+      SELECT rkind, rec_tokens, rk,
+             SUM(rec_tokens) OVER (ORDER BY rk, rkind, doc_id, seq
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM recs
+    )
+    SELECT CAST((cum - rec_tokens) // {REC_BUDGET} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_records,
+           CAST(SUM(CASE WHEN rkind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text,
+           CAST(SUM(CASE WHEN rkind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_image,
+           CAST(SUM(CASE WHEN rkind = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_audio,
+           CAST(SUM(rec_tokens) AS BIGINT) AS shard_tokens,
+           min(rk) AS first_rec,
+           max(rk) AS last_rec
+    FROM c GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "prefix-sum", "north-star"),
+)
+def training_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal training-record packing: every text
+    chunk (chunk_documents' W=32/S=24 windows), one image ref per even
+    doc_id (token cost = ViT patch count from the stub geometry
+    multimodal_meta states relationally) and one audio ref per third
+    doc_id (frames = bytes/64 + 1) become records; records are laid
+    out in the reproducible global shuffle order md5('kind:doc:seq')
+    and packed contiguously into REC_BUDGET-token shards. The manifest
+    reports per-shard record/modality counts, token totals, and the
+    first/last record key — what a dataloader needs to slice one shard
+    without touching the rest.
+
+    Plan/scale: three row-local projections over the scan (the chunk
+    Generate is the only fan-out), one unionByName, then EXACTLY the
+    shard_packing_manifest prefix-sum shape — per-block partial sums,
+    a block-count-sized offset window, a block-partitioned within
+    window — so no single-partition stage ever sees the corpus; the
+    final exchange carries (shard_id, counters) only."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = chunk_documents(spark, sf_dir).select(
+        F.lit("text").alias("rkind"),
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("seq"),
+        F.col("n_tokens").cast("bigint").alias("rec_tokens"),
+    )
+    fw = (
+        F.lit(256) + F.ascii(F.substring("text", 1, 1)).cast("bigint") % 16 * 64
+    )
+    fh = (
+        F.lit(256) + F.ascii(F.substring("text", 2, 1)).cast("bigint") % 16 * 64
+    )
+    # fw, fh are multiples of 16 by construction (256 + k*64), so the
+    # patch division is exact integer arithmetic
+    im = docs.where(
+        (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+    ).select(
+        F.lit("image").alias("rkind"),
+        "doc_id",
+        F.lit(0).cast("bigint").alias("seq"),
+        (
+            ((fw - fw % REC_PATCH) / REC_PATCH).cast("bigint")
+            * ((fh - fh % REC_PATCH) / REC_PATCH).cast("bigint")
+        ).alias("rec_tokens"),
+    )
+    au = docs.where(
+        (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()
+    ).select(
+        F.lit("audio").alias("rkind"),
+        "doc_id",
+        F.lit(0).cast("bigint").alias("seq"),
+        (
+            F.expr("length(cast(text as binary)) div 64") + 1
+        ).cast("bigint").alias("rec_tokens"),
+    )
+    recs = tc.unionByName(im).unionByName(au).select(
+        "rkind",
+        "doc_id",
+        "seq",
+        "rec_tokens",
+        F.md5(
+            F.concat(
+                F.col("rkind"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("seq").cast("string"),
+            )
+        ).alias("rk"),
+    ).withColumn("blk", F.substring("rk", 1, _N_BLOCK_HEX))
+
+    blk_sums = recs.groupBy("blk").agg(F.sum("rec_tokens").alias("blk_nt"))
+    blk_off = blk_sums.select(
+        "blk",
+        F.coalesce(
+            F.sum("blk_nt").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("blk_off"),
+    )
+    within = F.sum("rec_tokens").over(
+        W.partitionBy("blk").orderBy("rk", "rkind", "doc_id", "seq")
+    )
+    c = recs.join(F.broadcast(blk_off), "blk").select(
+        "rkind",
+        "rec_tokens",
+        "rk",
+        (F.col("blk_off") + within).alias("cum"),
+    )
+    return c.groupBy(
+        F.expr(f"(cum - rec_tokens) div {REC_BUDGET}")
+        .cast("bigint")
+        .alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.when(F.col("rkind") == "text", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_text"),
+        F.sum(F.when(F.col("rkind") == "image", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_image"),
+        F.sum(F.when(F.col("rkind") == "audio", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_audio"),
+        F.sum("rec_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("rk").alias("first_rec"),
+        F.max("rk").alias("last_rec"),
+    )

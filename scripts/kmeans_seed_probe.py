@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Seeding-cost probe on the K axis (round 11, VERDICT r10 ask #3):
+sequential farthest-first needs K-1 full-scan driver rounds; k-means||
+needs PAR_ROUNDS + 1 scans REGARDLESS of K. Measure both at K=64 on
+sf0.1 and compare covered potential. Results recorded in SCALE.md."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    import maplejuice_spark.operators.clustering as C
+    from maplejuice_spark.session import get_spark
+
+    spark = get_spark(app_name="kmeans_seed_probe")
+    vecs = C._quantized_vecs(spark, sf)
+    n = vecs.count()  # warm the checkpoint outside both timings
+
+    def potential(seed_vqs):
+        dmin = F.least(*[C._dist_to(vq) for vq in seed_vqs])
+        return int(vecs.agg(F.sum(dmin)).collect()[0][0])
+
+    old = (C.K_CLUSTERS, C.K_PAR, C.PAR_ROUNDS, C.PAR_M)
+    try:
+        C.K_CLUSTERS = k
+        t0 = time.perf_counter()
+        seq = C._maxmin_seeds(vecs)
+        t_seq = time.perf_counter() - t0
+
+        C.K_PAR, C.PAR_ROUNDS, C.PAR_M = k, 5, k
+        t0 = time.perf_counter()
+        picks = C._parallel_seed_picks(vecs)
+        t_par = time.perf_counter() - t0
+    finally:
+        C.K_CLUSTERS, C.K_PAR, C.PAR_ROUNDS, C.PAR_M = old
+
+    ids = [vid for _r, vid, _w in picks]
+    vq_by_id = {
+        int(r.vec_id): list(r.vq)
+        for r in vecs.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    phi_seq = potential([vq for _s, vq in seq])
+    phi_par = potential([vq_by_id[i] for i in ids])
+    print(
+        f"n={n} K={k}: sequential {t_seq:.1f}s ({k - 1} scan-rounds), "
+        f"kmeans|| {t_par:.1f}s (6 scans), "
+        f"phi_par/phi_seq={phi_par / max(phi_seq, 1):.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

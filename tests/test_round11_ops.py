@@ -1,0 +1,58 @@
+"""Round-11 operator properties beyond the auto-parametrized oracle
+rows: k-means|| seeding quality and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import maplejuice_spark.operators.clustering as C
+
+
+def _potential(vecs, seed_vqs: list) -> int:
+    """Sum over the corpus of min squared-L2 distance to the seeds —
+    the k-means objective the seeding stage is trying to cover."""
+    dmin = (
+        F.least(*[C._dist_to(vq) for vq in seed_vqs])
+        if len(seed_vqs) > 1
+        else C._dist_to(seed_vqs[0])
+    )
+    return int(vecs.agg(F.sum(dmin)).collect()[0][0])
+
+
+def test_parallel_seeding_matches_sequential_quality_at_k4(spark, sf_dir):
+    """VERDICT r10 #3 'done' bar (differential at K=4): the first 4
+    k-means|| picks must cover the corpus within a small constant of
+    the sequential farthest-first seeds' potential — Bahmani et al.
+    prove an O(1) approximation; this pins it empirically."""
+    vecs = C._quantized_vecs(spark, sf_dir)
+    seq = C._maxmin_seeds(vecs)  # K_CLUSTERS=4 farthest-first
+    picks = C._parallel_seed_picks(vecs)
+    assert len(picks) == C.K_PAR
+    assert len({vid for _r, vid, _w in picks}) == C.K_PAR  # distinct
+    par_ids = [vid for _r, vid, _w in picks[:4]]
+    vq_by_id = {
+        int(r.vec_id): list(r.vq)
+        for r in vecs.filter(F.col("vec_id").isin(par_ids)).collect()
+    }
+    phi_seq = _potential(vecs, [vq for _sid, vq in seq])
+    phi_par4 = _potential(vecs, [vq_by_id[i] for i in par_ids])
+    phi_par16 = _potential(
+        vecs,
+        list(
+            {
+                int(r.vec_id): list(r.vq)
+                for r in vecs.filter(
+                    F.col("vec_id").isin([v for _r, v, _w in picks])
+                ).collect()
+            }.values()
+        ),
+    )
+    assert phi_seq > 0 and phi_par4 > 0
+    assert phi_par4 <= 10 * phi_seq, (phi_par4, phi_seq)
+    # more seeds never hurt: the full K_PAR set dominates its prefix
+    assert phi_par16 <= phi_par4
+
+
+def test_parallel_seeding_is_deterministic_across_invocations(spark, sf_dir):
+    vecs = C._quantized_vecs(spark, sf_dir)
+    assert C._parallel_seed_picks(vecs) == C._parallel_seed_picks(vecs)
