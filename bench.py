@@ -112,6 +112,15 @@ HEADLINE = [
     "per_source_quality_threshold",
     "dataset_card_profile",
     "minhash_recall_audit",
+    # round-11: deterministic k-means|| seeding (K-independent scans)
+    "kmeans_parallel_seeds",
+    # round-11: interleaved multimodal training-record packing
+    "training_record_assembly",
+    # round-11: PII detect now carries Luhn/mod-97/entropy validators
+    "pii_detect",
+    # round-11: census queries for the new ingest gates
+    "embedding_ingest_gate",
+    "fuzzy_name_ingest_gate",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,
