@@ -16,6 +16,17 @@ from maplejuice_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+# Fresh artifact root per pytest session (round 11): the persisted
+# trained-artifact layer would otherwise serve a PRIOR session's model
+# to every oracle test — byte-identical while the code is unchanged,
+# but it would mask an algorithm change whose author forgot to bump
+# the artifact version. Tests always train; cross-session serving is
+# proven explicitly by tests/test_artifacts.py with its own root.
+os.environ.setdefault(
+    "MJ_ARTIFACT_ROOT", tempfile.mkdtemp(prefix="mj_artifacts_")
+)
+
+
 @pytest.fixture(scope="session")
 def spark():
     wh = tempfile.mkdtemp(prefix="mj_warehouse_")
