@@ -259,6 +259,12 @@ def main() -> None:
         dedup._CAND_STORE_CACHE.clear()
         artifacts.clear_persisted("emitted_candidates")
 
+    def _clear_par_seeds() -> None:
+        from maplejuice_spark.operators import clustering
+
+        clustering._PAR_SEEDS_CACHE.clear()
+        artifacts.clear_persisted("kmeans_parallel_seeds")
+
     def _clear_cand_artifact() -> None:
         from maplejuice_spark.operators import dedup
 
@@ -267,6 +273,7 @@ def main() -> None:
 
     TRAIN_ROWS: list[tuple[str, str, object]] = [
         ("kmeans_train", "kmeans_quantized_assign", _clear_kmeans),
+        ("parallel_seeds_train", "kmeans_parallel_seeds", _clear_par_seeds),
         ("bpe_train", "bpe_subword_stats", _clear_bpe),
         ("hybrid_index_train", "hybrid_search_rrf", _clear_lex_index),
         # rebuilds the persisted doc_id-bucketed store AND the emitted
