@@ -196,6 +196,17 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     from maplejuice_spark.functions import release_checkpoints
 
+    # Pre-run calibration sample: the machine-state quotient can DRIFT
+    # within one bench run (measured: a run started on a hot machine
+    # had its first rows 1.5-2.7x inflated while the END-of-run
+    # calibration had already cooled to 1.09x), so the calibration is
+    # sampled BEFORE the headline rows and again after — a consumer
+    # normalizing row times should use the bracketing pair.
+    _calibration_df(spark).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    _calibration_df(spark).write.format("noop").mode("overwrite").save()
+    cal_pre = round(time.perf_counter() - t0, 4)
+
     for name in HEADLINE:
         # drain accumulated garbage OUTSIDE the timed window: a major
         # GC landing inside a timed run was the dominant source of the
@@ -324,6 +335,7 @@ def main() -> None:
                 "train": train,
                 "train_spread": train_spread,
                 "calibration": round(cal_runs[len(cal_runs) // 2], 4),
+                "calibration_pre": cal_pre,
                 "calibration_spread": [
                     round(cal_runs[0], 4),
                     round(cal_runs[-1], 4),
