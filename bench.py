@@ -121,6 +121,8 @@ HEADLINE = [
     # round-11: census queries for the new ingest gates
     "embedding_ingest_gate",
     "fuzzy_name_ingest_gate",
+    # round-11: recall@k audit of the IVF-PQ path vs exact ground truth
+    "ann_recall_audit",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

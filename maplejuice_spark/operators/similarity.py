@@ -1619,3 +1619,88 @@ def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.join(rev.hint("merge"), ["v1", "v2"]).select(
         "v1", "v2", "cos_sim", "r12", "r21"
     )
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+    {_SQL_IVFPQ_SCORED_CTES},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_sim DESC, neighbor_id)
+                 AS arank
+        FROM scored)
+      WHERE arank <= {RERANK_CAP}
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id, qn.vn AS qv, cn.vn AS cv
+      FROM shortlist s
+      JOIN normed qn ON qn.vec_id = s.query_id
+      JOIN normed cn ON cn.vec_id = s.neighbor_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     {_sql_fold_dot('qv', 'cv')} AS cos_sim
+              FROM refined))
+      WHERE rank <= {TOP_K}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_fold_dot('q.vn', 'c.vn')}
+                                    DESC, c.vec_id) AS rank
+        FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0)
+      WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "audit", "north-star"),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the production ANN path (IVF-PQ prune ->
+    compress -> ADC shortlist -> exact refine) against brute-force
+    exact ground truth — the minhash_recall_audit twin for the vector
+    family: the number every ANN deployment reports before trusting an
+    index (unprobed IVF lists are the recall loss; this measures it
+    per query instead of assuming it).
+
+    Exactness: both rankings are engine-deterministic (decimal-exact
+    ADC order, sequential-fold cosines, id tie-breaks), so recall is a
+    ratio of exact integers and the oracle matches value-level.
+
+    Scale (100 TB): the ground-truth side is the guard-capped exact
+    top-k (|Q| x k rows) and the approx side the refined top-k (same
+    bound); the audit join is key-aligned over |Q| x k rows — the
+    corpus appears only inside the two already-bounded retrieval
+    stages. On a real deployment the exact side runs over a SAMPLE of
+    queries (minhash_recall_audit's fixed-size-sample discipline)
+    rather than every query; here the query set is already the
+    %-sampled fixture set."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivfpq_refined_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    n_hit = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        n_hit.cast("bigint").alias("n_hit"),
+        (n_hit.cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+    )
