@@ -1,0 +1,341 @@
+"""Adversarial ingest through the streaming gates (VERDICT r10 ask #7).
+
+The streaming ingest queries (`stream_dedup_docs`,
+`stream_decontaminated_ingest`, `stream_pii_redact`) are the
+admit-on-arrival surface of the pipeline — the place malformed input
+shows up FIRST in a deployment. This suite drives crafted hostile
+sources through the real registered gates and pins the failure-mode
+contract:
+
+- **no crash** on empty sources, empty/fully-filtered micro-batches,
+  null fields, and schema-drifted-but-convertible files;
+- **no silent drop**: unreadable input either fails the query loudly
+  (default) or is skipped only under the *explicit*
+  ``spark.sql.files.ignoreCorruptFiles`` opt-in — and then exactly the
+  intact rows flow; missing columns surface as NULLs, never lost rows;
+  type-conflicting files fail loudly rather than nulling out;
+- **bounded state**: the dedup state store holds one row per distinct
+  digest regardless of duplicate volume; the stateless gates hold no
+  state at all.
+
+Files are crafted with pyarrow directly (not Spark) so each scenario
+controls the exact on-disk schema and bytes, including truncation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from maplejuice_spark import streaming as st
+from maplejuice_spark.registry import all_queries
+
+_DOCS_FIELDS = (
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("source", pa.string()),
+    ("n_chars", pa.int64()),
+)
+
+_CUST_FIELDS = (
+    ("c_custkey", pa.int64()),
+    ("c_name", pa.string()),
+    ("c_nationkey", pa.int32()),
+    ("c_acctbal", pa.float64()),
+    ("c_mktsegment", pa.string()),
+)
+
+
+def _table(rows: list[dict], fields) -> pa.Table:
+    return pa.table(
+        {
+            name: pa.array([r.get(name) for r in rows], type=typ)
+            for name, typ in fields
+        }
+    )
+
+
+def _doc(i: int, text: str, source: str = "webA") -> dict:
+    return {
+        "doc_id": i,
+        "text": text,
+        "lang": "en",
+        "source": source,
+        "n_chars": len(text) if text is not None else None,
+    }
+
+
+def _docs_dir(tmp_path) -> str:
+    """An sf_dir whose documents table is a DIRECTORY (production lake
+    layout) so scenario part files can be dropped in one by one."""
+    d = tmp_path / "sf_adv" / "documents.parquet"
+    d.mkdir(parents=True)
+    return str(tmp_path / "sf_adv")
+
+
+def _run(df, name: str, mode: str = "append"):
+    """run_stream_to_memory, but returning the query handle so tests
+    can read lastProgress (state-store accounting)."""
+    with st._sized_state_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Empty sources / empty micro-batches
+# ---------------------------------------------------------------------------
+
+
+def test_empty_source_completes_with_zero_rows(spark, tmp_path):
+    """A source directory with zero files: the availableNow run must
+    terminate cleanly with an empty (not missing, not crashed) result."""
+    sf = _docs_dir(tmp_path)
+    out = all_queries()["stream_dedup_docs"].fn(spark, sf)
+    assert out.count() == 0
+
+
+def test_fully_filtered_batches_complete_empty(spark, tmp_path):
+    """Decontamination where EVERY arriving document matches the eval
+    reference: all micro-batches filter to nothing — the append sink
+    must still commit and the query terminate with 0 admitted rows."""
+    sf = _docs_dir(tmp_path)
+    # the reference set is docs whose md5(doc_id) leads with c..f; all
+    # rows share one text, so one referenced doc_id contaminates all
+    ids = list(range(1, 41))
+    assert any(_md5(str(i))[0] in "cdef" for i in ids)
+    rows = [_doc(i, "the shared contaminated text") for i in ids]
+    pq.write_table(
+        _table(rows, _DOCS_FIELDS),
+        os.path.join(sf, "documents.parquet", "part-0.parquet"),
+    )
+    out = all_queries()["stream_decontaminated_ingest"].fn(spark, sf)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Malformed / truncated files
+# ---------------------------------------------------------------------------
+
+
+def _write_good_and_truncated(sf: str) -> set[str]:
+    """Two part files: one intact (texts a0..a4), one a half-file
+    truncation (its parquet footer is gone, so no row group is
+    recoverable). Returns the intact rows' digests."""
+    ddir = os.path.join(sf, "documents.parquet")
+    good = [_doc(i, f"intact text {i}") for i in range(5)]
+    pq.write_table(_table(good, _DOCS_FIELDS), os.path.join(ddir, "part-good.parquet"))
+    other = [_doc(100 + i, f"doomed text {i}") for i in range(5)]
+    tmp = os.path.join(ddir, "_tmp_full.parquet")
+    pq.write_table(_table(other, _DOCS_FIELDS), tmp)
+    with open(tmp, "rb") as f:
+        blob = f.read()
+    with open(os.path.join(ddir, "part-truncated.parquet"), "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    os.remove(tmp)
+    return {_md5(r["text"]) for r in good}
+
+
+def test_truncated_file_fails_loud_by_default(spark, tmp_path):
+    """Default conf: a truncated parquet part file must FAIL the
+    streaming query (awaitTermination raises) — never silently emit a
+    partial result that reads as complete."""
+    sf = _docs_dir(tmp_path)
+    _write_good_and_truncated(sf)
+    with pytest.raises(Exception) as exc:
+        all_queries()["stream_dedup_docs"].fn(spark, sf)
+    assert "parquet" in str(exc.value).lower() or "footer" in str(exc.value).lower()
+
+
+def test_truncated_file_skip_is_explicit_and_exact(spark, tmp_path):
+    """Under the explicit ignoreCorruptFiles opt-in the stream completes
+    and admits EXACTLY the intact files' rows — corrupt-file loss is an
+    operator's documented decision, and it is all-or-nothing per file,
+    never a partially-decoded row set."""
+    sf = _docs_dir(tmp_path)
+    good_digests = _write_good_and_truncated(sf)
+    with st._pinned_conf(spark, "spark.sql.files.ignoreCorruptFiles", "true"):
+        out = all_queries()["stream_dedup_docs"].fn(spark, sf)
+        got = {r["content_digest"] for r in out.collect()}
+    assert got == good_digests
+
+
+# ---------------------------------------------------------------------------
+# Schema drift
+# ---------------------------------------------------------------------------
+
+
+def test_missing_column_drift_yields_nulls_not_row_loss(spark, tmp_path):
+    """A drifted file missing two columns: its rows must still arrive
+    (pinned-schema parquet fills NULL), with the present columns intact
+    — drift shows up as an auditable NULL census, not a silent drop."""
+    sf = _docs_dir(tmp_path)
+    ddir = os.path.join(sf, "documents.parquet")
+    full = [_doc(i, f"full {i}") for i in range(4)]
+    pq.write_table(_table(full, _DOCS_FIELDS), os.path.join(ddir, "part-full.parquet"))
+    drift_fields = tuple(f for f in _DOCS_FIELDS if f[0] in ("doc_id", "text", "lang"))
+    drifted = [
+        {"doc_id": 200 + i, "text": f"drifted {i}", "lang": "en"} for i in range(3)
+    ]
+    pq.write_table(
+        _table(drifted, drift_fields), os.path.join(ddir, "part-drifted.parquet")
+    )
+    src = st.stream_documents(spark, sf).select("doc_id", "text", "source", "n_chars")
+    q = _run(src, "adv_drift_missing")
+    rows = {r["doc_id"]: r for r in spark.table("adv_drift_missing").collect()}
+    assert len(rows) == 7  # 4 + 3: nothing lost
+    for i in range(3):
+        r = rows[200 + i]
+        assert r["text"] == f"drifted {i}"
+        assert r["source"] is None and r["n_chars"] is None
+    for i in range(4):
+        assert rows[i]["source"] == "webA"
+    # stateless projection: no state store rows at all
+    assert not q.lastProgress["stateOperators"]
+
+
+def test_extra_column_drift_is_ignored(spark, tmp_path):
+    """A drifted file carrying an EXTRA column: the pinned schema
+    projects it away; shared columns arrive byte-intact."""
+    sf = _docs_dir(tmp_path)
+    ddir = os.path.join(sf, "documents.parquet")
+    fields = _DOCS_FIELDS + (("extra_meta", pa.string()),)
+    rows = [dict(_doc(i, f"extra {i}"), extra_meta=f"m{i}") for i in range(5)]
+    pq.write_table(_table(rows, fields), os.path.join(ddir, "part-extra.parquet"))
+    out = all_queries()["stream_dedup_docs"].fn(spark, sf)
+    got = {r["content_digest"] for r in out.collect()}
+    assert got == {_md5(f"extra {i}") for i in range(5)}
+
+
+def test_type_conflict_drift_fails_loud_when_read(spark, tmp_path):
+    """A drifted file whose doc_id landed as STRING while the pinned
+    ingest schema says BIGINT. Two pinned behaviors:
+
+    1. A gate that never READS the conflicted column is untouched —
+       column pruning reaches the parquet decoder, so the text-only
+       dedup gate admits the file's rows (the drift is latent, exactly
+       as at 100 TB where pruning is what makes scans affordable).
+    2. The moment the conflicted column is consumed, the reader refuses
+       the file loudly (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — never a
+       coerced value, never a silent NULL."""
+    sf = _docs_dir(tmp_path)
+    ddir = os.path.join(sf, "documents.parquet")
+    bad_fields = (("doc_id", pa.string()),) + _DOCS_FIELDS[1:]
+    rows = [dict(_doc(i, f"typed {i}"), doc_id=str(i)) for i in range(3)]
+    pq.write_table(_table(rows, bad_fields), os.path.join(ddir, "part-badtype.parquet"))
+    # (1) pruned gate: conflict never decoded, rows admitted
+    out = all_queries()["stream_dedup_docs"].fn(spark, sf)
+    assert {r["content_digest"] for r in out.collect()} == {
+        _md5(f"typed {i}") for i in range(3)
+    }
+    # (2) consuming the conflicted column fails the query loudly
+    src = st.stream_documents(spark, sf).select("doc_id", "text")
+    with pytest.raises(Exception) as exc:
+        _run(src, "adv_badtype")
+    msg = str(exc.value)
+    assert "PARQUET_COLUMN_DATA_TYPE_MISMATCH" in msg or "mismatch" in msg.lower()
+
+
+# ---------------------------------------------------------------------------
+# Null fields and duplicate floods through the stateful gate
+# ---------------------------------------------------------------------------
+
+
+def test_null_text_rows_admitted_exactly_once(spark, tmp_path):
+    """NULL-text rows must neither crash the digest gate nor multiply:
+    md5(NULL) is NULL, which dropDuplicates treats as one key — the
+    whole null class is admitted exactly once and is visible (a NULL
+    digest row) rather than silently swallowed."""
+    sf = _docs_dir(tmp_path)
+    ddir = os.path.join(sf, "documents.parquet")
+    rows = (
+        [_doc(i, f"t{i % 3}") for i in range(9)]  # 3 distinct texts, x3 dups
+        + [_doc(100 + i, None) for i in range(4)]  # 4 null texts
+    )
+    pq.write_table(_table(rows, _DOCS_FIELDS), os.path.join(ddir, "part-null.parquet"))
+    out = all_queries()["stream_dedup_docs"].fn(spark, sf)
+    got = [r["content_digest"] for r in out.collect()]
+    assert len(got) == 4  # 3 digests + exactly one NULL-class row
+    assert sum(1 for g in got if g is None) == 1
+    assert {g for g in got if g is not None} == {_md5(f"t{i}") for i in range(3)}
+
+
+def test_dedup_state_bounded_by_distinct_digests(spark, tmp_path):
+    """A duplicate flood (50x each of 8 texts) must leave the dedup
+    state store with exactly 8 rows — state scales with DISTINCT keys,
+    not input volume; that is the whole point of the digest-keyed
+    gate at 100 TB."""
+    sf = _docs_dir(tmp_path)
+    ddir = os.path.join(sf, "documents.parquet")
+    rows = [_doc(i, f"flood {i % 8}") for i in range(400)]
+    pq.write_table(_table(rows, _DOCS_FIELDS), os.path.join(ddir, "part-flood.parquet"))
+    src = st.stream_documents(spark, sf)
+    out = src.select(
+        F.md5(F.col("text").cast("binary")).alias("content_digest")
+    ).dropDuplicates(["content_digest"])
+    q = _run(out, "adv_flood")
+    assert spark.table("adv_flood").count() == 8
+    state = q.lastProgress["stateOperators"]
+    assert state and int(state[0]["numRowsTotal"]) == 8
+
+
+# ---------------------------------------------------------------------------
+# Adversarial content through the stateless scrub gate
+# ---------------------------------------------------------------------------
+
+
+def test_pii_stream_adversarial_names_scrub_fully_stateless(spark, tmp_path):
+    """Hostile customer names — a 100 KB letter run (the measured
+    regex-backtracking payload) and an out-of-RFC 200-char-local-part
+    address — through the streaming scrub gate: completes promptly
+    (bounded-repeat patterns), leaves NO cleartext '@' residue in any
+    redacted card, and holds zero state."""
+    sf = str(tmp_path / "sf_pii")
+    cdir = os.path.join(sf, "customer.parquet")
+    os.makedirs(cdir)
+    evil_names = [
+        "x" * 100_000,  # the round-10 backtracking payload shape
+        ("a" * 200) + "@evil.example.com",  # out-of-RFC long local part
+        "plain name " + ("b" * 200) + "@x.io suffix",
+        None,  # null name must not crash the card builder
+    ]
+    rows = [
+        {
+            "c_custkey": i + 1,
+            "c_name": n,
+            "c_nationkey": 0,
+            "c_acctbal": 0.0,
+            "c_mktsegment": "BUILDING",
+        }
+        for i, n in enumerate(evil_names)
+    ]
+    pq.write_table(_table(rows, _CUST_FIELDS), os.path.join(cdir, "part-0.parquet"))
+    out = all_queries()["stream_pii_redact"].fn(spark, sf)
+    got = out.collect()
+    # null c_name: Spark's format_string follows java.util.Formatter —
+    # %s renders NULL as the literal "null" (DuckDB's printf would
+    # propagate NULL instead; the fixture corpus has no null names so
+    # the registered oracle never sees the divergence — pinned here so
+    # a refactor that changes the null story shows up). Either way the
+    # row ARRIVES and is scrubbed; nothing is dropped.
+    assert len(got) == 4
+    for r in got:
+        assert r["redacted"] is not None
+        assert "@" not in r["redacted"], r["redacted"][:200]
+    assert out.where(F.col("redacted").contains("null")).count() == 1
