@@ -121,8 +121,12 @@ HEADLINE = [
     # round-11: census queries for the new ingest gates
     "embedding_ingest_gate",
     "fuzzy_name_ingest_gate",
-    # round-11: recall@k audit of the IVF-PQ path vs exact ground truth
+    # round-11: recall@k audit of the IVF-PQ path vs exact ground truth,
+    # plus the two sweeps that decompose its loss (probe vs shortlist)
     "ann_recall_audit",
+    "ann_recall_probe_sweep",
+    "ann_refine_cap_sweep",
+    "ann_codebook_size_sweep",
 ]
 
 # median-of-N timing: each query gets one untimed per-plan warm-up run,

