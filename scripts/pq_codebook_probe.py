@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Offline PQ-codebook probe — the experiment behind SCALE.md's
+round-11 codebook adjudication and ann_codebook_size_sweep's
+docstring numbers.
+
+Measures recall@5 of the dense-ADC -> exact-refine pipeline (cap =
+RERANK_CAP) on the fixture embeddings for codebook variants the
+engine does NOT (yet) implement, so the expensive oracle plumbing is
+only built for the winners:
+
+- first-K codewords (the family's fixed untrained convention) at
+  PQ_K = 8 / 16 / 64 — these three are what the registered
+  ann_codebook_size_sweep now measures engine-side (engine and this
+  probe agreed: 0.10 / 0.18 / 0.25 at sf0.1);
+- maxmin (farthest-first) seeded codebooks at PQ_K = 8;
+- k-means-trained (5 Lloyd rounds) codebooks at PQ_K = 8 and 64.
+
+Round-11 findings (sf0.1, N=2000, 20 queries): training is a NULL
+RESULT at the toy size (first8 0.10 -> trained8 0.07-0.12 depending
+on Lloyd init — within sampling noise of no change; maxmin8 0.10)
+but worth +40% at an adequate size (first64 0.25 -> trained64 0.35) —
+on an isotropic corpus, quantization error is dominated by codebook
+SIZE until the size is adequate. Hence the round-12 plan: a
+deterministic trained-codebook operator at production size, not a
+trained toy.
+
+Usage: python scripts/pq_codebook_probe.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+M = 4  # PQ subspaces (similarity.PQ_M)
+TOP_K = 5
+CAP = 20  # similarity.RERANK_CAP
+QUERY_MOD = 100
+LLOYD_ITERS = 5
+
+
+def load_vectors() -> tuple[np.ndarray, np.ndarray]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    v = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def recall_at_5(V: np.ndarray, Q: np.ndarray, exact: np.ndarray,
+                codebooks: list[np.ndarray], sub: int) -> float:
+    n = len(V)
+    codes = np.zeros((n, M), dtype=int)
+    for s in range(M):
+        sv = V[:, s * sub:(s + 1) * sub]
+        d = ((sv[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = d.argmin(1)
+    hits = 0
+    for qi, q in enumerate(Q):
+        lut = np.stack(
+            [V[q, s * sub:(s + 1) * sub] @ codebooks[s].T for s in range(M)]
+        )
+        adc = lut[np.arange(M)[:, None], codes.T].sum(0)
+        adc[q] = -9
+        short = np.argsort(-adc)[:CAP]
+        ex = short[np.argsort(-(V[short] @ V[q]))[:TOP_K]]
+        hits += len(set(ex) & set(exact[qi]))
+    return hits / (len(Q) * TOP_K)
+
+
+def maxmin_seeds(sv: np.ndarray, k: int) -> np.ndarray:
+    picks = [0]
+    d = ((sv - sv[0]) ** 2).sum(1)
+    for _ in range(k - 1):
+        nxt = int(d.argmax())
+        picks.append(nxt)
+        d = np.minimum(d, ((sv - sv[nxt]) ** 2).sum(1))
+    return sv[picks].copy()
+
+
+def lloyd(sv: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    for _ in range(LLOYD_ITERS):
+        d = ((sv[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for k in range(len(cb)):
+            members = sv[a == k]
+            if len(members):
+                cb[k] = members.mean(0)
+    return cb
+
+
+def main() -> None:
+    ids, V = load_vectors()
+    n, dim = V.shape
+    sub = dim // M
+    Q = np.where(ids % QUERY_MOD == 0)[0]
+    sims = V[Q] @ V.T
+    for qi, q in enumerate(Q):
+        sims[qi, q] = -9
+    exact = np.argsort(-sims, axis=1)[:, :TOP_K]
+    print(f"N={n} dim={dim} queries={len(Q)} cap={CAP}")
+
+    def subs(s):
+        return V[:, s * sub:(s + 1) * sub]
+
+    for pqk in (8, 16, 64):
+        cb = [subs(s)[:pqk].copy() for s in range(M)]
+        print(f"first{pqk:<3d} recall@5: {recall_at_5(V, Q, exact, cb, sub):.3f}")
+    cb_mm = [maxmin_seeds(subs(s), 8) for s in range(M)]
+    print(f"maxmin8   recall@5: {recall_at_5(V, Q, exact, cb_mm, sub):.3f}")
+    for pqk in (8, 64):
+        cb = [lloyd(subs(s), subs(s)[:pqk].copy()) for s in range(M)]
+        print(
+            f"trained{pqk:<3d} recall@5: "
+            f"{recall_at_5(V, Q, exact, cb, sub):.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
