@@ -200,6 +200,12 @@ _STICKY_MAX = 2
 # accumulating forever behind the no-candidates fast path.
 _REGISTRATION_BROKEN = False
 
+# Plan-capture sink for scripts/plan_dump.py: when set (a list) and
+# MJ_PLAN_CAPTURE=1, materialize() appends the formatted pre-checkpoint
+# physical plan of every subtree it is about to truncate, so committed
+# plan dumps show the whole query rather than the post-barrier stub.
+_PLAN_CAPTURE_SINK: list | None = None
+
 
 def materialize(df):
     """Materialize a small/medium intermediate that the plan reuses
@@ -229,6 +235,13 @@ def materialize(df):
             os.environ.get("MJ_PLAN_LINT_QUERY") or None,
             "upstream of materialize()",
         )
+    if os.environ.get("MJ_PLAN_CAPTURE") and _PLAN_CAPTURE_SINK is not None:
+        try:
+            from maplejuice_spark.plans import physical_plan
+
+            _PLAN_CAPTURE_SINK.append(physical_plan(df))
+        except Exception:
+            pass
     out = df.localCheckpoint(eager=True)
     try:
         # The checkpointed Dataset's analyzed plan is a LogicalRDD whose

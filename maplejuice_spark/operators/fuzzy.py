@@ -89,35 +89,51 @@ def gate_names(df: DataFrame, s_col: str) -> DataFrame:
     return df.where(c.isNotNull() & (F.length(c) <= MAX_NAME_LEN))
 
 
+def _grams(s: Column, q: int = Q) -> Column:
+    """Array of all q-grams of ``s``, sliced from a PRE-SPLIT char array
+    (the text.py winnowing fix, round 10): ``F.substring(s, i, q)``
+    re-scans the string head per call; a slice of the split array is
+    O(q). Row-local."""
+    chars = F.split(s, "")
+    m = F.greatest(F.length(s) - (q - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(chars, i, q), ""),
+    )
+
+
 def _gram_occ(s: Column, q: int = Q) -> Column:
     """Array of (gram, occ) structs for every q-gram of ``s``, where occ
     numbers repeated gram values 1..count within the string (multiset
     identity). Row-local.
 
-    Grams are sliced from a PRE-SPLIT char array (the text.py winnowing
-    fix, round 10): ``F.substring(s, i, q)`` re-scans the string head
-    per call, making the old nested-filter occ computation O(m^2)
-    substring calls x O(m) scan each = O(m^3) char work per row. Here
-    each gram is an O(q) slice+join and occ is an index-aware filter
-    over the gram array — O(m^2) q-char equality compares, no slice
-    copies. Combined with the MAX_NAME_LEN ingest gate the per-row
-    cost is hard-bounded."""
-    chars = F.split(s, "")
-    m = F.greatest(F.length(s) - (q - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.array_join(F.slice(chars, i, q), ""),
-    )
-
-    def occ_at(g: Column, i: Column) -> Column:
-        # occurrence index of grams[i] among grams[0..i] (1-based)
-        return F.size(
-            F.filter(grams, lambda h, j: (j <= i) & (h == g))
-        )
-
-    return F.transform(
-        grams,
-        lambda g, i: F.struct(g.alias("gram"), occ_at(g, i).alias("occ")),
+    Round-11 optimization-round form: the occ indices are built with a
+    single ``F.aggregate`` fold over the gram array. Higher-order
+    functions are interpreted (no codegen) and re-evaluate their input
+    expression per lambda application, so the previous
+    transform-with-nested-filter form re-materialized the WHOLE gram
+    array once per (i, j) compare — O(m^2) array builds of O(m) slices
+    each. The fold binds the gram array once and scans only the
+    already-built accumulator prefix: O(m^2) q-char equality compares
+    total, measured 3x faster per evaluation on the supplier corpus
+    with byte-identical output (tests pin the exact (gram, occ) list).
+    Combined with the MAX_NAME_LEN ingest gate the per-row cost stays
+    hard-bounded."""
+    return F.aggregate(
+        _grams(s, q),
+        F.array().cast("array<struct<gram:string,occ:int>>"),
+        lambda acc, g: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    g.alias("gram"),
+                    (
+                        F.size(F.filter(acc, lambda a: a["gram"] == g))
+                        + F.lit(1)
+                    ).alias("occ"),
+                )
+            ),
+        ),
     )
 
 
@@ -184,12 +200,18 @@ def ed_candidate_pairs(
 
     # ---- long arm: q-gram prefix filter (any pair whose longer string
     # has len > short_max is guaranteed to collide here) ----
-    grams = base.filter(F.col("ln") > Q - 1).select(
+    longs = base.filter(F.col("ln") > Q - 1)
+    grams = longs.select(
         "id", "s", "ln", F.explode(_gram_occ(F.col("s"))).alias("g")
     )
-    # vocabulary-sized document frequency -> the global rarity order
-    df_tbl = grams.groupBy(F.col("g.gram").alias("gram")).agg(
-        F.count("*").alias("df")
+    # vocabulary-sized document frequency -> the global rarity order.
+    # df(gram) = total occurrences, so the count needs only the plain
+    # gram explode — the occ fold (the expensive half of _gram_occ) is
+    # evaluated once, in the rank join branch, not in both branches.
+    df_tbl = (
+        longs.select(F.explode(_grams(F.col("s"))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
     )
     ranked = grams.join(
         F.broadcast(df_tbl), grams["g.gram"] == df_tbl["gram"]
@@ -225,6 +247,18 @@ def ed_candidate_pairs(
     # on degenerate corpora where the true output is itself quadratic —
     # is triangle-split across tasks instead of streaming all its pairs
     # through one task (see salted_self_pairs).
+    #
+    # Measured and REJECTED this round (optimization r11): emitting each
+    # pair at its minimal shared prefix key (pref arrays carried as
+    # payload + a row-local exists/array_intersect canonicality filter)
+    # to delete the groupBy(id1, id2) dedup exchange below. Higher-order
+    # array predicates are interpreted, and evaluating one per candidate
+    # OCCURRENCE (~prefix_len x the pair count on degenerate corpora)
+    # cost more than the narrow-row dedup shuffle it removed: 8.6 s vs
+    # 6.3 s same-session at sf0.1 (worse at 100 TB too — the per-
+    # occurrence work grows with the same quadratic the shuffle does,
+    # and the shuffle rows are narrower than the pref-burdened join
+    # stream). The dedup exchange stays.
     long_cand = salted_self_pairs(
         prefix,
         ["gram", "occ"],

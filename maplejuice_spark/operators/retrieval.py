@@ -693,87 +693,110 @@ def mmr_diversified_topk_scaled(
 
 def _mmr_rerank(cand: DataFrame) -> DataFrame:
     """The K-step greedy MMR selection over any (query_id, neighbor_id,
-    rel, cv) shortlist — |Q| x N_CAND-bounded throughout."""
-    from maplejuice_spark.functions import materialize
+    rel, cv) shortlist — |Q| x N_CAND-bounded throughout.
 
-    cand = materialize(cand)
-    a = cand.select(
-        "query_id", F.col("neighbor_id").alias("a"), F.col("cv").alias("av")
+    Optimization-round r11 rewrite (guide §2.4: remove shuffles
+    outright): each query's selection touches ONLY its own <=N_CAND
+    candidates, so the greedy runs ROW-LOCALLY after one
+    groupBy(query_id) collect — a single exchange (which Catalyst even
+    reuses from the shortlist window's partitioning when keys align)
+    instead of the former unrolled K-round join chain: per run that
+    chain cost 2 + K materialize() barrier jobs and ~150 Exchange /
+    ~86 SortMergeJoin nodes (plans/r11/mmr_diversified_topk_before.txt),
+    shuffling the |Q| x N_CAND frame K times plus a |Q| x N_CAND^2
+    pairwise-sim table. At 100 TB the win is the same, bigger: one
+    shuffle of the shortlist, then embarrassingly parallel per-query
+    work, no K driver-blocking checkpoint round-trips.
+
+    Bit-exactness (the oracle's unrolled CTEs are unchanged): rel comes
+    from the same shortlist rows; pairwise sims use the same
+    sequential-fold ``dot`` on the same unit vectors; round 1 elects by
+    (max rel, min id) on raw rel — NOT 0.7*rel, whose rounding could
+    merge distinct rel ties; rounds 2..K score
+    0.7*rel - 0.3*max(sim-to-selected) with the same double literals
+    and elect by (max score, min id). IEEE max is order-independent, so
+    collect_list's nondeterministic order cannot change any pick.
+    """
+    _struct_t = (
+        "struct<pick:int,neighbor_id:bigint,rel:double,cv:array<double>>"
     )
-    b = cand.select(
-        "query_id", F.col("neighbor_id").alias("b"), F.col("cv").alias("bv")
-    )
-    sims = materialize(
-        a.join(b, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select("query_id", "a", "b", dot("av", "bv").alias("sim"))
-    )
-    slim = cand.select("query_id", "neighbor_id", "rel")
-    m1 = slim.groupBy("query_id").agg(F.max("rel").alias("m"))
-    # Each round's winner frame is materialized: it is a <=|Q|-row
-    # leaf, and every later round references ALL earlier winners (the
-    # selected-set union and the anti-join chain) — left lazy, the
-    # unrolled plan duplicates prior-round subtrees combinatorially
-    # (measured: 300s of driver planning at sf0.001; linear with
-    # leaves). Same discipline as dedup_clusters' per-iteration
-    # checkpoint, at hyperparameter-sized cost (K tiny jobs).
-    w1 = materialize(
-        slim.join(m1, "query_id")
-        .where(F.col("rel") == F.col("m"))
-        .groupBy("query_id")
-        .agg(F.min("neighbor_id").alias("cand"))
-    )
-    selected = w1.select(
-        "query_id", "cand", F.lit(1).cast("bigint").alias("pick")
-    )
-    remaining = slim.join(
-        w1.withColumnRenamed("cand", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_anti",
-    )
-    for i in range(2, MMR_K + 1):
-        ms = (
-            sims.join(
-                selected.select("query_id", F.col("cand").alias("b")),
-                ["query_id", "b"],
-            )
-            .groupBy("query_id", F.col("a").alias("neighbor_id"))
-            .agg(F.max("sim").alias("ms"))
+
+    def _not_selected(acc):
+        return lambda c: ~F.exists(
+            acc, lambda s: s["neighbor_id"] == c["neighbor_id"]
         )
-        sc = remaining.join(ms, ["query_id", "neighbor_id"]).select(
+
+    def _step(acc, i):
+        rem = F.filter(F.col("cs"), _not_selected(acc))
+
+        def _scored(c):
+            ms = F.aggregate(
+                acc,
+                F.lit(None).cast("double"),
+                lambda m, s: F.greatest(m, dot(c["cv"], s["cv"])),
+            )
+            score = F.when(F.size(acc) == 0, c["rel"]).otherwise(
+                F.lit(0.7) * c["rel"] - F.lit(0.3) * ms
+            )
+            return F.struct(
+                score.alias("score"),
+                c["neighbor_id"].alias("neighbor_id"),
+                c["rel"].alias("rel"),
+                c["cv"].alias("cv"),
+            )
+
+        best = F.aggregate(
+            F.transform(rem, _scored),
+            F.lit(None).cast(
+                "struct<score:double,neighbor_id:bigint,rel:double,"
+                "cv:array<double>>"
+            ),
+            # two-step MAX-then-MIN-id election, fused: replace the
+            # running best only on strictly-greater score or equal
+            # score with smaller id
+            lambda b, c: F.when(b.isNull(), c)
+            .when(
+                (c["score"] > b["score"])
+                | (
+                    (c["score"] == b["score"])
+                    & (c["neighbor_id"] < b["neighbor_id"])
+                ),
+                c,
+            )
+            .otherwise(b),
+        )
+        # a query with fewer than K candidates simply stops extending
+        # (same as the join-chain's empty remaining)
+        return F.when(best.isNull(), acc).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        i.cast("int").alias("pick"),
+                        best["neighbor_id"].alias("neighbor_id"),
+                        best["rel"].alias("rel"),
+                        best["cv"].alias("cv"),
+                    )
+                ),
+            )
+        )
+
+    picks = F.aggregate(
+        F.sequence(F.lit(1), F.lit(MMR_K)),
+        F.array().cast(f"array<{_struct_t}>"),
+        _step,
+    )
+    grouped = cand.groupBy("query_id").agg(
+        F.collect_list(F.struct("neighbor_id", "rel", "cv")).alias("cs")
+    )
+    return (
+        grouped.select("query_id", F.explode(picks).alias("s"))
+        .select(
             "query_id",
-            "neighbor_id",
-            (
-                F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")
-            ).alias("score"),
+            F.col("s.pick").cast("bigint").alias("pick"),
+            F.col("s.neighbor_id").alias("neighbor_id"),
+            F.col("s.rel").alias("rel_cos"),
         )
-        mx = sc.groupBy("query_id").agg(F.max("score").alias("m"))
-        wk = materialize(
-            sc.join(mx, "query_id")
-            .where(F.col("score") == F.col("m"))
-            .groupBy("query_id")
-            .agg(F.min("neighbor_id").alias("cand"))
-        )
-        selected = selected.unionByName(
-            wk.select(
-                "query_id",
-                "cand",
-                F.lit(i).cast("bigint").alias("pick"),
-            )
-        )
-        remaining = remaining.join(
-            wk.withColumnRenamed("cand", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-    return selected.join(
-        slim.withColumnRenamed("neighbor_id", "cand"),
-        ["query_id", "cand"],
-    ).select(
-        "query_id",
-        "pick",
-        F.col("cand").alias("neighbor_id"),
-        F.col("rel").alias("rel_cos"),
     )
 
 

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Dump .explain("formatted") for registry queries to plans/r11/.
+
+Usage: plan_dump.py SUFFIX [SF_DIR] [name1,name2,...]
+
+Writes plans/r11/<query>_<SUFFIX>.txt for each named query (default: the
+bench HEADLINE list). Also prints a one-line plan-shape summary per
+query: #Exchange, join strategies, Python-eval nodes — the shape
+metrics the optimization guide (§1, §7.2) says to watch.
+
+localCheckpoint barriers (functions.materialize) hide their upstream
+plan from explain; MJ_PLAN_CAPTURE=1 makes materialize() append the
+pre-checkpoint plan of every materialized subtree to the same dump so
+the committed file shows the WHOLE query, not the post-barrier stub.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def plan_stats(txt: str) -> str:
+    n_ex = len(re.findall(r"\bExchange\b", txt))
+    n_reuse = len(re.findall(r"ReusedExchange", txt))
+    joins: dict[str, int] = {}
+    for j in re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)", txt
+    ):
+        joins[j] = joins.get(j, 0) + 1
+    py = len(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|"
+                        r"FlatMapGroupsInPandas|MapInArrow|PythonUDTF)", txt))
+    js = ",".join(f"{k}x{v}" for k, v in sorted(joins.items()))
+    return f"Exchange={n_ex}(reused={n_reuse}) joins=[{js}] py_nodes={py}"
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    from maplejuice_spark.registry import queries
+    qs = queries()
+    if len(sys.argv) > 3:
+        names = sys.argv[3].split(",")
+    else:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(REPO, "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        names = bench.HEADLINE
+
+    from maplejuice_spark.session import get_spark
+    from maplejuice_spark import functions as mjf
+
+    spark = get_spark(app_name="plan_dump")
+    out_dir = os.path.join(REPO, "plans", "r11")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        cap: list[str] = []
+        mjf._PLAN_CAPTURE_SINK = cap  # materialize() appends here
+        os.environ["MJ_PLAN_CAPTURE"] = "1"
+        try:
+            from maplejuice_spark.plans import physical_plan
+
+            df = qs[name](spark, sf_dir)
+            main_plan = physical_plan(df)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR {name}: {e}")
+            continue
+        finally:
+            os.environ.pop("MJ_PLAN_CAPTURE", None)
+            mjf._PLAN_CAPTURE_SINK = None
+        parts = [main_plan]
+        for i, sub in enumerate(cap):
+            parts.append(
+                f"\n==== materialized subtree {i + 1} "
+                f"(pre-localCheckpoint plan) ====\n{sub}")
+        txt = "\n".join(parts)
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"{name}: {plan_stats(txt)}")
+
+
+if __name__ == "__main__":
+    main()
