@@ -1613,12 +1613,21 @@ def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
     )
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # n_docs folds into the checkpointed subtree as a broadcast 1-row
+    # cross join (the oracle's CROSS JOIN nd) instead of a separate
+    # driver-blocking .count() action per run — one fewer sequential
+    # job, same BIGINT-exact e (optimization r11, guide §5: the driver
+    # should do no data work).
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     v = materialize(
-        tf.join(dfs.hint("merge"), "shingle").select(
+        tf.join(dfs.hint("merge"), "shingle")
+        .crossJoin(F.broadcast(nd))
+        .select(
             "doc_id",
             "shingle",
-            (F.col("tf") * F.expr(f"{n_docs}L div df"))
+            (F.col("tf") * F.expr("n_docs div df"))
             .cast("bigint")
             .alias("e"),
         )

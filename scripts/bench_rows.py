@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Time a subset of registry queries with bench.py's exact methodology
+(one untimed warm-up run, then median-of-3 noop-sink runs per query).
+
+Usage: python scripts/bench_rows.py [sf_dir] name1,name2,...
+
+Exists so single-row optimization A/Bs don't need the full 74-row bench;
+the full bench.py remains the round-level record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
+        args = args[1:]
+    names = [n for n in (args[0].split(",") if args else []) if n]
+    if not names:
+        print("usage: bench_rows.py [sf_dir] name1,name2,...", file=sys.stderr)
+        sys.exit(2)
+
+    from maplejuice_spark.functions import release_checkpoints
+    from maplejuice_spark.registry import queries
+    from maplejuice_spark.session import get_spark
+
+    spark = get_spark(app_name="maplejuice_bench_rows")
+    qs = queries()
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench_rows: {name}")
+        runs: list[float] = []
+        for i in range(4):
+            release_checkpoints(spark)
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if i > 0:
+                runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
+        spark.sparkContext.setJobDescription(None)
+    print(json.dumps({"queries": timings, "spread": spread, "sf_dir": sf_dir}))
+
+
+if __name__ == "__main__":
+    main()
