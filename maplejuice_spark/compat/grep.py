@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
+from maplejuice_spark.functions import local_df
 from maplejuice_spark.registry import register
 
 GREP_PATTERN = "spark .*join|vector"  # registered demo pattern
@@ -132,7 +133,7 @@ def _list_files(spark: SparkSession, path: str) -> DataFrame:
                     out.append(child.getPath().toString())
         elif st.isFile() and not _hidden(st.getPath().getName()):
             out.append(st.getPath().toString())
-    df = spark.createDataFrame([(p,) for p in out], "file string")
+    df = local_df(spark, [(p,) for p in out], "file string")
     return df.select(_norm_file(F.col("file")).alias("file"))
 
 

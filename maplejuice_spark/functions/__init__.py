@@ -108,6 +108,39 @@ def dec_to_double_sql(expr: str, scale: int = 6) -> str:
     return f"({core} / {unit}.0)" if scale else core
 
 
+def local_df(spark, rows, schema: str):
+    """Small driver-built DataFrame, routed through pandas so that
+    ``createDataFrame`` takes the Arrow fast path.
+
+    ``createDataFrame`` on a plain LIST always builds a pickled-RDD
+    local relation whose every execution round-trips through a Python
+    worker — measured ~4.5 s PER DOWNSTREAM JOB on the bench box just
+    to deserialize hyperparameter-sized rows (and re-paid each time a
+    multi-branch plan re-executes the relation). The pandas/Arrow path
+    converts driver-side and hands the JVM Arrow batches: ~0.15 s, no
+    Python worker in any later execution (optimization r11, guide §4).
+
+    The explicit ``schema`` pins every column type on both paths, so
+    the Arrow/pickle coercion differences for untyped payloads don't
+    arise. Falls back to the classic path when pandas can't represent
+    the rows (or the list is empty, where positional mapping is
+    ambiguous).
+    """
+    rows = list(rows)
+    if rows:
+        try:
+            import pandas as pd
+
+            if isinstance(rows[0], dict):
+                pdf = pd.DataFrame(rows)
+            else:
+                pdf = pd.DataFrame(rows, columns=list(range(len(rows[0]))))
+            return spark.createDataFrame(pdf, schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def dsum(c: Column | str) -> Column:
     """Deterministic sum of a double column: exact decimal sum -> double
     (via ``dec_to_double`` — see its envelope note)."""

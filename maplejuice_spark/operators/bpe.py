@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import TOKEN_CLASS, materialize, tokens
+from maplejuice_spark.functions import TOKEN_CLASS, local_df, materialize, tokens
 from maplejuice_spark.operators.pipeline import _SQL_PACK_BUCKET
 from maplejuice_spark.registry import register
 
@@ -226,8 +226,8 @@ def _assert_fixpoint(v: DataFrame, merges) -> None:
     hit the codegen/analysis ceiling near K ~ thousands (the
     production-vocabulary axis), the join form is flat in K."""
     spark = v.sparkSession
-    mt = spark.createDataFrame(
-        [(l, r) for _rank, l, r, _c in merges], "l string, r string"
+    mt = local_df(
+        spark, [(l, r) for _rank, l, r, _c in merges], "l string, r string"
     )
     unstable = (
         _pair_counts(v).join(F.broadcast(mt), ["l", "r"], "left_semi").count()
@@ -302,8 +302,8 @@ def _learn_merges_spark(
             )
         )
     _assert_fixpoint(v, merges)
-    spark.createDataFrame(
-        merges, "rank int, l string, r string, freq bigint"
+    local_df(
+        spark, merges, "rank int, l string, r string, freq bigint"
     ).coalesce(1).write.mode("overwrite").parquet(path)
     _MERGES_CACHE[key] = merges
     return merges, v
@@ -461,16 +461,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     time of the merge. Deterministic — ties break lexicographically in
     both engines (ASCII symbol alphabet, so collation agrees)."""
     merges, _ = _learn_merges_spark(spark, sf_dir)
-    return spark.createDataFrame(
-        [
-            {
-                "rank": r,
-                "left_sym": l,
-                "right_sym": rt,
-                "freq": c,
-            }
-            for r, l, rt, c in merges
-        ]
+    return local_df(
+        spark,
+        [(r, l, rt, c) for r, l, rt, c in merges],
+        "rank bigint, left_sym string, right_sym string, freq bigint",
     ).select("rank", "left_sym", "right_sym", "freq")
 
 

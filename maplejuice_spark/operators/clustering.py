@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import materialize, to_double_vec
+from maplejuice_spark.functions import local_df, materialize, to_double_vec
 from maplejuice_spark.operators.similarity import _SQL_GATE, gate_embeddings
 from maplejuice_spark.registry import register
 
@@ -233,7 +233,8 @@ def _trained_model(
                 artifacts.BUILD_COUNTS.get("kmeans_model", 0) + 1
             )
             assign, assign_cents, cents = _kmeans_rounds(vecs)
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [("assign", k, cq) for k, cq in assign_cents]
                 + [("final", k, cq) for k, cq in cents],
                 "stage string, k bigint, cq array<bigint>",
@@ -848,7 +849,7 @@ def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmeans_parallel_seeds",
             ("embeddings",),
             "v1",
-            lambda: spark.createDataFrame(
+            lambda: local_df(spark,
                 _parallel_seed_picks(_quantized_vecs(spark, sf_dir)),
                 "rank int, seed_id bigint, weight bigint",
             ),

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from maplejuice_spark.catalog import load_table
-from maplejuice_spark.functions import TOKEN_CLASS, materialize, tokens
+from maplejuice_spark.functions import TOKEN_CLASS, local_df, materialize, tokens
 from maplejuice_spark.registry import register
 
 # DuckDB-side twin of functions.tokens()
@@ -751,7 +751,7 @@ def taxonomy_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays map-side.
     """
     docs = load_table(spark, sf_dir, "documents")
-    kw = spark.createDataFrame(
+    kw = local_df(spark,
         [
             (tok, topic)
             for topic, toks in sorted(TAXONOMY.items())

@@ -21,6 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from maplejuice_spark.catalog import Catalog
+from maplejuice_spark.functions import local_df
 
 READERS = ("text", "csv", "json", "parquet", "orc", "binaryFile")
 
@@ -169,8 +170,8 @@ def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
                     pq.ParquetFile(full).metadata.num_rows,
                 )
             )
-    return spark.createDataFrame(
-        rows, "file string, partition string, n_bytes long, n_rows long"
+    return local_df(
+        spark, rows, "file string, partition string, n_bytes long, n_rows long"
     )
 
 
