@@ -624,11 +624,19 @@ def shard_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard_id, counters) only — document text never leaves the scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.md5(F.col("doc_id").cast("string")).alias("sk"),
-        F.size(tokens("text")).cast("bigint").alias("nt"),
-    ).withColumn("blk", F.substring("sk", 1, _N_BLOCK_HEX))
+    # materialized: BOTH consumers below (the block-sum broadcast side
+    # and the windowed main side) otherwise re-run the scan + regex
+    # tokenize — the broadcast build is a separate job, so the corpus
+    # was tokenized twice SEQUENTIALLY per invocation. The checkpointed
+    # stream is (id, 32-hex, 2 ints) — narrower than the text it
+    # replaces (optimization r11).
+    d = materialize(
+        docs.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("sk"),
+            F.size(tokens("text")).cast("bigint").alias("nt"),
+        ).withColumn("blk", F.substring("sk", 1, _N_BLOCK_HEX))
+    )
     from pyspark.sql import Window as W
 
     blk_sums = d.groupBy("blk").agg(F.sum("nt").alias("blk_nt"))
@@ -1290,28 +1298,30 @@ def dataset_card_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"as bigint) % {_QC_BUCKETS} % 5 - 2), "
         f"cast(0 as bigint), (acc, x) -> acc + x)"
     )
+    # ONE corpus scan + ONE tokenize feeds every aggregation: the token
+    # array lives in its own projection (the _shingle_rows trap) and is
+    # reduced to (n_toks, score) scalars in the same stage, so `base`
+    # stays narrow — the quality fold rides along as one bigint instead
+    # of a second scan + second regex tokenize of the corpus
+    # (optimization r11; was 2 scans / 2 tokenizes).
     base = materialize(
         docs.select(
             "source",
             "lang",
             F.md5(F.col("text").cast("binary")).alias("dg"),
-            F.size(tokens("text")).cast("bigint").alias("n_toks"),
+            tokens("text").alias("toks"),
+        ).select(
+            "source",
+            "lang",
+            "dg",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.expr(w_fold).alias("score"),
         )
-    )
-    # the quality fold needs the token array; it runs on its own narrow
-    # projection so `base` stays (digest + counters) only
-    scored = docs.select(
-        "source",
-        tokens("text").alias("toks"),
-    ).select(
-        "source",
-        F.size("toks").cast("bigint").alias("n_toks"),
-        F.expr(w_fold).alias("score"),
     )
     # same keep test as quality_classifier_score — including the
     # _QC_THRESH_X10 multiplier, so the card stays in sync if the
     # threshold constant ever moves off 1 (advisor round-9 find)
-    q = scored.groupBy("source").agg(
+    q = base.groupBy("source").agg(
         F.sum(
             F.when(
                 F.col("score") * 10 >= F.col("n_toks") * _QC_THRESH_X10,
@@ -1660,21 +1670,29 @@ def training_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("length(cast(text as binary)) div 64") + 1
         ).cast("bigint").alias("rec_tokens"),
     )
-    recs = tc.unionByName(im).unionByName(au).select(
-        "rkind",
-        "doc_id",
-        "seq",
-        "rec_tokens",
-        F.md5(
-            F.concat(
-                F.col("rkind"),
-                F.lit(":"),
-                F.col("doc_id").cast("string"),
-                F.lit(":"),
-                F.col("seq").cast("string"),
-            )
-        ).alias("rk"),
-    ).withColumn("blk", F.substring("rk", 1, _N_BLOCK_HEX))
+    # materialized for the same reason as shard_packing_manifest's d:
+    # the block-sum broadcast side and the windowed main side would
+    # otherwise each re-run the 3 scans + tokenize + chunk Generate
+    # (two sequential executions of the whole record build per
+    # invocation); the checkpointed stream is 5 narrow columns
+    # (optimization r11).
+    recs = materialize(
+        tc.unionByName(im).unionByName(au).select(
+            "rkind",
+            "doc_id",
+            "seq",
+            "rec_tokens",
+            F.md5(
+                F.concat(
+                    F.col("rkind"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("seq").cast("string"),
+                )
+            ).alias("rk"),
+        ).withColumn("blk", F.substring("rk", 1, _N_BLOCK_HEX))
+    )
 
     blk_sums = recs.groupBy("blk").agg(F.sum("rec_tokens").alias("blk_nt"))
     blk_off = blk_sums.select(
