@@ -1,0 +1,69 @@
+"""functions.local_df — the pandas/Arrow local-relation path (round-11
+optimization; guide §4/§6). The helper exists purely for SPEED (the
+list path builds a pickled-RDD relation whose every execution pays a
+Python-worker round trip), so these tests pin the property the speed
+swap must preserve: for every schema shape the operators feed it, the
+Arrow path yields BYTE-IDENTICAL rows, types, and column names to the
+classic list path — plus the plan property that motivated the change
+(no Python-eval node in the local relation's plan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from maplejuice_spark.functions import local_df
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+CASES = [
+    # (rows, schema) — one case per call-site shape in the repo
+    (
+        [(1, "ab", "cd", 7), (2, "x", "y", 9)],
+        "rank int, l string, r string, freq bigint",
+    ),  # bpe merge table
+    (
+        [("assign", 0, [1, 2]), ("final", 1, [3, 4])],
+        "stage string, k bigint, cq array<bigint>",
+    ),  # k-means model stages (array payload)
+    (
+        [("f1", "p", 10, 2)],
+        "file string, partition string, n_bytes long, n_rows long",
+    ),  # dataset manifest
+    ([("tok", "topic")], "tok string, topic string"),  # taxonomy keywords
+    ([(None, "a"), (2, None)], "x int, s string"),  # nulls in both types
+]
+
+
+@pytest.mark.parametrize("rows,schema", CASES)
+def test_local_df_matches_classic_createDataFrame(spark, rows, schema):
+    got = local_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+
+
+def test_local_df_empty_falls_back(spark):
+    df = local_df(spark, [], "a int, b string")
+    assert df.count() == 0
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "a:int",
+        "b:string",
+    ]
+
+
+def test_local_df_dict_rows(spark):
+    rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    df = local_df(spark, rows, "a bigint, b string")
+    assert _rows(df) == [(1, "x"), (2, "y")]
+
+
+def test_local_df_plan_has_no_python_eval(spark):
+    """The point of the helper: the relation must execute without a
+    Python worker (no pickled-RDD scan, no Python-eval node)."""
+    df = local_df(spark, [(1, "a")], "k int, v string")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "ExistingRDD"):
+        assert bad not in plan, plan
