@@ -153,6 +153,30 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _store_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (doc_id, shingle) rows read from the persisted bucketed
+    shingle store (optimization r11) — identical to
+    ``_shingle_rows(...).distinct()``: the store rows are
+    ``_shingle_sets``' array_distinct'd per-doc arrays (docs with < 3
+    tokens have no shingles in either form), so exploding them yields
+    exactly the distinct relation, value-checked by the unchanged
+    oracles of every consumer. Replaces a corpus scan + regex tokenize
+    + shingle explode + distinct with a pruned two-column read of the
+    ingest-maintained store (the minhash_recall_audit pattern).
+
+    Repartitioned before the explode: the store's bucket count is sized
+    to data bytes (8 at sf0.1), so a bare read caps every pre-exchange
+    stage at n_buckets tasks — the same single-file trap _shingle_rows
+    documents. The exchange moves compact array rows, the explode then
+    runs at full core count."""
+    store = _bucketed_shingle_store(spark, sf_dir)
+    return (
+        store.select("doc_id", "sh")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh, n): per-document DISTINCT trigram-shingle array and
     its size, computed ROW-LOCALLY — tokenize -> shingle -> array_distinct
@@ -686,7 +710,7 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the minhash_candidates path additionally bounds the pair
     space by banding first.
     """
-    dsh = _shingle_rows(spark, sf_dir).distinct()
+    dsh = _store_shingle_rows(spark, sf_dir)
     return jaccard_topk_pairs(dsh, k=20)
 
 
@@ -766,7 +790,10 @@ def eval_contamination_containment(
     eval side is tiny and the at-scale plan broadcasts the eval
     shingle set against every train shard instead.
     """
-    dsh = materialize(_shingle_rows(spark, sf_dir).distinct())
+    # no checkpoint around the store read (optimization r11): both
+    # consumers re-read the pruned persisted store — cheaper than
+    # writing + reading a checkpoint of the exploded rows
+    dsh = _store_shingle_rows(spark, sf_dir)
     cnt = dsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = cnt.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
     dshf = materialize(dsh.join(kept.hint("merge"), "shingle"))
@@ -982,8 +1009,19 @@ JACCARD_THRESHOLD = 0.12
 
 
 def _cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bidirectional near-dup edges from the MinHash-LSH pipeline."""
-    pairs = minhash_candidates(spark, sf_dir).filter(
+    """Bidirectional near-dup edges from the MinHash-LSH pipeline.
+
+    Reads the PERSISTED doc_id-bucketed shingle/signature store
+    (optimization r11) instead of re-running the inline LSH build:
+    minhash_candidates_bucketed registers the SAME oracle as
+    minhash_candidates — byte-identical (d1, d2, n_common, jaccard)
+    output, value-checked at every sweep scale — so the edge set is
+    unchanged while the band branch scans pruned signature columns and
+    the verification joins consume the bucket layout exchange-free
+    (the minhash_recall_audit pattern, r10). The store build is priced
+    by bench's shingle_store_train row; clustering is one more dedup
+    job reading the deployment's signature store."""
+    pairs = minhash_candidates_bucketed(spark, sf_dir).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     fwd = pairs.select(F.col("d1").alias("s"), F.col("d2").alias("t"))
