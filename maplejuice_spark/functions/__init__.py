@@ -125,6 +125,15 @@ def local_df(spark, rows, schema: str):
     arise. Falls back to the classic path when pandas can't represent
     the rows (or the list is empty, where positional mapping is
     ambiguous).
+
+    Columns are built with ``dtype=object`` (ADVICE r11): letting
+    pandas infer dtypes turns an integer column containing a None into
+    float64, silently rounding values >= 2^53 before Arrow ever sees
+    them — object columns hand Arrow the exact Python ints (and real
+    None, not NaN). Dict rows are bound BY NAME to the schema's field
+    order (ADVICE r11): ``createDataFrame(pdf, schema)`` maps pandas
+    columns positionally, so a dict whose key order differed from the
+    schema would silently swap same-typed columns.
     """
     rows = list(rows)
     if rows:
@@ -132,9 +141,14 @@ def local_df(spark, rows, schema: str):
             import pandas as pd
 
             if isinstance(rows[0], dict):
-                pdf = pd.DataFrame(rows)
+                from pyspark.sql.types import StructType
+
+                names = StructType.fromDDL(schema).names
+                pdf = pd.DataFrame(rows, columns=names, dtype=object)
             else:
-                pdf = pd.DataFrame(rows, columns=list(range(len(rows[0]))))
+                pdf = pd.DataFrame(
+                    rows, columns=list(range(len(rows[0]))), dtype=object
+                )
             return spark.createDataFrame(pdf, schema)
         except Exception:
             pass

@@ -244,15 +244,30 @@ def _trained_model(
     return hit[1], hit[2]
 
 
+def _arr_sql(vals: list[int]) -> str:
+    """SQL text of a bigint array literal."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _dist_sql(cq: list[int], vec: str = "vq") -> str:
+    """SQL text of the row-local exact integer squared-L2 fold of
+    column ``vec`` against a literal centroid. Emitted as TEXT and
+    parsed JVM-side in ONE call: building the same tree through the
+    Column API costs one py4j round-trip per literal/lambda — measured
+    2.5-4 s of pure driver time per 16-candidate stage at DIM=64
+    (optimization r12, guide §1.2 per-task... in this case per-DRIVER
+    work), vs milliseconds for the parser."""
+    return (
+        f"aggregate(zip_with({vec}, {_arr_sql(cq)},"
+        f" (x, y) -> (x - y) * (x - y)),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
+
+
 def _dist_to(cq: list[int]):
     """Row-local exact integer squared-L2 fold of column vq against a
-    literal centroid."""
-    lit = F.array(*[F.lit(int(v)) for v in cq])
-    return F.aggregate(
-        F.zip_with("vq", lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    literal centroid (one-call SQL-text form; see _dist_sql)."""
+    return F.expr(_dist_sql(cq))
 
 
 def _maxmin_seeds(vecs: DataFrame) -> list[tuple[int, list[int]]]:
@@ -430,12 +445,7 @@ def semantic_dedup_representatives(
         # K folds wide, row-local, no join
         expr = None
         for k, cq in cents:
-            lit = F.array(*[F.lit(int(v)) for v in cq])
-            d = F.aggregate(
-                F.zip_with(vq_col, lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
+            d = _dist_to(cq)
             expr = (
                 F.when(cluster_col == k, d)
                 if expr is None
@@ -711,34 +721,71 @@ def _dmin_to(cands: list) -> "F.Column":
     return F.least(*[_dist_to(cq) for _vid, cq in cands])
 
 
+def _nn_min(prev: str | None, new_cands: list) -> "F.Column":
+    """Running nearest-candidate state: min struct(dmin, nid) over the
+    NEW candidate literals, folded with the carried state (a struct
+    COLUMN NAME) when present. Lexicographic struct min == (smallest
+    distance, then smallest candidate vec_id) — the same tie-break the
+    one-shot argmin stated via a vec_id-sorted array + first-min
+    array_position, and min is associative, so the incremental fold is
+    value-identical to recomputing over the full candidate set. Built
+    as ONE SQL-text expression (see _dist_sql: the Column-API form cost
+    seconds of py4j round-trips per stage)."""
+    parts = [
+        f"named_struct('dmin', {_dist_sql(cq)}, 'nid', {int(vid)}L)"
+        for vid, cq in new_cands
+    ]
+    if prev is not None:
+        parts.append(prev)
+    return F.expr(
+        parts[0] if len(parts) == 1 else "least(" + ", ".join(parts) + ")"
+    )
+
+
 def _parallel_seed_picks(vecs: DataFrame) -> list[tuple[int, int, int]]:
     """Deterministic k-means|| seeding: returns [(rank, seed_id,
     weight)] with rank 1..K_PAR in pick order. See the section comment
     for the algorithm; every tie-break is (score, vec_id) so the
-    unrolled-CTE oracle states the identical chain."""
+    unrolled-CTE oracle states the identical chain.
+
+    Each round carries the running (dmin, nearest-id) struct forward in
+    a checkpointed narrow frame (optimization r12, VERDICT r11 #2):
+    round r folds only the PAR_M candidates ADDED last round against
+    the carried minimum instead of re-folding the whole candidate set —
+    O(M) interpreted higher-order-function folds per row per round
+    rather than O(r·M), and the weighting pass reads the carried
+    nearest id instead of re-scoring all 1 + M·R candidates. Every pick
+    and weight is bit-identical (exact integer distances; min is
+    associative; tie-breaks unchanged — see _nn_min)."""
     first = vecs.select("vec_id", "vq").orderBy("vec_id").limit(1).collect()[0]
     cand: list[tuple[int, list[int]]] = [(int(first.vec_id), list(first.vq))]
-    for _r in range(PAR_ROUNDS):
+    cur = vecs.select("vec_id", "vq", _nn_min(None, cand).alias("nn"))
+    for r in range(PAR_ROUNDS):
+        # round 1's state is a single fold — not worth a checkpoint job;
+        # later rounds checkpoint so the carried minimum is computed once
+        if r > 0:
+            cur = materialize(cur)
         excl = [vid for vid, _vq in cand]
         rows = (
-            vecs.filter(~F.col("vec_id").isin(excl))
-            .select("vec_id", "vq", _dmin_to(cand).alias("dmin"))
-            .orderBy(F.desc("dmin"), "vec_id")
+            cur.filter(~F.col("vec_id").isin(excl))
+            .orderBy(F.desc(F.col("nn.dmin")), "vec_id")
             .limit(PAR_M)
             .collect()
         )
-        cand += [(int(r.vec_id), list(r.vq)) for r in rows]
-    # nearest-candidate weights, ONE scan (ties -> smallest candidate
-    # vec_id: the array is vec_id-sorted and array_position takes the
-    # FIRST min — the oracle's ROW_NUMBER(ORDER BY dist, vec_id) twin)
-    cand.sort()
-    dists = F.array(*[_dist_to(cq) for _vid, cq in cand])
-    vids = F.array(*[F.lit(int(vid)) for vid, _vq in cand])
-    nearest = F.element_at(
-        vids, F.array_position(dists, F.array_min(dists)).cast("int")
+        new = [(int(r_.vec_id), list(r_.vq)) for r_ in rows]
+        cand += new
+        cur = cur.select(
+            "vec_id", "vq", _nn_min("nn", new).alias("nn")
+        )
+    # nearest-candidate weights from the carried state, ONE scan with
+    # only the last round's PAR_M candidates left to fold
+    wrows = (
+        cur.groupBy(F.col("nn.nid").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .collect()
     )
-    wrows = vecs.select(nearest.alias("cid")).groupBy("cid").count().collect()
     wmap = {int(r["cid"]): int(r["count"]) for r in wrows}
+    cand.sort()
     cw = [(vid, vq, wmap.get(vid, 0)) for vid, vq in cand]
 
     # weighted farthest-first reduction — pure-int driver logic over

@@ -164,16 +164,17 @@ def _store_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     + shingle explode + distinct with a pruned two-column read of the
     ingest-maintained store (the minhash_recall_audit pattern).
 
-    Repartitioned before the explode: the store's bucket count is sized
-    to data bytes (8 at sf0.1), so a bare read caps every pre-exchange
-    stage at n_buckets tasks — the same single-file trap _shingle_rows
-    documents. The exchange moves compact array rows, the explode then
-    runs at full core count."""
+    NOT repartitioned before the explode (optimization r12, reversing
+    the r11 choice the driver bench flagged perf-weak): the explode and
+    the map-side partial aggregations above it are cheap per row, so
+    spreading them past the bucket count bought nothing while the
+    repartition added a full exchange of the store rows — the r12
+    alternating A/B reads every arm without it faster (ngram 3.1 vs
+    4.1 s, eval 2.7 vs 4.5 s mins on equal state), and at 100 TB the
+    store has thousands of buckets, making the exchange pure cost."""
     store = _bucketed_shingle_store(spark, sf_dir)
-    return (
-        store.select("doc_id", "sh")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode("sh").alias("shingle"))
+    return store.select("doc_id", "sh").select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -790,9 +791,12 @@ def eval_contamination_containment(
     eval side is tiny and the at-scale plan broadcasts the eval
     shingle set against every train shard instead.
     """
-    # no checkpoint around the store read (optimization r11): both
-    # consumers re-read the pruned persisted store — cheaper than
-    # writing + reading a checkpoint of the exploded rows
+    # no checkpoint around the store read (optimization r11; re-proven
+    # r12 with the repartition removed — the checkpointed arm tied the
+    # two-read shape locally, and checkpointing the EXPLODED occurrence
+    # rows is corpus-scale storage at 100 TB while the two reads are
+    # pruned two-column bucket scans): both consumers re-read the
+    # persisted store
     dsh = _store_shingle_rows(spark, sf_dir)
     cnt = dsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = cnt.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle")
@@ -902,20 +906,20 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("toks", lambda t: F.md5(t.cast("binary"))).alias("dig"),
     )
 
-    def vote(i: int):
-        # count of tokens voting +1 on bit i
-        return F.size(
-            F.filter("dig", lambda d: F.substring(d, i + 1, 1) >= F.lit("8"))
-        )
-
-    simhash = sum(
-        [
-            F.when(2 * vote(i) - F.col("n") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(_SIMHASH_BITS)
-        ],
-        start=F.lit(0),
-    )
-    return dig.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    # one parsed SQL expression for all 32 bit votes (optimization r12):
+    # the Column-API form (32 x size(filter(lambda))) paid one py4j
+    # round-trip per node to BUILD, ~0.5 s of driver time inside every
+    # timed invocation; the parser takes milliseconds. Identical
+    # arithmetic: vote(i) counts digests whose i-th hex char >= '8',
+    # left-associative integer sum of CASE terms.
+    terms = [
+        f"(CASE WHEN 2 * size(filter(dig,"
+        f" d -> substring(d, {i + 1}, 1) >= '8')) - n > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    ]
+    simhash = F.expr("cast((0 + " + " + ".join(terms) + ") as bigint)")
+    return dig.select("doc_id", simhash.alias("simhash"))
 
 
 @register(
@@ -1024,9 +1028,20 @@ def _cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidates_bucketed(spark, sf_dir).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    fwd = pairs.select(F.col("d1").alias("s"), F.col("d2").alias("t"))
-    rev = pairs.select(F.col("d2").alias("s"), F.col("d1").alias("t"))
-    return fwd.union(rev)
+    # Symmetrize by a row-local explode, not fwd.union(rev): the union
+    # re-executed the whole LSH tail (band self-join + both
+    # verification joins) once per direction — the explode emits both
+    # directions inside the same stage, one pipeline execution at any
+    # scale (optimization r12, guide §2.4; same fix as mutual_knn's
+    # symmetrization).
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1").alias("s"), F.col("d2").alias("t")),
+                F.struct(F.col("d2").alias("s"), F.col("d1").alias("t")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.t")
 
 
 @register(
@@ -1291,38 +1306,43 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens("text").alias("t")).filter(
         F.size("t") >= SPAN_WINDOW
     )
-    win = materialize(
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.size("t") - (SPAN_WINDOW - 1)
-                    ),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            " ", F.slice(F.col("t"), i, SPAN_WINDOW)
-                        ).cast("binary")
-                    ),
-                )
-            ).alias("dig"),
-        )
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("t") - (SPAN_WINDOW - 1)
+                ),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("t"), i, SPAN_WINDOW)
+                    ).cast("binary")
+                ),
+            )
+        ).alias("dig"),
     )
-    dig_docs = win.groupBy("dig").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # Aggregate to (dig, doc_id, c) occurrence counts FIRST, then join
+    # the per-digest distinct-doc count against the AGGREGATED pairs,
+    # not the raw window stream (optimization r12, guide §2.3
+    # "aggregate before you shuffle"): the per-doc tallies only need
+    # each (dig, doc) pair's occurrence count, so the join-back input
+    # shrinks from every window occurrence to the distinct pairs, the
+    # countDistinct collapses to a plain partial-aggregable count, and
+    # the old win checkpoint barrier disappears (win now has ONE
+    # consumer). Skew immunity is preserved: a digest repeated in
+    # millions of docs is still a distributively-counted GROUP, and the
+    # join back fans it out row-per-(doc, dig) — strictly fewer rows
+    # than the old row-per-occurrence.
+    g = win.groupBy("dig", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd_tbl = g.groupBy("dig").agg(F.count(F.lit(1)).alias("nd"))
+    dup_c = F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0)))
     return (
-        win.join(dig_docs.hint("merge"), "dig")
+        g.join(nd_tbl.hint("merge"), "dig")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.count(F.when(F.col("nd") > 1, F.lit(1))).alias(
-                "n_dup_windows"
-            ),
-            (
-                F.count(F.when(F.col("nd") > 1, F.lit(1))).cast("double")
-                / F.count(F.lit(1))
-            ).alias("dup_ratio"),
+            F.sum("c").alias("n_windows"),
+            dup_c.alias("n_dup_windows"),
+            (dup_c.cast("double") / F.sum("c")).alias("dup_ratio"),
         )
     )
 

@@ -64,10 +64,13 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
 
     Returns (node BIGINT, rank_scaled BIGINT).
     """
+    # endpoint set via a row-local explode, not union-of-projections:
+    # the union re-executed the edge-derivation subtree once per branch
+    # (optimization r12, guide §2.4)
     nodes = materialize(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        ).distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Degree rides along with each edge so the loop never re-joins it;
@@ -385,9 +388,23 @@ def label_propagation_communities(
     max — partition-order independent, bit-identical across engines.
     """
     sym = _edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    # symmetrize by row-local explode, not union-of-projections (the
+    # union re-ran the edge scan+distinct per direction; optimization
+    # r12, guide §2.4)
     und = materialize(
-        sym.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
-        .union(sym.select(F.col("dst").alias("v"), F.col("src").alias("nbr")))
+        sym.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("v"), F.col("dst").alias("nbr")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("v"), F.col("src").alias("nbr")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.v", "e.nbr")
         .distinct()
     )
     nodes = und.select(F.col("v").alias("node")).distinct()

@@ -682,9 +682,11 @@ def shard_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bloom_bits(h: str, n_bits: int) -> tuple:
+def _bloom_bits(h: str, n_bits: str = "n_bits") -> tuple:
     """Two bit positions for a 32-hex-char md5 digest column named
-    ``h``: independent 15-hex-digit slices reduced mod n_bits. Returns
+    ``h``: independent 15-hex-digit slices reduced mod ``n_bits`` — a
+    COLUMN name (the plan-folded filter width riding a broadcast 1-row
+    cross join; optimization r12), not a Python literal. Returns
     ((block, mask), (block, mask)) Column pairs."""
     out = []
     for lo in (1, 17):
@@ -794,18 +796,42 @@ def bloom_prefilter_decontamination(
     ev = materialize(
         sh.filter(F.col("split") == "eval").select("h").distinct()
     )
-    n_ref = ev.count()
-    n_bits = 1 << max(16, (16 * max(n_ref, 1)).bit_length())
-    (b1, m1), (b2, m2) = _bloom_bits("h", n_bits)
+    # Filter width folded INTO the plan as a broadcast 1-row cross join
+    # (optimization r12, the tfidf n_docs pattern — guide §5: no
+    # driver-blocking .count() in the query path): n_bits =
+    # next-pow2(16 * n_ref) (>= 2^16), stated in exact integer SQL —
+    # length(bin(x)) IS x.bit_length() for x > 0, so the computed width
+    # is bit-identical to the old Python `1 << max(16, (16 *
+    # max(n_ref, 1)).bit_length())`. The scalar rides the (cheap,
+    # checkpointed) ev subtree; the bitmap and the emitted bits are
+    # unchanged, and the oracle never sees the filter (pure physics).
+    nbits = ev.agg(F.count(F.lit(1)).alias("n_ref")).select(
+        F.expr(
+            "cast(shiftleft(1L, greatest(16,"
+            " cast(length(bin(16 * greatest(n_ref, 1L))) as int)))"
+            " as bigint)"
+        ).alias("n_bits")
+    )
+    (b1, m1), (b2, m2) = _bloom_bits("h")
     bloom = materialize(
-        ev.select(b1, m1.alias("mask"))
-        .unionByName(ev.select(b2, m2.alias("mask")))
+        ev.crossJoin(F.broadcast(nbits))
+        # both bit rows from one pass over ev: row-local explode, not a
+        # unionByName that scans the checkpoint twice
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(b1, m1.alias("mask")),
+                    F.struct(b2, m2.alias("mask")),
+                )
+            ).alias("bm")
+        )
+        .select("bm.blk", "bm.mask")
         .groupBy("blk")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
     tr = sh.filter(F.col("split") == "train")
-    (tb1, tm1), (tb2, tm2) = _bloom_bits("h", n_bits)
-    probe = tr.select(
+    (tb1, tm1), (tb2, tm2) = _bloom_bits("h")
+    probe = tr.crossJoin(F.broadcast(nbits)).select(
         "doc_id", "h", tb1.alias("blk1"), tm1.alias("mask1"),
         tb2.alias("blk2"), tm2.alias("mask2"),
     )

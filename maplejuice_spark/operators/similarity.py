@@ -118,23 +118,38 @@ def _sql_plane_literal(j: int) -> str:
 
 
 def _plane_col(j: int):
-    return F.array(*[F.lit(float(v)) for v in PLANES[j]])
+    # one-call SQL-text literal: the F.array(*[F.lit(v) ...]) form costs
+    # one py4j round-trip per component — measured 1.9-11 s of driver
+    # time to BUILD one _bucket_col (16 planes x 64 components), paid
+    # inside every LSH query's timed region, vs ~5 ms for the parser
+    # (optimization r12; same fix as clustering._dist_sql). Literal text
+    # is _sql_plane_literal's exact formatting, which the DuckDB oracle
+    # already parses to the identical doubles.
+    return F.expr(
+        "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in PLANES[j]) + ")"
+    )
 
 
 def _bucket_col(vec: str = "v") -> F.Column:
     """16-bit random-hyperplane signature of column ``vec`` — the Spark
     twin of ``_SQL_BUCKET`` (bit j set iff dot(vec, plane_j) > 0; a zero
     dot counts as unset in BOTH engines). Single definition so the three
-    LSH consumers cannot drift."""
-    return sum(
-        [
-            F.when(dot(F.col(vec), _plane_col(j)) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-            for j in range(N_PLANES)
-        ],
-        start=F.lit(0),
-    ).cast("bigint")
+    LSH consumers cannot drift. Built as ONE parsed SQL expression (see
+    _plane_col note): same left-associative integer sum, same
+    sequential-fold dot, bit-identical values."""
+    terms = []
+    for j in range(N_PLANES):
+        arr = (
+            "array("
+            + ", ".join(f"CAST({v} AS DOUBLE)" for v in PLANES[j])
+            + ")"
+        )
+        d = (
+            f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("cast((0 + " + " + ".join(terms) + ") as bigint)")
 
 # Pre-normalization: cosine(a, b) == dot(a/|a|, b/|b|) — normalizing each
 # vector ONCE turns per-pair scoring into a single fold instead of three.
@@ -1596,13 +1611,31 @@ def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bv.hint("merge"), "v2")
         .select("v1", "v2", dot("av", "bvec").alias("cos_sim"))
     )
+    # Symmetrize by a row-local explode of the two directions, NOT a
+    # union of two projections (optimization r12, guide §2.4): a union
+    # duplicates the entire upstream subtree per branch — the r11 plan
+    # shows TWO full copies of the band self-join + both vector joins
+    # (6 SortMergeJoin, 8 Exchange) executing per run, one per
+    # direction. The explode doubles rows inside the same stage, so the
+    # candidate generation and scoring run ONCE at any scale. Row order
+    # differs from the union's, but every downstream op (rank window
+    # with full ORDER BY tie-break, groupBy) is order-independent.
     sym = scored.select(
-        F.col("v1").alias("src"), F.col("v2").alias("dst"), "cos_sim"
-    ).unionAll(
-        scored.select(
-            F.col("v2").alias("src"), F.col("v1").alias("dst"), "cos_sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("v1").alias("src"),
+                    F.col("v2").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("v2").alias("src"),
+                    F.col("v1").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos_sim")
     w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     ranked = (
         sym.withColumn("r", F.row_number().over(w))

@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Round-12 A/B probe: times the round's touched rows with bench.py's
+exact methodology (1 untimed warm-up + min/median of 3 noop-sink runs),
+plus the parallel_seeds_train / kmeans_train COLD rows (clearing the
+memo + persisted artifact before every run, like bench.py), bracketed
+by the bench's calibration row so runs on this steal-prone box can be
+normalized. Measurement-only — never imported by bench.py.
+
+Usage: ab_r12.py TAG [row1,row2,...]
+Rows: headline query names, or train:parallel_seeds / train:kmeans.
+Prints one JSON line with TAG so alternating stash/pop runs can be
+paired.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_ROWS = (
+    "mutual_knn_edges,dedup_clusters,bloom_prefilter_decontamination,"
+    "substring_dedup_spans,pagerank_3iter,label_propagation_communities,"
+    "train:parallel_seeds,train:kmeans"
+)
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    rows = (sys.argv[2] if len(sys.argv) > 2 else DEFAULT_ROWS).split(",")
+
+    from maplejuice_spark import artifacts
+    from maplejuice_spark.functions import release_checkpoints
+    from maplejuice_spark.registry import queries
+    from maplejuice_spark.session import get_spark
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    spark = get_spark(app_name=f"ab_r12_{tag}")
+    qs = queries()
+
+    def clear_par_seeds() -> None:
+        from maplejuice_spark.operators import clustering
+
+        clustering._PAR_SEEDS_CACHE.clear()
+        artifacts.clear_persisted("kmeans_parallel_seeds")
+
+    def clear_kmeans() -> None:
+        from maplejuice_spark.operators import clustering
+
+        clustering._KMEANS_CACHE.clear()
+        artifacts.clear_persisted("kmeans_model")
+
+    TRAIN = {
+        "train:parallel_seeds": ("kmeans_parallel_seeds", clear_par_seeds),
+        "train:kmeans": ("kmeans_quantized_assign", clear_kmeans),
+    }
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warm-up: parquet footers + JVM
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def cal() -> float:
+        bench._calibration_df(spark).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t0 = time.perf_counter()
+        bench._calibration_df(spark).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 4)
+
+    cal_pre = cal()
+    out: dict[str, list[float]] = {}
+    for row in rows:
+        qname, clear = TRAIN.get(row, (row, None))
+        runs: list[float] = []
+        for i in range(4):
+            release_checkpoints(spark)
+            if clear is not None:
+                clear()
+            t0 = time.perf_counter()
+            qs[qname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if i > 0:
+                runs.append(round(time.perf_counter() - t0, 4))
+        if clear is not None:
+            clear()
+        runs.sort()
+        out[row] = runs
+    cal_post = cal()
+    print(
+        json.dumps(
+            {
+                "tag": tag,
+                "cal_pre": cal_pre,
+                "cal_post": cal_post,
+                "rows": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Phase-level timing probe for the kmeans_parallel_seeds COLD path
+(round-12 optimization, VERDICT r11 next-round #2): times each driver
+round of _parallel_seed_picks separately so the 8.5 s train row can be
+attributed to quantize/checkpoint, the per-round fold scans, the
+weighting scan, or the driver-side reduction. Measurement-only — never
+imported by bench.py.
+
+Usage: par_seeds_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from maplejuice_spark.operators import clustering as C
+    from maplejuice_spark.session import get_spark
+
+    spark = get_spark(app_name="par_seeds_probe")
+    # warm JVM/codegen + parquet footers once (bench.py discipline)
+    C._quantized_vecs(spark, sf_dir).limit(1).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for trial in range(3):
+        marks: list[tuple[str, float]] = []
+        t0 = time.perf_counter()
+
+        def mark(label: str) -> None:
+            marks.append((label, time.perf_counter() - t0))
+
+        vecs = C._quantized_vecs(spark, sf_dir)
+        mark("quantize+checkpoint")
+        first = (
+            vecs.select("vec_id", "vq").orderBy("vec_id").limit(1).collect()[0]
+        )
+        cand = [(int(first.vec_id), list(first.vq))]
+        mark("first pick")
+        for r in range(C.PAR_ROUNDS):
+            excl = [vid for vid, _vq in cand]
+            rows = (
+                vecs.filter(~F.col("vec_id").isin(excl))
+                .select("vec_id", "vq", C._dmin_to(cand).alias("dmin"))
+                .orderBy(F.desc("dmin"), "vec_id")
+                .limit(C.PAR_M)
+                .collect()
+            )
+            cand += [(int(r_.vec_id), list(r_.vq)) for r_ in rows]
+            mark(f"round {r + 1} (|cand| in ={len(excl)})")
+        cand.sort()
+        dists = F.array(*[C._dist_to(cq) for _vid, cq in cand])
+        vids = F.array(*[F.lit(int(vid)) for vid, _vq in cand])
+        nearest = F.element_at(
+            vids, F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+        wrows = (
+            vecs.select(nearest.alias("cid")).groupBy("cid").count().collect()
+        )
+        mark(f"weights scan (|cand|={len(cand)})")
+        wmap = {int(r_["cid"]): int(r_["count"]) for r_ in wrows}
+        cw = [(vid, vq, wmap.get(vid, 0)) for vid, vq in cand]
+
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        cw.sort(key=lambda t: (-t[2], t[0]))
+        picks = [cw[0]]
+        rest = cw[1:]
+        while len(picks) < C.K_PAR and rest:
+            best = min(
+                rest,
+                key=lambda t: (
+                    -(t[2] * min(d2(t[1], p[1]) for p in picks)),
+                    t[0],
+                ),
+            )
+            picks.append(best)
+            rest.remove(best)
+        mark("driver reduction")
+        prev = 0.0
+        print(f"--- trial {trial} ---")
+        for label, t in marks:
+            print(f"  {label:34s} {t - prev:7.3f}s  (cum {t:7.3f})")
+            prev = t
+        from maplejuice_spark.functions import release_checkpoints
+
+        release_checkpoints(spark)
+
+
+if __name__ == "__main__":
+    main()

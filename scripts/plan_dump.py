@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Dump .explain("formatted") for registry queries to plans/r11/.
+"""Dump .explain("formatted") for registry queries to plans/<round>/
+(round from $MJ_PLANS_ROUND, default r12).
 
 Usage: plan_dump.py SUFFIX [SF_DIR] [name1,name2,...]
 
@@ -58,7 +59,9 @@ def main() -> None:
     from maplejuice_spark import functions as mjf
 
     spark = get_spark(app_name="plan_dump")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("MJ_PLANS_ROUND", "r12")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         cap: list[str] = []
