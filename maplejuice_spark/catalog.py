@@ -92,8 +92,28 @@ def _ensure_read_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (applicationId, abspath, mtime_ns) -> resolved parquet frame. A bare
+# ``spark.read.parquet`` re-runs footer schema inference and file
+# resolution on EVERY call — ~0.1-0.3 s of driver-side metadata work
+# per query build across its tables, re-paid per invocation
+# (optimization r12; the session-scoped analog of guide §6's
+# file-listing cache). Caching the resolved DataFrame caches METADATA
+# only: every execution still scans the parquet files. mtime_ns in the
+# key means a table rewritten at the same path resolves fresh, and
+# applicationId means a restarted context can never serve frames bound
+# to a dead JVM.
+_TABLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _path_mtime_ns(p: str) -> int:
+    try:
+        return os.stat(p).st_mtime_ns
+    except OSError:
+        return -1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table.
+    """Read one driver table (metadata-cached; see _TABLE_CACHE).
 
     Side effect (deliberate, documented): pins session timezone to UTC
     on the CALLER's session — see :func:`_ensure_read_confs`. Hosts
@@ -101,16 +121,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keep their timezone.
     """
     _ensure_read_confs(spark)
-    return spark.read.parquet(table_path(sf_dir, name))
+    p = table_path(sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(p),
+        _path_mtime_ns(p),
+    )
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(p)
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    _ensure_read_confs(spark)
     out = {}
     for name in TESTDATA_TABLES:
-        p = table_path(sf_dir, name)
-        if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -1,0 +1,35 @@
+"""catalog.load_table's resolved-frame metadata cache (optimization
+r12, guide §6 file-listing-cache analog): repeated loads of an
+untouched table reuse the resolved DataFrame (no re-inference), while
+a REWRITTEN table (mtime changed) resolves fresh — the cache may never
+serve a stale file list or schema."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from maplejuice_spark.catalog import load_table
+
+
+def test_load_table_caches_resolved_frame(spark, sf_dir):
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation")
+    assert a is b  # same resolved frame, no second footer inference
+    assert a.count() == 25
+
+
+def test_load_table_rewritten_table_resolves_fresh(spark, sf_dir, tmp_path):
+    d = tmp_path / "sfcopy"
+    d.mkdir()
+    src = os.path.join(sf_dir, "nation.parquet")
+    dst = d / "nation.parquet"
+    shutil.copy(src, dst)
+    a = load_table(spark, str(d), "nation")
+    assert a.count() == 25
+    # rewrite the table at the same path with different content
+    load_table(spark, sf_dir, "region").limit(3).toPandas().to_parquet(dst)
+    os.utime(dst)  # ensure mtime_ns moves even on coarse filesystems
+    b = load_table(spark, str(d), "nation")
+    assert b is not a
+    assert b.count() == 3

@@ -67,3 +67,26 @@ def test_local_df_plan_has_no_python_eval(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "ExistingRDD"):
         assert bad not in plan, plan
+
+
+def test_local_df_exact_large_nullable_ints(spark):
+    """ADVICE r11: a None in an int column must NOT float64-ify the
+    column (pandas inference) and silently round values >= 2^53 — the
+    dtype=object construction hands Arrow the exact Python ints."""
+    big = (1 << 53) + 1  # not representable in float64
+    rows = [(1, big), (2, None), (3, big + 2)]
+    df = local_df(spark, rows, "k int, v bigint")
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got == [(1, big), (2, None), (3, big + 2)]
+
+
+def test_local_df_dict_rows_bind_by_name(spark):
+    """ADVICE r11: dict rows whose key order differs from the schema's
+    field order must bind by NAME, not position (same-typed columns
+    would otherwise swap silently)."""
+    rows = [{"b": "x", "a": "1"}, {"a": "2", "b": "y"}]
+    df = local_df(spark, rows, "a string, b string")
+    assert sorted((r.a, r.b) for r in df.collect()) == [
+        ("1", "x"),
+        ("2", "y"),
+    ]

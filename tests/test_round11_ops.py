@@ -117,3 +117,38 @@ def test_codebook_size_sweep_structure(spark, sf_dir):
     assert len({r["n_pairs"] for r in rows}) == 1
     for r in rows:
         assert 0.0 <= r["e2e_recall"] <= 1.0
+
+
+def test_parallel_seed_incremental_state_matches_full_recompute(spark, sf_dir):
+    """Optimization r12: the carried (dmin, nearest-id) struct folded
+    incrementally over candidate batches must equal the one-shot argmin
+    over the full candidate set — same min, same smallest-id tie-break."""
+    from pyspark.sql import functions as F
+
+    from maplejuice_spark.operators import clustering as C
+
+    vecs = C._quantized_vecs(spark, sf_dir)
+    rows = vecs.orderBy("vec_id").limit(9).collect()
+    cands = [(int(r.vec_id), list(r.vq)) for r in rows]
+    b1, b2 = cands[:4], cands[4:]
+    inc = vecs.select(
+        "vec_id", "vq", C._nn_min(None, b1).alias("nn")
+    ).select("vec_id", C._nn_min("nn", b2).alias("nn"))
+    got = {
+        int(r.vec_id): (int(r.nn.dmin), int(r.nn.nid))
+        for r in inc.collect()
+    }
+    # one-shot reference: vec_id-sorted array + first-min position
+    # (the pre-r12 form)
+    cands_sorted = sorted(cands)
+    dists = F.array(*[C._dist_to(cq) for _vid, cq in cands_sorted])
+    vids = F.array(*[F.lit(int(v)) for v, _ in cands_sorted])
+    ref = vecs.select(
+        "vec_id",
+        F.array_min(dists).alias("dmin"),
+        F.element_at(
+            vids, F.array_position(dists, F.array_min(dists)).cast("int")
+        ).alias("nid"),
+    )
+    want = {int(r.vec_id): (int(r.dmin), int(r.nid)) for r in ref.collect()}
+    assert got == want
