@@ -180,14 +180,15 @@ def _del_variants(s: Column, k: int) -> Column:
     return F.array_distinct(F.concat(F.array(s), one, two))
 
 
-def ed_candidate_pairs(
+def _ed_candidate_occurrences(
     names: DataFrame, id_col: str, s_col: str, k: int = 2
 ) -> DataFrame:
-    """Candidate (id1, id2, s1, s2) pairs — a SUPERSET of all pairs with
-    edit distance <= k, id1 < id2. Callers verify with the bounded
-    levenshtein kernel. ``names`` must be (id_col, s_col) with unique
-    ids; strings ride along through the join so no corpus join-back is
-    needed."""
+    """The PRE-DEDUP candidate stream: (id1, id2, s1, s2) with id1 <
+    id2, one row per (blocking key, pair) collision — a pair sharing c
+    prefix grams (or deletion variants) appears c times (c <=
+    prefix_len). Callers either dedup first (ed_candidate_pairs) or
+    verify first and dedup the narrow surviving rows (fuzzy_self_join,
+    optimization r12)."""
     prefix_len = k * Q + 1
     short_max = Q * (k + 1) - 1  # m <= k*Q  <=>  len <= this
 
@@ -285,13 +286,24 @@ def ed_candidate_pairs(
         "id1", "id2", "s1", "s2"
     )
 
-    # groupBy (not .distinct()): aggregating the payloads puts an
-    # aggregation barrier between pair dedup and the caller's kernel
-    # filter — otherwise Catalyst pushes the (expensive) verification
-    # predicate below the dedup and evaluates it once per duplicate
-    # candidate (up to prefix_len times per pair).
+    return long_cand.unionByName(short_cand)
+
+
+def ed_candidate_pairs(
+    names: DataFrame, id_col: str, s_col: str, k: int = 2
+) -> DataFrame:
+    """Candidate (id1, id2, s1, s2) pairs — a SUPERSET of all pairs with
+    edit distance <= k, id1 < id2, deduplicated across blocking keys.
+    Callers verify with the bounded levenshtein kernel. ``names`` must
+    be (id_col, s_col) with unique ids; strings ride along through the
+    join so no corpus join-back is needed.
+
+    The groupBy (not .distinct()) puts an aggregation barrier between
+    pair dedup and any caller-side verification predicate — otherwise
+    Catalyst pushes the predicate below the dedup and evaluates it once
+    per duplicate candidate."""
     return (
-        long_cand.unionByName(short_cand)
+        _ed_candidate_occurrences(names, id_col, s_col, k)
         .groupBy("id1", "id2")
         .agg(F.first("s1").alias("s1"), F.first("s2").alias("s2"))
     )
@@ -303,14 +315,21 @@ def fuzzy_self_join(
     """All (id1, id2, dist) pairs with levenshtein distance <= k,
     id1 < id2 — exact output (prefix-filter candidates verified by the
     bounded 3-arg levenshtein kernel, which banded-DPs a 2k+1 diagonal
-    strip and early-exits above the threshold)."""
+    strip and early-exits above the threshold).
+
+    Measured and REJECTED (optimization r12): verifying BEFORE the
+    cross-key dedup — kernel on the occurrence stream, then a narrow
+    (id1, id2, dist) groupBy — so failing candidates never shuffle and
+    surviving rows shuffle as three ints. Alternating in-process A/B at
+    sf0.1: dedup-then-verify 2.8-3.2 s, verify-then-dedup 4.2-4.7 s
+    (identical 142,245-row output). The bounded kernel at ~2.4 us/eval
+    over 1.09M occurrences costs more than the 1.09M-wide-row dedup
+    exchange it saved; the barrier form (verify once per pair) stays."""
     cand = ed_candidate_pairs(names, id_col, s_col, k)
     return (
         cand.withColumn("dist", F.levenshtein("s1", "s2", k))
         .filter(F.col("dist") >= 0)
-        .select(
-            F.col("id1"), F.col("id2"), F.col("dist")
-        )
+        .select(F.col("id1"), F.col("id2"), F.col("dist"))
     )
 
 

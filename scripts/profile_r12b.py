@@ -1,0 +1,265 @@
+#!/usr/bin/env python3
+"""Phase profiler for the round-12b targets: time sub-frames of the
+heaviest remaining bench rows inside ONE session (noop sink), so the
+expensive phase of each plan is identified before anything changes.
+Usage: python scripts/profile_r12b.py [target ...]
+Targets: lev triangle tfidf hybrid bloom
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N = int(os.environ.get("PROF_N", "3"))
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timeit(spark, label, build):
+    from maplejuice_spark.functions import release_checkpoints
+
+    runs = []
+    for i in range(N + 1):
+        release_checkpoints(spark)
+        t0 = time.perf_counter()
+        noop(build())
+        dt = time.perf_counter() - t0
+        if i > 0:
+            runs.append(dt)
+    runs.sort()
+    print(f"  {label:45s} min {runs[0]:6.2f}  med {runs[len(runs)//2]:6.2f}")
+    return runs[0]
+
+
+def prof_lev(spark):
+    from pyspark.sql import functions as F
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.operators import fuzzy
+    from maplejuice_spark.operators.skew import salted_self_pairs
+    from maplejuice_spark.functions import materialize
+
+    print("== levenshtein_similar_names ==")
+    sup = load_table(spark, SF_DIR, "supplier").select("s_suppkey", "s_name")
+    names = fuzzy.gate_names(sup, "s_name")
+    base = names.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("s"),
+        F.length("s_name").alias("ln"),
+    )
+    longs = base.filter(F.col("ln") > fuzzy.Q - 1)
+    timeit(spark, "gram_occ explode only", lambda: longs.select(
+        "id", F.explode(fuzzy._gram_occ(F.col("s"))).alias("g")))
+    timeit(spark, "df table", lambda: longs.select(
+        F.explode(fuzzy._grams(F.col("s"))).alias("gram"))
+        .groupBy("gram").agg(F.count("*").alias("df")))
+
+    def build_prefix():
+        grams = longs.select(
+            "id", "s", "ln", F.explode(fuzzy._gram_occ(F.col("s"))).alias("g"))
+        df_tbl = (longs.select(F.explode(fuzzy._grams(F.col("s"))).alias("gram"))
+                  .groupBy("gram").agg(F.count("*").alias("df")))
+        ranked = grams.join(F.broadcast(df_tbl), grams["g.gram"] == df_tbl["gram"]).select(
+            "id", "s", "ln",
+            F.struct(F.col("df"), F.col("g.gram").alias("gram"),
+                     F.col("g.occ").alias("occ")).alias("key"))
+        return (ranked.groupBy("id")
+                .agg(F.first("s").alias("s"), F.first("ln").alias("ln"),
+                     F.slice(F.array_sort(F.collect_list("key")), 1, 5).alias("pref"))
+                .select("id", "s", "ln", F.explode("pref").alias("key"))
+                .select("id", "s", "ln", "key.gram", "key.occ"))
+
+    timeit(spark, "prefix build (no ckpt)", build_prefix)
+
+    def cand_counts():
+        prefix = materialize(build_prefix())
+        lc = salted_self_pairs(prefix, ["gram", "occ"], "id", ["s", "ln"],
+                               counts_broadcastable=True).filter(
+            F.abs(F.col("ln1") - F.col("ln2")) <= 2
+        ).select("id1", "id2", "s1", "s2")
+        return lc
+
+    timeit(spark, "long_cand pairs (ckpt prefix + salted join)", cand_counts)
+
+    def full():
+        from maplejuice_spark.operators.advanced import levenshtein_similar_names
+        return levenshtein_similar_names(spark, SF_DIR)
+
+    timeit(spark, "FULL query", full)
+    # cardinalities
+    p = materialize(build_prefix())
+    print("  prefix rows:", p.count())
+    lc = cand_counts()
+    print("  long_cand rows:", lc.count())
+    from maplejuice_spark.operators.fuzzy import ed_candidate_pairs
+    cand = ed_candidate_pairs(names, "s_suppkey", "s_name", 2)
+    print("  deduped cand rows:", cand.count())
+
+
+def prof_triangle(spark):
+    from pyspark.sql import functions as F
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.functions import materialize
+
+    print("== triangle_count ==")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+
+    def pairs_df():
+        return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                       & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1))
+                .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+                .select(F.least("a.l_partkey", "b.l_partkey").alias("u"),
+                        F.greatest("a.l_partkey", "b.l_partkey").alias("v"))
+                .distinct())
+
+    timeit(spark, "edge derivation (pairs)", pairs_df)
+
+    pairs = materialize(pairs_df())
+    print("  n_edges:", pairs.count())
+
+    def deg_df():
+        return (pairs.select(F.col("u").alias("node"))
+                .unionAll(pairs.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+
+    timeit(spark, "degrees (from ckpt)", deg_df)
+
+    def oriented_df():
+        deg = deg_df()
+        du, dv = deg.alias("du"), deg.alias("dv")
+        p = pairs.alias("p")
+        u_first = (F.col("du.d") < F.col("dv.d")) | (
+            (F.col("du.d") == F.col("dv.d")) & (F.col("p.u") < F.col("p.v")))
+        return (p.join(du.hint("merge"), F.col("du.node") == F.col("p.u"))
+                .join(dv.hint("merge"), F.col("dv.node") == F.col("p.v"))
+                .select(F.when(u_first, F.col("p.u")).otherwise(F.col("p.v")).alias("s"),
+                        F.when(u_first, F.col("p.v")).otherwise(F.col("p.u")).alias("t")))
+
+    timeit(spark, "orientation (from ckpt)", oriented_df)
+    oriented = materialize(oriented_df())
+
+    def wedge_close():
+        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+        wedges = e1.join(e2.hint("merge"),
+                         (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
+                         ).select(F.col("e1.t").alias("v"), F.col("e2.t").alias("w"))
+        closing = pairs.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+        tri = wedges.join(closing.hint("merge"),
+                          (F.least("v", "w") == F.col("cu"))
+                          & (F.greatest("v", "w") == F.col("cv")), "left_semi")
+        return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+    timeit(spark, "wedge join + semi close (from ckpts)", wedge_close)
+
+    def full():
+        from maplejuice_spark.operators.graph import triangle_count
+        return triangle_count(spark, SF_DIR)
+
+    timeit(spark, "FULL query", full)
+
+
+def prof_tfidf(spark):
+    from pyspark.sql import functions as F
+    from maplejuice_spark.catalog import load_table
+    from maplejuice_spark.operators import dedup
+    from maplejuice_spark.functions import materialize
+
+    print("== tfidf_cosine_topk_pairs ==")
+    timeit(spark, "shingle occurrence rows (tokenize+explode)",
+           lambda: dedup._shingle_rows(spark, SF_DIR))
+    timeit(spark, "tf agg", lambda: dedup._shingle_rows(spark, SF_DIR)
+           .groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf")))
+
+    def v_df():
+        occ = dedup._shingle_rows(spark, SF_DIR)
+        tf = occ.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
+        dfs = (tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") <= dedup.MAX_SHINGLE_DF))
+        nd = load_table(spark, SF_DIR, "documents").agg(
+            F.count(F.lit(1)).alias("n_docs"))
+        return (tf.join(dfs.hint("merge"), "shingle")
+                .crossJoin(F.broadcast(nd))
+                .select("doc_id", "shingle",
+                        (F.col("tf") * F.expr("n_docs div df")).cast("bigint").alias("e")))
+
+    timeit(spark, "v build (to ckpt input)", v_df)
+
+    def tail():
+        v = materialize(v_df())
+        sizes = v.groupBy("doc_id").agg(
+            F.sum(F.col("e") * F.col("e")).cast("bigint").alias("n2"))
+        x = v.select(F.col("doc_id").alias("d1"), "shingle", F.col("e").alias("e1"))
+        y = v.select(F.col("doc_id").alias("d2"), "shingle", F.col("e").alias("e2"))
+        inter = (x.join(y.hint("merge"), "shingle")
+                 .where(F.col("d1") < F.col("d2"))
+                 .groupBy("d1", "d2")
+                 .agg(F.sum(F.col("e1") * F.col("e2")).cast("bigint").alias("num")))
+        s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n2").alias("n2a"))
+        s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n2").alias("n2b"))
+        return (inter.join(s1.hint("merge"), "d1").join(s2.hint("merge"), "d2")
+                .select("d1", "d2", "num",
+                        (F.col("num").cast("double")
+                         / (F.sqrt(F.col("n2a").cast("double"))
+                            * F.sqrt(F.col("n2b").cast("double")))).alias("cos_tfidf"))
+                .orderBy(F.desc("cos_tfidf"), "d1", "d2").limit(20))
+
+    timeit(spark, "ckpt + pair join tail", tail)
+
+    def full():
+        from maplejuice_spark.operators.dedup import tfidf_cosine_topk_pairs
+        return tfidf_cosine_topk_pairs(spark, SF_DIR)
+
+    timeit(spark, "FULL query", full)
+
+
+def prof_hybrid(spark):
+    from maplejuice_spark.operators import retrieval
+
+    print("== hybrid_search_rrf ==")
+    timeit(spark, "lex arm ranked", lambda: retrieval._lex_ranked(
+        spark, SF_DIR, shuffled=False))
+    timeit(spark, "vec arm brute", lambda: retrieval._vec_ranked_brute(
+        spark, SF_DIR))
+    timeit(spark, "FULL query", lambda: retrieval.hybrid_search_rrf(
+        spark, SF_DIR))
+
+
+def prof_bloom(spark):
+    print("== bloom_prefilter_decontamination ==")
+    from maplejuice_spark.operators.pipeline import bloom_prefilter_decontamination
+    timeit(spark, "FULL query", lambda: bloom_prefilter_decontamination(
+        spark, SF_DIR))
+
+
+TARGETS = {
+    "lev": prof_lev,
+    "triangle": prof_triangle,
+    "tfidf": prof_tfidf,
+    "hybrid": prof_hybrid,
+    "bloom": prof_bloom,
+}
+
+
+def main():
+    from maplejuice_spark.session import get_spark
+
+    spark = get_spark(app_name="profile_r12b")
+    # warm up JVM/codegen + parquet footers
+    from maplejuice_spark.registry import queries
+    qs = queries()
+    noop(qs["q1_pricing_summary"](spark, SF_DIR))
+    names = sys.argv[1:] or list(TARGETS)
+    for n in names:
+        TARGETS[n](spark)
+
+
+if __name__ == "__main__":
+    main()
